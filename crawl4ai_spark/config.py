@@ -1,0 +1,55 @@
+"""Crawl job configuration (the engine's declarative "query").
+
+Mirrors the reference's CrawlConfig surface
+(/root/reference/crawl_agent.py:23-183) reduced to the fields that
+change engine *semantics* (strategy, depth/page caps, external/social
+filters, politeness, robots). Rendering/browser knobs of the reference
+(JS hooks, lazy-load, sessions — /root/reference/crawl_agent.py:699-781)
+have no Spark analog and are modeled as fetch-simulation parameters of
+the synthetic corpus; they are intentionally NOT silently accepted here.
+
+Strategy resolution quirks reproduced:
+* best_first withOUT an AI agent silently falls back to BFS
+  (/root/reference/crawl_agent.py:607-615) — ``resolve_strategy``.
+* the "AI analyze" path always lands on the default strategy (the
+  reference's regex parser NameErrors and falls back —
+  /root/reference/ai_agent.py:149,172-174) → default CrawlStrategy =
+  (depth 2, pages 10, bfs) — our defaults.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+SOCIAL_DOMAINS = [
+    "facebook.com", "twitter.com", "x.com", "instagram.com", "linkedin.com",
+    "tiktok.com", "youtube.com", "pinterest.com", "reddit.com",
+]
+
+
+@dataclass
+class CrawlConfig:
+    seeds: list[str] = field(default_factory=list)
+    strategy: str = "bfs"             # bfs | dfs | best_first
+    max_depth: int = 2                # reference default (crawl_agent.py:59)
+    max_pages: int = 10               # reference default (crawl_agent.py:60)
+    include_external: bool = False
+    query: str = ""                   # best-first scorer terms (F5)
+    politeness: bool = False          # per-host per-round budgets (hosts table)
+    politeness_salts: int = 1         # >1: split hot-host budget across salts (scale mode)
+    respect_robots: bool = True
+    exclude_social: bool = False
+    exclude_domains: list[str] = field(default_factory=list)
+    round_size: int | None = None     # fetches per round; 1 = sequential conformance
+    track_order: bool = True          # assign global crawl ranks (off = throughput mode)
+    max_rounds: int = 1000
+    use_ai_agent: bool = False        # needed for best_first (see resolve_strategy)
+
+
+def resolve_strategy(cfg: CrawlConfig) -> str:
+    s = cfg.strategy.lower()
+    if s not in ("bfs", "dfs", "best_first"):
+        return "bfs"
+    if s == "best_first" and not cfg.use_ai_agent:
+        return "bfs"  # reference fallback, crawl_agent.py:607-615
+    return s

@@ -1,0 +1,200 @@
+"""Deterministic synthetic web-graph fixtures (FIXTURES.md §1-3).
+
+Generates the authoritative input shape from BASELINE.json.input_hint:
+
+    documents(doc_id STRING, spans ARRAY<STRUCT<kind, text, media_ref, offset>>)
+
+entirely with Spark column expressions over ``spark.range(n_docs)`` — no
+Python row loop, no wall-clock, no RNG state: every value is a pure
+function of (doc index, span index) via ``xxhash64``, so the corpus is
+byte-identical across runs and parallelism levels, and generation scales
+linearly to bench sizes (1e6-1e7 docs).
+
+Graph properties exercised (reference behaviors they test):
+* Zipf-ish host sizes (hot-domain skew → host_salt politeness salting)
+* duplicate link variants — fragment, unsorted query params, uppercase
+  host, explicit default port — that canonicalize to the same URL
+  (URL-seen dedup, north rule)
+* external + social-media links (include_external / social filters,
+  /root/reference/crawl_agent.py:163-166)
+* blacklist path terms ('login') hitting the F5 scorer penalty
+  (/root/reference/ai_agent.py:225) and robots disallow rules
+* image/media spans with mixed extensions (download filters,
+  /root/reference/crawl_agent.py:753-761)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+VOCAB = [
+    "spark", "data", "crawl", "frontier", "query", "engine", "page", "link",
+    "host", "batch", "round", "table", "span", "media", "text", "deep",
+    "fast", "slow", "index", "shard", "bloom", "robots", "fetch", "parse",
+    "rank", "score", "depth", "budget", "seen", "hash", "merge", "scan",
+]
+IMG_EXT = ["jpg", "png", "gif", "webp"]
+MEDIA_EXT = ["pdf", "docx", "xlsx", "csv", "mp4"]
+QUERY_KEYWORDS = "spark data"  # best-first fixture query
+
+
+def _h(tag: str, *cols: Column) -> Column:
+    """Deterministic non-negative pseudo-random bigint from tag+indices."""
+    return F.pmod(F.xxhash64(F.lit(tag), *cols), F.lit(1_000_000_007))
+
+
+def host_index(i: Column, n_hosts: int, n_docs: int) -> Column:
+    """Zipf-ish host assignment via contiguous cube-sized blocks: host h
+    owns doc indices [N*(h/H)^3, N*((h+1)/H)^3) — the LAST host is the
+    hot one (~3/H of all docs). Contiguous blocks let the link generator
+    pick same-host targets with pure arithmetic (no host→docs inversion)."""
+    frac = (i.cast("double") + F.lit(0.5)) / F.lit(float(n_docs))
+    h = F.floor(F.lit(float(n_hosts)) * F.pow(frac, F.lit(1.0 / 3.0))).cast("int")
+    return F.least(F.lit(n_hosts - 1), F.greatest(F.lit(0), h))
+
+
+def _same_host_target(i: Column, j: Column, n_docs: int, n_hosts: int) -> Column:
+    """A doc index in (approximately) the same host block as doc i."""
+    h = host_index(i, n_hosts, n_docs).cast("double")
+    lo = F.ceil(F.lit(float(n_docs)) * F.pow(h / n_hosts, F.lit(3.0))).cast("long")
+    hi = F.ceil(F.lit(float(n_docs)) * F.pow((h + 1) / n_hosts, F.lit(3.0))).cast("long")
+    size = F.greatest(F.lit(1).cast("long"), hi - lo)
+    return F.least(F.lit(n_docs - 1).cast("long"), lo + F.pmod(_h("st", i, j), size))
+
+
+def _pathseg(i: Column) -> Column:
+    return (
+        F.when(F.pmod(i, F.lit(13)) == 0, F.lit("login/p"))
+        .when(F.pmod(i, F.lit(13)) == 1, F.lit("a/b/c"))
+        .otherwise(F.lit("p"))
+    )
+
+
+def doc_url(i: Column, n_docs: int, n_hosts: int) -> Column:
+    """Canonical URL of doc i — already in canonical form by construction."""
+    return F.concat(
+        F.lit("https://host"), host_index(i, n_hosts, n_docs).cast("string"),
+        F.lit(".example.com/"), _pathseg(i), F.lit("/"), i.cast("string"),
+    )
+
+
+def _words(i: Column, j: Column, tag: str) -> Column:
+    vocab = F.array(*[F.lit(w) for w in VOCAB])
+    m = F.lit(3) + F.pmod(_h(tag + "n", i, j), F.lit(10))
+    return F.array_join(
+        F.transform(
+            F.sequence(F.lit(0), m - 1),
+            lambda w: F.element_at(vocab, (F.pmod(_h(tag, i, j, w), F.lit(len(VOCAB))) + 1).cast("int")),
+        ),
+        " ",
+    )
+
+
+def _link_href(i: Column, j: Column, n_docs: int, n_hosts: int) -> Column:
+    """Link variants over a 20-sided die: 0-1 any-host (cross-host
+    discovery), 2-12 plain same-host, 13 fragment dup, 14-15 query-order
+    dups (canonicalize equal, fetch-miss), 16 uppercase dup, 17 default-
+    port dup, 18 external host, 19 social."""
+    v = F.pmod(_h("lv", i, j), F.lit(20))
+    t_any = F.pmod(_h("lt", i, j), F.lit(n_docs))
+    t_same = _same_host_target(i, j, n_docs, n_hosts)
+    t = F.when(v <= 1, t_any).otherwise(t_same)
+    base = doc_url(t, n_docs, n_hosts)
+    h_t = host_index(t, n_hosts, n_docs).cast("string")
+    upper_variant = F.concat(
+        F.lit("HTTPS://HOST"), h_t, F.lit(".EXAMPLE.COM/"), _pathseg(t), F.lit("/"), t.cast("string")
+    )
+    port_variant = F.concat(
+        F.lit("https://host"), h_t, F.lit(".example.com:443/"), _pathseg(t), F.lit("/"), t.cast("string")
+    )
+    ext = F.concat(F.lit("https://ext"), F.pmod(_h("e", i, j), F.lit(20)).cast("string"),
+                   F.lit(".other.net/x/"), t.cast("string"))
+    social = F.concat(F.lit("https://facebook.com/share/"), t.cast("string"))
+    return (
+        F.when(v <= 12, base)
+        .when(v == 13, F.concat(base, F.lit("#sec"), j.cast("string")))
+        .when(v == 14, F.concat(base, F.lit("?b=2&a=1")))
+        .when(v == 15, F.concat(base, F.lit("?a=1&b=2")))
+        .when(v == 16, upper_variant)
+        .when(v == 17, port_variant)
+        .when(v == 18, ext)
+        .otherwise(social)
+    )
+
+
+def build_documents(spark: SparkSession, n_docs: int, n_hosts: int = 20,
+                    min_spans: int = 6, extra_spans: int = 14) -> DataFrame:
+    """The interleaved text+media corpus (input_hint shape), columnar-born."""
+    df = spark.range(n_docs).toDF("i")
+    i = F.col("i")
+    n_spans = F.lit(min_spans) + F.pmod(_h("ns", i), F.lit(extra_spans))
+    h_i = host_index(i, n_hosts, n_docs).cast("string")
+
+    def span(j: Column) -> Column:
+        k = F.pmod(_h("k", i, j), F.lit(10))
+        kind = (
+            F.when(j == 0, F.lit("heading"))
+            .when(k <= 3, F.lit("text"))
+            .when(k == 4, F.lit("heading"))
+            .when(k <= 7, F.lit("link"))
+            .when(k == 8, F.lit("image"))
+            .otherwise(F.lit("media"))
+        )
+        img_ext = F.array(*[F.lit(e) for e in IMG_EXT])
+        med_ext = F.array(*[F.lit(e) for e in MEDIA_EXT])
+        img_ref = F.concat(F.lit("https://host"), h_i, F.lit(".example.com/img/"),
+                           i.cast("string"), F.lit("_"), j.cast("string"), F.lit("."),
+                           F.element_at(img_ext, (F.pmod(_h("x", i, j), F.lit(4)) + 1).cast("int")))
+        med_ref = F.concat(F.lit("https://host"), h_i, F.lit(".example.com/file/"),
+                           i.cast("string"), F.lit("_"), j.cast("string"), F.lit("."),
+                           F.element_at(med_ext, (F.pmod(_h("m", i, j), F.lit(5)) + 1).cast("int")))
+        media_ref = (
+            F.when(kind == "link", _link_href(i, j, n_docs, n_hosts))
+            .when(kind == "image", img_ref)
+            .when(kind == "media", med_ref)
+            .otherwise(F.lit(None).cast("string"))
+        )
+        return F.struct(
+            kind.alias("kind"),
+            _words(i, j, "t").alias("text"),
+            media_ref.alias("media_ref"),
+            j.cast("int").alias("offset"),
+        )
+
+    spans = F.transform(F.sequence(F.lit(0), n_spans - 1), span)
+    return df.select(doc_url(i, n_docs, n_hosts).alias("doc_id"), spans.alias("spans"))
+
+
+def build_robots(spark: SparkSession, n_hosts: int = 20) -> DataFrame:
+    """robots(host, allow, disallow, crawl_delay): every 5th host blocks /login."""
+    g = F.col("g")
+    return (
+        spark.range(n_hosts).toDF("g")
+        .select(
+            F.concat(F.lit("host"), g.cast("string"), F.lit(".example.com")).alias("host"),
+            F.array().cast("array<string>").alias("allow"),
+            F.when((F.pmod(g, F.lit(5)) == 0) | (g == n_hosts - 1), F.array(F.lit("/login")))
+            .when(F.pmod(g, F.lit(7)) == 0, F.array(F.lit("/private")))
+            .otherwise(F.array().cast("array<string>")).alias("disallow"),
+            (F.lit(0.5) + F.pmod(g, F.lit(4)).cast("double") * 0.5).alias("crawl_delay"),
+        )
+    )
+
+
+def build_host_budgets(spark: SparkSession, n_hosts: int = 20, base_budget: int = 4) -> DataFrame:
+    g = F.col("g")
+    return (
+        spark.range(n_hosts).toDF("g")
+        .select(
+            F.concat(F.lit("host"), g.cast("string"), F.lit(".example.com")).alias("host"),
+            (F.lit(base_budget) + F.pmod(g, F.lit(4))).cast("int").alias("budget"),
+        )
+    )
+
+
+def write_fixtures(spark: SparkSession, out_dir: str, n_docs: int = 1000,
+                   n_hosts: int = 20, **doc_kw) -> None:
+    build_documents(spark, n_docs, n_hosts, **doc_kw).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
+    build_robots(spark, n_hosts).write.mode("overwrite").parquet(f"{out_dir}/robots.parquet")
+    build_host_budgets(spark, n_hosts).write.mode("overwrite").parquet(f"{out_dir}/hosts.parquet")

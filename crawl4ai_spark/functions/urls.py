@@ -1,0 +1,153 @@
+"""URL canonicalization + hashing as pure column expressions.
+
+North-rule semantics (BASELINE.json): lowercase scheme+host, strip
+fragments, strip default ports (http:80 / https:443), sort query params.
+The reference delegates canonicalization to the crawl4ai library
+(/root/reference/original-README.md:525 area — URL normalization is
+library-side); the rule above is the authoritative spec.
+
+The expression is emitted as a SQL string per dialect ("spark" |
+"duckdb") from ONE template, so the engine plan and the DuckDB
+correctness oracle share a single definition. On the Spark side the
+string goes through ``F.expr`` — it stays JVM-side inside whole-stage
+codegen; there is no Python in this path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+_SCHEME_RX = r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://"
+_AUTH_RX = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)"
+_PATH_RX = r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^?#]*)"
+_QUERY_RX = r"\?([^#]*)"
+
+
+def _lit(pattern: str, dialect: str) -> str:
+    """Quote a regex as a SQL string literal for the dialect."""
+    if dialect == "spark":
+        # Spark SQL string literals process backslash escapes.
+        return "'" + pattern.replace("\\", "\\\\") + "'"
+    return "'" + pattern + "'"  # duckdb: no backslash processing
+
+
+def _sort_join(arr_of: str, dialect: str) -> str:
+    if dialect == "spark":
+        return f"array_join(array_sort(split({arr_of}, '&')), '&')"
+    return f"array_to_string(list_sort(string_split({arr_of}, '&')), '&')"
+
+
+def canonicalize_sql(url_expr: str, dialect: str = "spark") -> str:
+    """SQL expression canonicalizing ``url_expr`` (dialect: spark|duckdb)."""
+    d = dialect
+    nf = f"regexp_replace({url_expr}, {_lit('#.*$', d)}, '')"  # strip fragment
+    scheme = f"lower(regexp_extract({nf}, {_lit(_SCHEME_RX, d)}, 1))"
+    hostport = f"lower(regexp_extract({nf}, {_lit(_AUTH_RX, d)}, 1))"
+    host = f"regexp_replace({hostport}, {_lit(':[0-9]+$', d)}, '')"
+    port = f"regexp_extract({hostport}, {_lit(':([0-9]+)$', d)}, 1)"
+    raw_path = f"regexp_extract({nf}, {_lit(_PATH_RX, d)}, 1)"
+    path = f"(CASE WHEN {raw_path} = '' THEN '/' ELSE {raw_path} END)"
+    query = f"regexp_extract({nf}, {_lit(_QUERY_RX, d)}, 1)"
+    keep_port = (
+        f"(CASE WHEN {port} = '' THEN '' "
+        f"WHEN {scheme} = 'http' AND {port} = '80' THEN '' "
+        f"WHEN {scheme} = 'https' AND {port} = '443' THEN '' "
+        f"ELSE concat(':', {port}) END)"
+    )
+    qpart = f"(CASE WHEN {query} = '' THEN '' ELSE concat('?', {_sort_join(query, d)}) END)"
+    canon = f"concat({scheme}, '://', {host}, {keep_port}, {path}, {qpart})"
+    # Non-absolute URLs (no scheme://) pass through trimmed+lowered.
+    return f"(CASE WHEN {scheme} = '' THEN lower(trim({url_expr})) ELSE {canon} END)"
+
+
+def canonicalize(url: Column | str) -> Column:
+    """Spark Column: canonical form of a URL column.
+
+    Column-API mirror of ``canonicalize_sql`` (tests assert the Spark,
+    DuckDB and Python forms agree on a corpus of tricky URLs). All
+    built-in string functions — stays inside whole-stage codegen.
+    """
+    c = F.col(url) if isinstance(url, str) else url
+    nf = F.regexp_replace(c, "#.*$", "")
+    scheme = F.lower(F.regexp_extract(nf, _SCHEME_RX, 1))
+    hostport = F.lower(F.regexp_extract(nf, _AUTH_RX, 1))
+    host = F.regexp_replace(hostport, ":[0-9]+$", "")
+    port = F.regexp_extract(hostport, ":([0-9]+)$", 1)
+    raw_path = F.regexp_extract(nf, _PATH_RX, 1)
+    path = F.when(raw_path == "", F.lit("/")).otherwise(raw_path)
+    query = F.regexp_extract(nf, _QUERY_RX, 1)
+    portpart = (
+        F.when(port == "", F.lit(""))
+        .when((scheme == "http") & (port == "80"), F.lit(""))
+        .when((scheme == "https") & (port == "443"), F.lit(""))
+        .otherwise(F.concat(F.lit(":"), port))
+    )
+    qpart = F.when(query == "", F.lit("")).otherwise(
+        F.concat(F.lit("?"), F.array_join(F.array_sort(F.split(query, "&")), "&"))
+    )
+    canon = F.concat(scheme, F.lit("://"), host, portpart, path, qpart)
+    return F.when(scheme == "", F.lower(F.trim(c))).otherwise(canon)
+
+
+def url_host(url: Column | str) -> Column:
+    c = F.col(url) if isinstance(url, str) else url
+    hp = F.lower(F.regexp_extract(c, _AUTH_RX, 1))
+    return F.regexp_replace(hp, ":[0-9]+$", "")
+
+
+def url_path(url: Column | str) -> Column:
+    c = F.col(url) if isinstance(url, str) else url
+    p = F.regexp_extract(c, _PATH_RX, 1)
+    return F.when(p == "", F.lit("/")).otherwise(p)
+
+
+def url_hash(canon_url: Column | str) -> Column:
+    """xxhash64 of the canonical URL — the frontier/seen-set key.
+
+    64-bit xxhash over ~1e10 URLs → collision expectation ≈ 2.7e-? —
+    birthday bound ~ (1e10)^2 / 2^65 ≈ 2.7; the exact-URL anti-join
+    (not the hash) remains the ground truth, the hash is the shuffle key.
+    """
+    c = F.col(canon_url) if isinstance(canon_url, str) else canon_url
+    return F.xxhash64(c)
+
+
+def url_host_py(url: str) -> str:
+    import re
+
+    m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)", url)
+    return re.sub(r":[0-9]+$", "", (m.group(1) if m else "").lower())
+
+
+def url_path_py(url: str) -> str:
+    import re
+
+    m = re.match(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^?#]*)", url)
+    return (m.group(1) if m else "") or "/"
+
+
+def canonicalize_py(url: str) -> str:
+    """Pure-Python mirror of ``canonicalize_sql`` for the sequential oracle."""
+    import re
+
+    nf = re.sub(r"#.*$", "", url)
+    m = re.match(r"^([a-zA-Z][a-zA-Z0-9+.\-]*)://", nf)
+    if not m:
+        return url.strip().lower()
+    scheme = m.group(1).lower()
+    am = re.match(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://([^/?#]*)", nf)
+    hostport = (am.group(1) if am else "").lower()
+    host = re.sub(r":[0-9]+$", "", hostport)
+    pm = re.search(r":([0-9]+)$", hostport)
+    port = pm.group(1) if pm else ""
+    pathm = re.match(r"^[a-zA-Z][a-zA-Z0-9+.\-]*://[^/?#]*([^?#]*)", nf)
+    path = pathm.group(1) if pathm else ""
+    path = path or "/"
+    qm = re.search(r"\?([^#]*)", nf)
+    query = qm.group(1) if qm else ""
+    portpart = ""
+    if port and not ((scheme == "http" and port == "80") or (scheme == "https" and port == "443")):
+        portpart = ":" + port
+    qpart = "?" + "&".join(sorted(query.split("&"))) if query else ""
+    return f"{scheme}://{host}{portpart}{path}{qpart}"

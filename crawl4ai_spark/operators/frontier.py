@@ -1,0 +1,331 @@
+"""The crawl engine: URL frontier + fetch scheduler in batch rounds.
+
+Re-expresses the reference's deep-crawl strategies (BFS/DFS/Best-First,
+/root/reference/crawl_agent.py:575-615) as a driver round loop over
+snapshot-committed DataFrames — the idiomatic Spark shape of a crawler:
+
+    round r:
+      select batch   priority sort + per-host politeness rank-and-limit
+      fetch          join selected frontier vs the corpus (stand-in for
+                     the HTTP stage, which in production is a mapInPandas
+                     Arrow-batched fetcher — the scheduling is identical)
+      extract        outlinks from span arrays: filter/transform/
+                     posexplode — all JVM-side, no per-row Python
+      canonicalize   lowercase host / strip fragment+default port /
+                     sort query params (functions.urls), xxhash64 key
+      dedup          exact left_anti join vs url_seen (+ in-batch
+                     first-discovery dedup by window rank)
+      robots         broadcast join + disallow-prefix predicate
+      commit         pages/url_seen/frontier/metrics snapshots + an
+                     atomic round checkpoint (tables.Checkpoint)
+
+Crawl ORDER is an explicit sortable column (global rank), not an
+execution artifact: BFS rank = (depth, parent_rank, parent_offset),
+DFS = lexicographic materialized path (preorder), Best-First =
+(score desc, discovery order) with stable ties — reproducing the
+reference's Python ``sorted`` stability (/root/reference/ai_agent.py:236).
+
+Scale notes (10^10 frontier):
+* url_seen and frontier are hash-distributed by xxhash64(url); the
+  anti-join is a shuffle hash join on a LONG-keyed table — AQE handles
+  residual skew. A Bloom sidecar per shard (operators.seen_filter) cuts
+  the anti-join's probe volume; the exact join stays the ground truth.
+* hot hosts: politeness window partitions by (host, host_salt) with the
+  budget split across ``politeness_salts`` salts, so one mega-host's
+  rank-and-limit doesn't serialize into one task.
+* global rank assignment (track_order) costs a single-partition window
+  over the SELECTED BATCH only (bounded by round budget), never over the
+  whole frontier; throughput mode (track_order=False, max_pages=None)
+  skips all global windows.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..config import SOCIAL_DOMAINS, CrawlConfig, resolve_strategy
+from ..functions.scoring import link_score
+from ..functions.urls import canonicalize, url_hash, url_host, url_path
+from ..tables import Checkpoint, SnapshotTable
+
+FRONTIER_COLS = [
+    "url", "url_hash", "host", "host_salt", "depth", "score",
+    "parent_rank", "parent_offset", "path", "discovered_round",
+]
+
+
+class CrawlEngine:
+    def __init__(
+        self,
+        spark: SparkSession,
+        corpus: DataFrame,
+        cfg: CrawlConfig,
+        state_dir: str,
+        robots: DataFrame | None = None,
+        host_budgets: DataFrame | None = None,
+    ):
+        self.spark = spark
+        self.corpus = corpus
+        self.cfg = cfg
+        self.strategy = resolve_strategy(cfg)
+        self.frontier_tbl = SnapshotTable(state_dir, "frontier")
+        self.seen_tbl = SnapshotTable(state_dir, "url_seen")
+        self.pages_tbl = SnapshotTable(state_dir, "pages")
+        self.metrics_tbl = SnapshotTable(state_dir, "metrics")
+        self.ckp = Checkpoint(state_dir)
+        self.robots = robots
+        self.host_budgets = host_budgets
+
+    # ------------------------------------------------------------------ #
+    def _priority(self) -> list:
+        if self.strategy == "dfs":
+            return [F.col("path").asc(), F.col("url").asc()]
+        if self.strategy == "best_first":
+            return [
+                F.col("score").desc(),
+                F.col("parent_rank").asc(), F.col("parent_offset").asc(),
+                F.col("url").asc(),
+            ]
+        return [  # bfs: level order, within level by discovery order
+            F.col("depth").asc(),
+            F.col("parent_rank").asc(), F.col("parent_offset").asc(),
+            F.col("url").asc(),
+        ]
+
+    def _seed_frontier(self) -> DataFrame:
+        cfg = self.cfg
+        if not cfg.seeds:
+            raise ValueError("CrawlConfig.seeds is empty — nothing to crawl")
+        seeds = self.spark.createDataFrame(
+            [(u, i) for i, u in enumerate(cfg.seeds)], ["raw_url", "seed_idx"]
+        )
+        c = canonicalize("raw_url")
+        w = Window.partitionBy(c).orderBy(F.col("seed_idx").asc())
+        seeds = seeds.withColumn("_r", F.row_number().over(w)).where(F.col("_r") == 1)
+        return seeds.select(
+            c.alias("url"),
+            url_hash(c).alias("url_hash"),
+            url_host(c).alias("host"),
+            F.pmod(F.xxhash64(c), F.lit(max(1, cfg.politeness_salts))).cast("int").alias("host_salt"),
+            F.lit(0).alias("depth"),
+            F.lit(1.0).alias("score"),
+            F.lit(-1).cast("long").alias("parent_rank"),
+            F.col("seed_idx").cast("int").alias("parent_offset"),
+            F.lpad(F.col("seed_idx").cast("string"), 6, "0").alias("path"),
+            F.lit(0).alias("discovered_round"),
+        )
+
+    # ------------------------------------------------------------------ #
+    def _select_batch(self, frontier: DataFrame, limit: int | None):
+        pri = self._priority()
+        cand = frontier
+        if self.cfg.politeness and self.host_budgets is not None:
+            salts = max(1, self.cfg.politeness_salts)
+            budgets = F.broadcast(self.host_budgets.select(
+                "host",
+                F.greatest(F.lit(1), F.ceil(F.col("budget") / salts)).cast("int").alias("_budget"),
+            ))
+            w = Window.partitionBy("host", "host_salt").orderBy(*pri)
+            cand = (
+                cand.join(budgets, "host", "left")
+                .withColumn("_budget", F.coalesce("_budget", F.lit(1_000_000_000)))
+                .withColumn("_hr", F.row_number().over(w))
+                .where(F.col("_hr") <= F.col("_budget"))
+                .drop("_hr", "_budget")
+            )
+        if limit is not None or self.cfg.track_order:
+            wg = Window.orderBy(*pri)  # over the candidate batch only
+            cand = cand.withColumn("rank_in_round", F.row_number().over(wg))
+            if limit is not None:
+                cand = cand.where(F.col("rank_in_round") <= limit)
+        else:
+            cand = cand.withColumn("rank_in_round", F.lit(0))
+        return cand
+
+    # ------------------------------------------------------------------ #
+    def _fetch(self, selected: DataFrame, round_no: int, fetched_so_far: int) -> DataFrame:
+        """Fetch = join vs corpus. Production swaps this single stage for a
+        mapInPandas HTTP fetcher; scheduling/dedup/ordering are unchanged."""
+        docs = self.corpus.select(
+            F.col("doc_id").alias("url"), "spans", F.lit("fetched").alias("_st")
+        )
+        joined = selected.join(docs, "url", "left")
+        heading = F.get(F.filter("spans", lambda s: s["kind"] == "heading"), 0)["text"]
+        return joined.select(
+            "url", "url_hash", "host", "depth",
+            (F.lit(fetched_so_far) + F.col("rank_in_round")).alias("rank"),
+            F.lit(round_no).alias("fetch_round"),
+            F.coalesce(F.col("_st"), F.lit("missing")).alias("status"),
+            F.coalesce(heading, F.col("url")).alias("title"),  # E6 ladder
+            "spans", "score", "parent_rank", "parent_offset", "path",
+        )
+
+    # ------------------------------------------------------------------ #
+    def _extract_links(self, pages_batch: DataFrame, round_no: int) -> DataFrame:
+        cfg = self.cfg
+        links = (
+            pages_batch.where(F.col("status") == "fetched")
+            .select(
+                F.col("url").alias("p_url"), F.col("host").alias("p_host"),
+                F.col("depth").alias("p_depth"), F.col("rank").alias("p_rank"),
+                F.col("path").alias("p_path"),
+                F.posexplode(F.filter("spans", lambda s: s["kind"] == "link")).alias("_i", "s"),
+            )
+            .select(
+                "p_url", "p_host", "p_depth", "p_rank", "p_path",
+                F.col("s.media_ref").alias("href"),
+                F.col("s.text").alias("anchor"),
+                F.col("s.offset").alias("offset"),
+            )
+        )
+        c = canonicalize(F.col("href"))
+        links = links.select(
+            c.alias("url"), url_host(c).alias("host"), url_path(c).alias("u_path"),
+            "anchor", "offset", "p_host", "p_depth", "p_rank", "p_path",
+        )
+        if not cfg.include_external:
+            links = links.where(F.col("host") == F.col("p_host"))
+        if cfg.exclude_social:
+            soc = "|".join(d.replace(".", r"\.") for d in SOCIAL_DOMAINS)
+            links = links.where(~F.col("host").rlike(f"(^|\\.)({soc})$"))
+        if cfg.exclude_domains:
+            links = links.where(~F.col("host").isin(cfg.exclude_domains))
+        links = links.where(F.col("p_depth") < cfg.max_depth)
+
+        scored = links.select(
+            "url",
+            url_hash("url").alias("url_hash"),
+            "host",
+            F.pmod(F.xxhash64("url"), F.lit(max(1, cfg.politeness_salts))).cast("int").alias("host_salt"),
+            (F.col("p_depth") + 1).alias("depth"),
+            link_score("url", "anchor", cfg.query).alias("score"),
+            F.col("p_rank").alias("parent_rank"),
+            F.col("offset").alias("parent_offset"),
+            F.concat("p_path", F.lit("/"), F.lpad(F.col("offset").cast("string"), 6, "0")).alias("path"),
+            F.lit(round_no).alias("discovered_round"),
+            "u_path",
+        )
+        # in-batch first-discovery dedup: keep min (parent_rank, offset)
+        w = Window.partitionBy("url").orderBy(
+            F.col("parent_rank").asc(), F.col("parent_offset").asc()
+        )
+        return scored.withColumn("_r", F.row_number().over(w)).where(F.col("_r") == 1).drop("_r")
+
+    # ------------------------------------------------------------------ #
+    def _robots_split(self, new_links: DataFrame):
+        """(allowed, blocked): disallow rules are prefix matches on path.
+        Broadcast join — the robots table is one row per host."""
+        if not self.cfg.respect_robots or self.robots is None:
+            return new_links.drop("u_path"), None
+        r = F.broadcast(self.robots.select("host", "disallow"))
+        j = new_links.join(r, "host", "left")
+        blocked_pred = F.exists(
+            F.coalesce(F.col("disallow"), F.array().cast("array<string>")),
+            lambda p: F.col("u_path").startswith(p),
+        )
+        allowed = j.where(~blocked_pred).drop("disallow", "u_path")
+        blocked = j.where(blocked_pred).drop("disallow", "u_path")
+        return allowed, blocked
+
+    # ------------------------------------------------------------------ #
+    def run(self, resume: bool = False) -> dict:
+        cfg, spark = self.cfg, self.spark
+        ck = self.ckp.latest() if resume else None
+        if ck is None:
+            self.frontier_tbl.overwrite(self._seed_frontier())
+            seeds = self.frontier_tbl.read(spark)
+            self.seen_tbl.overwrite(
+                seeds.select("url", "url_hash", F.lit(0).alias("first_round"),
+                             F.lit("frontier").alias("state"))
+            )
+            round_no, fetched = 1, 0
+        else:
+            # Roll back any table commits that happened after the last
+            # durable checkpoint — the interrupted round replays exactly.
+            for name, tbl in (("frontier", self.frontier_tbl), ("url_seen", self.seen_tbl),
+                              ("pages", self.pages_tbl), ("metrics", self.metrics_tbl)):
+                tbl.rollback(ck["versions"][name])
+            round_no, fetched = ck["round"] + 1, ck["fetched"]
+
+        while round_no <= cfg.max_rounds:
+            frontier = self.frontier_tbl.read(spark)
+            if frontier is None:
+                break
+            remaining = None if cfg.max_pages is None else cfg.max_pages - fetched
+            if remaining is not None and remaining <= 0:
+                break
+            limit = remaining
+            if cfg.round_size is not None:
+                limit = cfg.round_size if limit is None else min(limit, cfg.round_size)
+
+            t0 = time.monotonic()
+            selected = self._select_batch(frontier, limit)
+            pages_batch = self._fetch(selected, round_no, fetched)
+            self.pages_tbl.append(pages_batch)
+            pages_batch = self._read_delta(self.pages_tbl)
+            n_sel = pages_batch.count()
+            if n_sel == 0:
+                break
+
+            new_links = self._extract_links(pages_batch, round_no)
+            seen = self.seen_tbl.read(spark).select("url")
+            fresh = new_links.join(seen, "url", "left_anti")
+            allowed, blocked = self._robots_split(fresh)
+
+            sel_urls = selected.select("url")
+            remainder = frontier.join(sel_urls, "url", "left_anti")
+            new_frontier = remainder.unionByName(allowed.select(*FRONTIER_COLS))
+            self.frontier_tbl.overwrite(new_frontier)
+
+            seen_add = allowed.select(
+                "url", "url_hash", F.lit(round_no).alias("first_round"),
+                F.lit("frontier").alias("state"))
+            if blocked is not None:
+                seen_add = seen_add.unionByName(blocked.select(
+                    "url", "url_hash", F.lit(round_no).alias("first_round"),
+                    F.lit("robots_blocked").alias("state")))
+            self.seen_tbl.append(seen_add)
+
+            elapsed = time.monotonic() - t0
+            metrics = (
+                pages_batch.groupBy(F.spark_partition_id().alias("partition_id"))
+                .agg(F.count("*").alias("fetched"),
+                     F.sum(F.when(F.col("status") == "missing", 1).otherwise(0)).alias("missing"))
+                .select(F.lit(round_no).alias("round"), "partition_id", "fetched", "missing",
+                        F.lit(float(elapsed)).alias("elapsed_s"))
+            )
+            self.metrics_tbl.append(metrics)
+
+            fetched += n_sel
+            self.ckp.commit(round_no, {
+                "frontier": self.frontier_tbl.current_version(),
+                "url_seen": self.seen_tbl.current_version(),
+                "pages": self.pages_tbl.current_version(),
+                "metrics": self.metrics_tbl.current_version(),
+            }, {"fetched": fetched})
+            round_no += 1
+
+        return {"rounds": round_no - 1, "fetched": fetched}
+
+    # ------------------------------------------------------------------ #
+    def _read_delta(self, tbl: SnapshotTable) -> DataFrame:
+        """Read only the files added by the latest append (write-then-read
+        keeps each round's lineage flat — the parquet round-trip IS the
+        checkpoint, no .cache()/unpersist bookkeeping)."""
+        v = tbl.current_version()
+        prev = set(tbl.files(v - 1)) if v > 1 else set()
+        delta = [f for f in tbl.files(v) if f not in prev]
+        return self.spark.read.parquet(*delta)
+
+    # ------------------------------------------------------------------ #
+    def pages(self) -> DataFrame | None:
+        return self.pages_tbl.read(self.spark)
+
+    def url_seen(self) -> DataFrame | None:
+        return self.seen_tbl.read(self.spark)
+
+    def metrics(self) -> DataFrame | None:
+        return self.metrics_tbl.read(self.spark)

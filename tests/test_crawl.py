@@ -1,0 +1,150 @@
+"""Engine vs sequential oracle: crawl order + URL-seen set (north rule)."""
+
+from __future__ import annotations
+
+import pytest
+
+from crawl4ai_spark.config import CrawlConfig
+from crawl4ai_spark.operators.frontier import CrawlEngine
+from crawl4ai_spark.oracle import load_docs_pandas, run_oracle
+
+
+def _load(spark, corpus_dir):
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    robots = spark.read.parquet(f"{corpus_dir}/robots.parquet")
+    budgets = spark.read.parquet(f"{corpus_dir}/hosts.parquet")
+    pydocs = load_docs_pandas(f"{corpus_dir}/documents.parquet")
+    pyrobots = {
+        r.host: list(r.disallow) for r in robots.collect()
+    }
+    pybudgets = {r.host: r.budget for r in budgets.collect()}
+    return docs, robots, budgets, pydocs, pyrobots, pybudgets
+
+
+def get_seeds(spark, corpus_dir):
+    """Two real doc URLs on the biggest host (deterministic)."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.functions.urls import url_host
+
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    hot = (
+        docs.groupBy(url_host("doc_id").alias("h")).count()
+        .orderBy(F.col("count").desc(), "h").limit(1).collect()[0].h
+    )
+    rows = (
+        docs.where(url_host("doc_id") == hot).orderBy("doc_id").limit(2).collect()
+    )
+    return [r.doc_id for r in rows]
+
+
+def _run_both(spark, corpus_dir, tmp_path, cfg, name):
+    docs, robots, budgets, pydocs, pyrobots, pybudgets = _load(spark, corpus_dir)
+    if not cfg.seeds:
+        cfg.seeds = get_seeds(spark, corpus_dir)
+    eng = CrawlEngine(spark, docs, cfg, str(tmp_path / name),
+                      robots=robots, host_budgets=budgets)
+    eng.run()
+    got_pages = [
+        (r.rank, r.url, r.depth, r.status, r.title)
+        for r in eng.pages().orderBy("rank").collect()
+    ]
+    got_seen = {(r.url, r.state) for r in eng.url_seen().collect()}
+    o = run_oracle(pydocs, cfg, robots=pyrobots, budgets=pybudgets)
+    want_pages = [(p["rank"], p["url"], p["depth"], p["status"], p["title"]) for p in o.pages]
+    want_seen = {(u, s) for u, s in o.seen.items()}
+    return got_pages, want_pages, got_seen, want_seen
+
+
+@pytest.mark.parametrize("strategy", ["bfs", "dfs", "best_first"])
+def test_order_and_seen_match_oracle(spark, corpus_dir, tmp_path, strategy):
+    cfg = CrawlConfig(seeds=[], strategy=strategy, max_depth=3, max_pages=40,
+                      query="spark data", use_ai_agent=True)
+    got_p, want_p, got_s, want_s = _run_both(spark, corpus_dir, tmp_path, cfg, strategy)
+    assert got_p == want_p
+    assert got_s == want_s
+
+
+def test_politeness_budgets(spark, corpus_dir, tmp_path):
+    cfg = CrawlConfig(seeds=[], strategy="bfs", max_depth=3, max_pages=60,
+                      politeness=True)
+    got_p, want_p, got_s, want_s = _run_both(spark, corpus_dir, tmp_path, cfg, "polite")
+    assert got_p == want_p
+    assert got_s == want_s
+
+
+def test_sequential_conformance_round_size_1(spark, corpus_dir, tmp_path):
+    """round_size=1 == fully sequential best-first priority queue."""
+    cfg = CrawlConfig(seeds=[], strategy="best_first", max_depth=2,
+                      max_pages=12, round_size=1, query="spark", use_ai_agent=True)
+    got_p, want_p, got_s, want_s = _run_both(spark, corpus_dir, tmp_path, cfg, "seq")
+    assert got_p == want_p
+
+
+def test_bfs_equals_textbook_fifo(spark, corpus_dir, tmp_path):
+    """The round model (politeness off) reduces to a literal FIFO BFS."""
+    from crawl4ai_spark.functions.urls import canonicalize_py, url_host_py
+
+    cfg = CrawlConfig(seeds=get_seeds(spark, corpus_dir)[:1], strategy="bfs",
+                      max_depth=2, max_pages=25, respect_robots=False)
+    docs, robots, budgets, pydocs, _, _ = _load(spark, corpus_dir)
+    eng = CrawlEngine(spark, docs, cfg, str(tmp_path / "fifo"))
+    eng.run()
+    got = [r.url for r in eng.pages().orderBy("rank").collect()]
+
+    # textbook BFS: FIFO queue, children in span order, seen-on-enqueue
+    from collections import deque
+    seed = canonicalize_py(cfg.seeds[0])
+    q = deque([(seed, 0)])
+    seen = {seed}
+    order = []
+    while q and len(order) < cfg.max_pages:
+        u, d = q.popleft()
+        order.append(u)
+        spans = pydocs.get(u)
+        if spans is None or d >= cfg.max_depth:
+            continue
+        for s in spans:
+            if s["kind"] != "link":
+                continue
+            c = canonicalize_py(s["media_ref"])
+            if url_host_py(c) != url_host_py(u):
+                continue
+            if c not in seen:
+                seen.add(c)
+                q.append((c, d + 1))
+    assert got == order
+
+
+def test_robots_blocked_in_seen_not_pages(spark, corpus_dir, tmp_path):
+    cfg = CrawlConfig(seeds=[], strategy="bfs", max_depth=6, max_pages=None)
+    got_p, want_p, got_s, want_s = _run_both(spark, corpus_dir, tmp_path, cfg, "rb")
+    blocked = {u for u, s in got_s if s == "robots_blocked"}
+    assert blocked, "fixture should produce robots-blocked URLs (host0 /login)"
+    fetched_urls = {u for _, u, _, _, _ in got_p}
+    assert not (blocked & fetched_urls)
+    assert got_s == want_s
+
+
+def test_resume_is_exact(spark, corpus_dir, tmp_path):
+    """Kill after round k → resume → identical final tables (north rule)."""
+    docs, robots, budgets, pydocs, pyrobots, pybudgets = _load(spark, corpus_dir)
+    cfg = CrawlConfig(seeds=get_seeds(spark, corpus_dir), strategy="bfs",
+                      max_depth=3, max_pages=40)
+
+    full = CrawlEngine(spark, docs, cfg, str(tmp_path / "full"), robots=robots)
+    full.run()
+
+    # interrupted run: stop after 1 round via max_rounds, then resume
+    part_cfg = CrawlConfig(**{**cfg.__dict__, "max_rounds": 1})
+    part = CrawlEngine(spark, docs, part_cfg, str(tmp_path / "part"), robots=robots)
+    part.run()
+    resumed = CrawlEngine(spark, docs, cfg, str(tmp_path / "part"), robots=robots)
+    resumed.run(resume=True)
+
+    a = [(r.rank, r.url, r.depth, r.status) for r in full.pages().orderBy("rank").collect()]
+    b = [(r.rank, r.url, r.depth, r.status) for r in resumed.pages().orderBy("rank").collect()]
+    assert a == b
+    sa = {(r.url, r.state) for r in full.url_seen().collect()}
+    sb = {(r.url, r.state) for r in resumed.url_seen().collect()}
+    assert sa == sb

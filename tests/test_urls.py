@@ -1,0 +1,99 @@
+"""Canonicalization: Spark exprs == DuckDB SQL == pure Python (one spec)."""
+
+from __future__ import annotations
+
+import duckdb
+import pandas as pd
+import pytest
+
+from crawl4ai_spark.functions.urls import (
+    canonicalize,
+    canonicalize_py,
+    canonicalize_sql,
+    url_host,
+    url_host_py,
+    url_path,
+    url_path_py,
+)
+
+CASES = [
+    ("HTTPS://Host3.EXAMPLE.com:443/a/b/c/5?b=2&a=1#frag", "https://host3.example.com/a/b/c/5?a=1&b=2"),
+    ("http://x.com:80/", "http://x.com/"),
+    ("http://x.com:8080/p?z=1&y=2&y=1", "http://x.com:8080/p?y=1&y=2&z=1"),
+    ("https://h.com", "https://h.com/"),
+    ("https://host1.example.com/p/9#sec3", "https://host1.example.com/p/9"),
+    ("HTTP://A.B/", "http://a.b/"),
+    ("https://a.com/p?", "https://a.com/p"),
+    ("ftp://files.org:21/x", "ftp://files.org:21/x"),
+    ("relative/path", "relative/path"),
+]
+
+
+def test_canonicalize_python():
+    for raw, want in CASES:
+        assert canonicalize_py(raw) == want, raw
+
+
+def test_canonicalize_spark_matches(spark):
+    df = spark.createDataFrame([(u,) for u, _ in CASES], ["url"])
+    got = {r.url: r.c for r in df.select("url", canonicalize("url").alias("c")).collect()}
+    for raw, want in CASES:
+        assert got[raw] == want, raw
+
+
+def test_canonicalize_duckdb_matches():
+    con = duckdb.connect()
+    con.register("t", pd.DataFrame({"url": [u for u, _ in CASES]}))
+    got = dict(con.sql(f"select url, {canonicalize_sql('url', 'duckdb')} from t").fetchall())
+    for raw, want in CASES:
+        assert got[raw] == want, raw
+
+
+def test_host_path_helpers(spark):
+    urls = [u for u, _ in CASES if "://" in u]
+    df = spark.createDataFrame([(u,) for u in urls], ["url"]).select(
+        "url", url_host("url").alias("h"), url_path("url").alias("p"))
+    for r in df.collect():
+        assert r.h == url_host_py(r.url)
+        assert r.p == url_path_py(r.url)
+
+
+def test_canonical_idempotent():
+    for raw, want in CASES:
+        assert canonicalize_py(want) == want
+
+
+@pytest.mark.parametrize("n", [500])
+def test_fixture_links_canonicalize_to_doc_urls(spark, n):
+    """Duplicate link variants (frag/query-order/case/port) collapse to
+    real doc URLs — the property URL-seen dedup depends on."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.fixtures import build_documents
+
+    docs = build_documents(spark, n, 10)
+    links = (
+        docs.select(F.explode(F.filter("spans", lambda s: s["kind"] == "link")).alias("s"))
+        .select(canonicalize(F.col("s.media_ref")).alias("c"))
+        # externals + the intentional query-order dup variants miss by design
+        .where(~F.col("c").rlike("other\\.net|facebook") & ~F.col("c").contains("?"))
+    )
+    missing = links.join(docs.select(F.col("doc_id").alias("c")), "c", "left_anti").count()
+    assert missing == 0
+
+
+def test_query_order_variants_dedup(spark):
+    """?b=2&a=1 and ?a=1&b=2 of the same target collapse to one URL."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.fixtures import build_documents
+
+    docs = build_documents(spark, 400, 10)
+    q = (
+        docs.select(F.explode(F.filter("spans", lambda s: s["kind"] == "link")).alias("s"))
+        .select(F.col("s.media_ref").alias("raw"), canonicalize(F.col("s.media_ref")).alias("c"))
+        .where(F.col("raw").contains("?"))
+    )
+    rows = q.groupBy("c").agg(F.countDistinct("raw").alias("nraw")).collect()
+    assert rows, "fixture should contain query variants"
+    assert all(r.c.endswith("?a=1&b=2") for r in rows)
