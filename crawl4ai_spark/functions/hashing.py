@@ -1,0 +1,220 @@
+"""Cross-engine deterministic hashing primitives.
+
+The engine's hot-path keys use ``xxhash64`` (JVM built-in, no Python).
+For operators whose results must be *verifiable by the DuckDB oracle*
+(minhash/simhash/LSH dedup, fingerprints), xxhash64 does not exist in
+DuckDB — so those operators use a 60-bit hash derived from ``md5``,
+which both engines implement identically:
+
+    Spark :  conv(substring(md5(s), 1, 15), 16, 10)  → BIGINT
+    DuckDB:  ('0x' || substr(md5(s), 1, 15))::BIGINT
+
+15 hex chars = 60 bits < 2^63, so the value fits a signed BIGINT in
+both engines with no overflow ambiguity. Each helper here has a Spark
+Column form and a SQL-emitter form so the engine plan and the oracle
+share one definition.
+
+Scale note: md5 is ~3x slower than xxhash64 but still JVM-side
+whole-stage-codegen — acceptable for the dedup operators where
+cross-engine verifiability is the point; the frontier/seen-set path
+stays on xxhash64 (functions/urls.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+MERSENNE31 = 2_147_483_647  # 2^31 - 1: rolling-hash modulus (products stay < 2^36)
+
+
+def _c(x: Column | str) -> Column:
+    return F.col(x) if isinstance(x, str) else x
+
+
+# --------------------------------------------------------------------------- #
+# 60-bit md5 hash
+# --------------------------------------------------------------------------- #
+def h60(s: Column | str) -> Column:
+    """60-bit non-negative BIGINT hash of a string (cross-engine)."""
+    return F.conv(F.substring(F.md5(_c(s)), 1, 15), 16, 10).cast("long")
+
+
+def h60_sql(expr: str) -> str:
+    """DuckDB SQL emitting the identical 60-bit hash."""
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
+def h60_py(s: str) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+# --------------------------------------------------------------------------- #
+# word-level polynomial rolling fingerprint (document fingerprinting)
+# --------------------------------------------------------------------------- #
+def rolling_fingerprint(tokens: Column) -> Column:
+    """h = fold(tokens, h*31 + h60(w) mod M) — order-sensitive doc fingerprint.
+
+    Kept under MERSENNE31 so ``h*31 + wh < 2^36`` — identical arithmetic in
+    Spark LONG and DuckDB BIGINT (DuckDB errors on overflow; Spark wraps —
+    staying small avoids both behaviors ever differing).
+    """
+    wh = lambda w: F.pmod(h60(w), F.lit(MERSENNE31))  # noqa: E731
+    return F.aggregate(
+        tokens,
+        F.lit(0).cast("long"),
+        lambda acc, w: F.pmod(acc * 31 + wh(w), F.lit(MERSENNE31)),
+    )
+
+
+def rolling_fingerprint_sql(tokens_expr: str) -> str:
+    m = MERSENNE31
+    return (
+        f"coalesce(list_reduce(list_prepend(0::BIGINT, "
+        f"list_transform({tokens_expr}, w -> {h60_sql('w')} % {m})), "
+        f"(acc, wh) -> (acc * 31 + wh) % {m}), 0)"
+    )
+
+
+# --------------------------------------------------------------------------- #
+# shingles (word k-grams)
+# --------------------------------------------------------------------------- #
+def shingles(tokens: Column, k: int) -> Column:
+    """Word k-gram strings; empty array when the doc has < k tokens."""
+    n = F.size(tokens)
+    return F.when(
+        n >= k,
+        F.transform(
+            F.sequence(F.lit(1), n - k + 1),
+            lambda i: F.array_join(F.slice(tokens, i, k), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def shingles_sql(tokens_expr: str, k: int) -> str:
+    return (
+        f"(CASE WHEN len({tokens_expr}) >= {k} THEN "
+        f"list_transform(generate_series(1, len({tokens_expr}) - {k} + 1), "
+        f"i -> array_to_string(list_slice({tokens_expr}, i, i + {k} - 1), ' ')) "
+        f"ELSE [] END)"
+    )
+
+
+# --------------------------------------------------------------------------- #
+# MinHash signature
+# --------------------------------------------------------------------------- #
+def minhash_sig(shingle_arr: Column, n_perm: int) -> Column:
+    """Array of n_perm minhash values: min over shingles of h60(p || '|' || s).
+
+    Salted-hash permutations (one md5 per permutation per shingle) instead of
+    the classic (a*x+b) mod p family so the DuckDB oracle can reproduce the
+    values exactly. Empty shingle set → all-zero signature (never collides
+    with a real min because h60 of a non-empty salt is ~never 0).
+    """
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_perm - 1)),
+        lambda p: F.coalesce(
+            F.array_min(
+                F.transform(
+                    shingle_arr,
+                    lambda s: h60(F.concat(p.cast("string"), F.lit("|"), s)),
+                )
+            ),
+            F.lit(0).cast("long"),
+        ),
+    )
+
+
+def minhash_sig_sql(shingles_expr: str, n_perm: int) -> str:
+    inner = h60_sql(f"p::VARCHAR || '|' || s")
+    return (
+        f"list_transform(generate_series(0, {n_perm - 1}), "
+        f"p -> coalesce(list_min(list_transform({shingles_expr}, s -> {inner})), 0))"
+    )
+
+
+def band_keys(sig: Column, n_bands: int, rows_per_band: int) -> Column:
+    """LSH band keys: band b's key = h60(b || ':' || sig[b*r .. b*r+r-1])."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_bands - 1)),
+        lambda b: h60(
+            F.concat(
+                b.cast("string"),
+                F.lit(":"),
+                F.array_join(
+                    F.transform(
+                        F.slice(sig, b * rows_per_band + 1, rows_per_band),
+                        lambda v: v.cast("string"),
+                    ),
+                    ",",
+                ),
+            )
+        ),
+    )
+
+
+def band_keys_sql(sig_expr: str, n_bands: int, rows_per_band: int) -> str:
+    inner = h60_sql(
+        "b::VARCHAR || ':' || array_to_string(list_transform("
+        f"list_slice({sig_expr}, b * {rows_per_band} + 1, (b + 1) * {rows_per_band}), "
+        "v -> v::VARCHAR), ',')"
+    )
+    return f"list_transform(generate_series(0, {n_bands - 1}), b -> {inner})"
+
+
+# --------------------------------------------------------------------------- #
+# SimHash (60-bit)
+# --------------------------------------------------------------------------- #
+def simhash60(tokens: Column) -> Column:
+    """Classic simhash over unit-weight tokens, 60-bit (fits BIGINT both engines).
+
+    bit j of the result = 1 iff (# tokens with bit j set) * 2 > # tokens.
+    Computed as: per-bit set-counts via fold, then pack. Ties (exactly half)
+    → 0, matching the strict '>' in the SQL emitter.
+    """
+    counts = F.aggregate(
+        tokens,
+        F.array_repeat(F.lit(0), 60),
+        lambda acc, w: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(59)),
+                lambda j: F.shiftright(h60(w), j).bitwiseAND(F.lit(1)).cast("int"),
+            ),
+            lambda a, b: a + b,
+        ),
+    )
+    n = F.size(tokens)
+    return F.aggregate(
+        F.zip_with(counts, F.sequence(F.lit(0), F.lit(59)), lambda c, j: F.struct(c.alias("c"), j.alias("j"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc
+        + F.when(x["c"] * 2 > n, F.shiftleft(F.lit(1).cast("long"), x["j"])).otherwise(F.lit(0).cast("long")),
+    )
+
+
+def simhash60_sql(tokens_expr: str) -> str:
+    bits_of = (
+        f"list_transform(generate_series(0, 59), j -> ({h60_sql('w')} >> j) & 1)"
+    )
+    counts = (
+        f"list_reduce(list_prepend(list_transform(generate_series(0, 59), j -> 0::BIGINT), "
+        f"list_transform({tokens_expr}, w -> {bits_of})), "
+        f"(acc, bits) -> list_transform(generate_series(1, 60), i -> acc[i] + bits[i]))"
+    )
+    pack = (
+        f"list_transform(generate_series(1, 60), i -> CASE WHEN ({counts})[i] * 2 > "
+        f"len({tokens_expr}) THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END)"
+    )
+    return f"list_reduce(list_prepend(0::BIGINT, {pack}), (a, b) -> a + b)"
+
+
+def hamming60(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_band(sim: Column | str, band: int, bits: int = 15) -> Column:
+    """One of 60/bits contiguous bit-segments — LSH key for hamming join."""
+    return F.shiftright(_c(sim), band * bits).bitwiseAND(F.lit((1 << bits) - 1))

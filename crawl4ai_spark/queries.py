@@ -1,0 +1,578 @@
+"""Named query surface: (Spark DataFrame builder, DuckDB oracle SQL) pairs.
+
+Every operator claimed in SURVEY.md §2 that is SQL-expressible gets one
+entry here; ``__spark_entry__.py`` re-exports them. The Spark side is
+idiomatic DataFrame API (JVM built-ins, no per-row Python); the oracle
+side is ANSI-ish DuckDB SQL over the same parquet tables. Shared
+deterministic definitions (canonicalization template, md5-60-bit hash,
+scorer arithmetic, stopword lists) live in ``functions/`` so both sides
+agree bit-for-bit.
+
+Cross-engine determinism rules used throughout:
+* hashes: md5-derived (functions.hashing.h60) — identical in both engines.
+* float outputs rounded (4-6 dp) and computed with the same operation
+  order (explicit fold, not engine-chosen aggregation order) where the
+  value feeds ordering.
+* sums over doubles that only feed output (not ordering) are emitted as
+  exact integer cents/chars to dodge fp-accumulation-order differences.
+* every computed column is aliased identically in both dialects (the
+  driver hash-compares by sorted column name).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions import hashing as H
+from .functions import text as T
+from .functions.scoring import link_score, link_score_sql
+from .functions.urls import canonicalize, canonicalize_sql
+
+# --------------------------------------------------------------------------- #
+# registry plumbing
+# --------------------------------------------------------------------------- #
+QueryFn = Callable[[SparkSession, str], DataFrame]
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------- #
+# shared synthetic derivations (identical arithmetic in both dialects)
+# --------------------------------------------------------------------------- #
+N_HOSTS = 7          # synthetic URL host count: host<doc_id % 7>.example.com
+GRAPH_DEGREE = 4     # arithmetic link graph out-degree
+BFS_DEPTH = 3
+
+
+def _messy_url(doc_id: F.Column, source: F.Column) -> F.Column:
+    """A deliberately non-canonical URL derived from a documents row:
+    uppercase scheme/host, explicit default port, variant-by-id suffix."""
+    d = doc_id.cast("string")
+    suffix = (
+        F.when(F.pmod(doc_id, F.lit(3)) == 0, F.lit("?b=2&a=1"))
+        .when(F.pmod(doc_id, F.lit(3)) == 1, F.lit("#frag"))
+        .otherwise(F.lit(""))
+    )
+    return F.concat(
+        F.lit("HTTP://Host"), F.pmod(doc_id, F.lit(N_HOSTS)).cast("string"),
+        F.lit(".Example.COM:80/"), source, F.lit("/"), d, suffix,
+    )
+
+
+_MESSY_URL_SQL = (
+    "('HTTP://Host' || (doc_id % 7)::VARCHAR || '.Example.COM:80/' || source "
+    "|| '/' || doc_id::VARCHAR || (CASE WHEN doc_id % 3 = 0 THEN '?b=2&a=1' "
+    "WHEN doc_id % 3 = 1 THEN '#frag' ELSE '' END))"
+)
+
+
+def _graph_url(d: F.Column) -> F.Column:
+    return F.concat(
+        F.lit("https://host"), F.pmod(d, F.lit(N_HOSTS)).cast("string"),
+        F.lit(".example.com/p/"), d.cast("string"),
+    )
+
+
+def _graph_url_sql(e: str) -> str:
+    return (
+        f"('https://host' || (({e}) % 7)::VARCHAR || '.example.com/p/' || ({e})::VARCHAR)"
+    )
+
+
+# --------------------------------------------------------------------------- #
+# F10: URL canonicalization (north-rule: lowercase host, strip fragment +
+# default port, sort query params) — shared template, both dialects.
+# --------------------------------------------------------------------------- #
+@query(
+    "url_canonicalize",
+    f"""
+    SELECT doc_id::BIGINT AS doc_id,
+           {canonicalize_sql(_MESSY_URL_SQL, 'duckdb')} AS url_canon
+    FROM documents
+    """,
+)
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        canonicalize(_messy_url(F.col("doc_id"), F.col("source"))).alias("url_canon"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# F10 + dedup: URL-seen set — fold 3 raw variants per doc to canonical form,
+# count variants per canonical URL per host.
+# --------------------------------------------------------------------------- #
+_VARIANTS_SQL = f"""
+    SELECT u.url_raw
+    FROM documents d,
+         unnest([
+            'https://host' || (d.doc_id % 7)::VARCHAR || '.example.com/p/' || d.doc_id::VARCHAR,
+            'HTTPS://HOST' || (d.doc_id % 7)::VARCHAR || '.EXAMPLE.COM/p/' || d.doc_id::VARCHAR || '#sec',
+            'https://host' || (d.doc_id % 7)::VARCHAR || '.example.com:443/p/' || d.doc_id::VARCHAR || '?z=1&a=2'
+         ]) AS u(url_raw)
+"""
+
+
+@query(
+    "url_seen_fold",
+    f"""
+    WITH variants AS ({_VARIANTS_SQL}),
+    canon AS (
+        SELECT {canonicalize_sql('url_raw', 'duckdb')} AS url FROM variants
+    )
+    SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+           count(DISTINCT url)::BIGINT AS n_seen,
+           count(*)::BIGINT AS n_raw
+    FROM canon GROUP BY 1
+    """,
+)
+def q_url_seen_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long").alias("doc_id"))
+    i = F.col("doc_id")
+    h = F.pmod(i, F.lit(N_HOSTS)).cast("string")
+    variants = d.select(
+        F.explode(
+            F.array(
+                F.concat(F.lit("https://host"), h, F.lit(".example.com/p/"), i.cast("string")),
+                F.concat(F.lit("HTTPS://HOST"), h, F.lit(".EXAMPLE.COM/p/"), i.cast("string"), F.lit("#sec")),
+                F.concat(F.lit("https://host"), h, F.lit(".example.com:443/p/"), i.cast("string"), F.lit("?z=1&a=2")),
+            )
+        ).alias("url_raw")
+    )
+    canon = variants.select(canonicalize("url_raw").alias("url"))
+    return canon.groupBy(
+        F.regexp_extract("url", "https://([^/]+)/", 1).alias("host")
+    ).agg(
+        F.countDistinct("url").alias("n_seen"),
+        F.count("*").alias("n_raw"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# F5: deterministic link scorer (reference ai_agent.py:210-236 arithmetic)
+# --------------------------------------------------------------------------- #
+_SCORE_QUERY = "spark data"
+
+
+@query(
+    "link_score",
+    f"""
+    SELECT doc_id::BIGINT AS doc_id,
+           {link_score_sql(
+               "('https://host' || (doc_id % 7)::VARCHAR || '.example.com/' || "
+               "(CASE WHEN doc_id % 13 = 0 THEN 'login/' ELSE '' END) || doc_id::VARCHAR)",
+               "substring(text, 1, 40)",
+               _SCORE_QUERY,
+           )} AS score
+    FROM documents
+    """,
+)
+def q_link_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    url = F.concat(
+        F.lit("https://host"), F.pmod(i, F.lit(N_HOSTS)).cast("string"), F.lit(".example.com/"),
+        F.when(F.pmod(i, F.lit(13)) == 0, F.lit("login/")).otherwise(F.lit("")),
+        i.cast("string"),
+    )
+    anchor = F.substring(F.col("text"), 1, 40)
+    return d.select(i.alias("doc_id"), link_score(url, anchor, _SCORE_QUERY).alias("score"))
+
+
+# --------------------------------------------------------------------------- #
+# F1/F7/F10: BFS frontier expansion with URL-seen dedup over the arithmetic
+# link graph (doc d links to (d*31 + j*17 + 7) % N for j in 1..4).
+# Spark = the engine's round loop (anti-join dedup per round);
+# oracle = recursive CTE + min-depth group.
+# --------------------------------------------------------------------------- #
+@query(
+    "crawl_bfs_reachable",
+    f"""
+    WITH RECURSIVE n AS (SELECT count(*)::BIGINT AS n FROM documents),
+    hop(id, depth) AS (
+        SELECT 0::BIGINT, 0
+        UNION ALL
+        SELECT (h.id * 31 + j.j * 17 + 7) % (SELECT n FROM n), h.depth + 1
+        FROM hop h CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS j) j
+        WHERE h.depth < {BFS_DEPTH}
+    )
+    SELECT {_graph_url_sql('id')} AS url, min(depth)::INT AS depth
+    FROM hop GROUP BY 1
+    """,
+)
+def q_crawl_bfs_reachable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    seen = spark.createDataFrame([(0, 0)], "id long, depth int")
+    frontier = seen
+    js = F.array(*[F.lit(j) for j in range(1, GRAPH_DEGREE + 1)])
+    for d in range(1, BFS_DEPTH + 1):
+        children = (
+            frontier.select(F.explode(js).alias("j"), F.col("id").alias("pid"))
+            .select(
+                F.pmod(F.col("pid") * 31 + F.col("j") * 17 + 7, F.lit(n)).alias("id"),
+                F.lit(d).alias("depth"),
+            )
+            .dropDuplicates(["id"])
+        )
+        fresh = children.join(seen.select("id"), "id", "left_anti")
+        seen = seen.unionByName(fresh)
+        frontier = fresh
+    return seen.select(_graph_url(F.col("id")).alias("url"), F.col("depth").cast("int").alias("depth"))
+
+
+# --------------------------------------------------------------------------- #
+# F8: politeness rank-and-limit — per-host window budget (reference delays
+# crawl_agent.py:1035-1040 re-expressed as selection, SURVEY §2.2 F8).
+# --------------------------------------------------------------------------- #
+@query(
+    "politeness_select",
+    f"""
+    WITH frontier AS (
+        SELECT {_graph_url_sql('doc_id')} AS url,
+               'host' || (doc_id % 7)::VARCHAR || '.example.com' AS host,
+               ((doc_id * 2654435761) % 1000) / 1000.0 AS score
+        FROM documents
+    )
+    SELECT host, url, score,
+           row_number() OVER (PARTITION BY host ORDER BY score DESC, url ASC)::INT AS host_rank
+    FROM frontier
+    QUALIFY host_rank <= 3 + (ascii(substring(host, 5, 1)) - 48) % 4
+    """,
+)
+def q_politeness_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    frontier = d.select(
+        _graph_url(i).alias("url"),
+        F.concat(F.lit("host"), F.pmod(i, F.lit(N_HOSTS)).cast("string"), F.lit(".example.com")).alias("host"),
+        (F.pmod(i * 2654435761, F.lit(1000)) / 1000.0).alias("score"),
+    )
+    w = Window.partitionBy("host").orderBy(F.col("score").desc(), F.col("url").asc())
+    budget = F.lit(3) + F.pmod(F.ascii(F.substring("host", 5, 1)) - 48, F.lit(4))
+    return (
+        frontier.withColumn("host_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("host_rank") <= budget)
+    )
+
+
+# --------------------------------------------------------------------------- #
+# F11: robots.txt rule evaluation — disallow prefix match per host.
+# --------------------------------------------------------------------------- #
+@query(
+    "robots_eval",
+    """
+    WITH urls AS (
+        SELECT doc_id::BIGINT AS doc_id,
+               (doc_id % 7)::INT AS h,
+               '/' || (CASE WHEN doc_id % 13 = 0 THEN 'login/p' ELSE 'p' END)
+                   || '/' || doc_id::VARCHAR AS path
+        FROM documents
+    )
+    SELECT doc_id,
+           'https://host' || h::VARCHAR || '.example.com' || path AS url,
+           (CASE WHEN h % 5 = 0 AND starts_with(path, '/login')
+                 THEN 'robots_blocked' ELSE 'allowed' END) AS state
+    FROM urls
+    """,
+)
+def q_robots_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    h = F.pmod(i, F.lit(N_HOSTS)).cast("int")
+    path = F.concat(
+        F.lit("/"),
+        F.when(F.pmod(i, F.lit(13)) == 0, F.lit("login/p")).otherwise(F.lit("p")),
+        F.lit("/"), i.cast("string"),
+    )
+    return d.select(
+        i.alias("doc_id"),
+        F.concat(F.lit("https://host"), h.cast("string"), F.lit(".example.com"), path).alias("url"),
+        F.when(
+            (F.pmod(h, F.lit(5)) == 0) & path.startswith("/login"),
+            F.lit("robots_blocked"),
+        ).otherwise(F.lit("allowed")).alias("state"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# P3/P4: meaningful-content gate + word-count threshold
+# (reference crawl_agent.py:185-213, :158)
+# --------------------------------------------------------------------------- #
+@query(
+    "meaningful_content",
+    """
+    SELECT doc_id::BIGINT AS doc_id, lang,
+           length(trim(text))::BIGINT AS content_len
+    FROM documents
+    WHERE length(trim(text)) >= 50
+    """,
+)
+def q_meaningful_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    clen = F.length(F.trim(F.col("text")))
+    return (
+        d.where(clen >= 50)
+        .select(F.col("doc_id").cast("long").alias("doc_id"), "lang", clen.cast("long").alias("content_len"))
+    )
+
+
+@query(
+    "word_count_filter",
+    f"""
+    SELECT doc_id::BIGINT AS doc_id,
+           {T.token_count_ws_sql('text')}::BIGINT AS n_tokens
+    FROM documents
+    WHERE {T.token_count_ws_sql('text')} >= 40
+    """,
+)
+def q_word_count_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    n = T.token_count_ws("text")
+    return d.where(n >= 40).select(
+        F.col("doc_id").cast("long").alias("doc_id"), n.cast("long").alias("n_tokens")
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Text analysis: token counting / language-ID / quality / fingerprint
+# --------------------------------------------------------------------------- #
+@query(
+    "token_counts",
+    f"""
+    SELECT lang,
+           sum({T.token_count_ws_sql('text')})::BIGINT AS ws_tokens,
+           sum({T.token_count_bpe_sql('text')})::BIGINT AS bpe_tokens,
+           count(*)::BIGINT AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def q_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.sum(T.token_count_ws("text")).cast("long").alias("ws_tokens"),
+        F.sum(T.token_count_bpe("text")).cast("long").alias("bpe_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@query(
+    "lang_id",
+    f"""
+    SELECT doc_id::BIGINT AS doc_id, {T.lang_id_sql('text')} AS lang_pred
+    FROM documents
+    """,
+)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(F.col("doc_id").cast("long").alias("doc_id"), T.lang_id("text").alias("lang_pred"))
+
+
+@query(
+    "quality_score",
+    f"""
+    SELECT doc_id::BIGINT AS doc_id, {T.quality_score_sql('text')} AS quality
+    FROM documents
+    """,
+)
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(F.col("doc_id").cast("long").alias("doc_id"), T.quality_score("text").alias("quality"))
+
+
+@query(
+    "doc_fingerprint",
+    f"""
+    SELECT doc_id::BIGINT AS doc_id,
+           {H.rolling_fingerprint_sql(T.tokens_sql('text'))}::BIGINT AS fp
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        H.rolling_fingerprint(T.tokens("text")).alias("fp"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# A2/A3: multi-URL rollup + status derivation
+# (reference crawl_agent.py:1011-1017, 1114-1118)
+# --------------------------------------------------------------------------- #
+@query(
+    "stats_rollup",
+    """
+    WITH per AS (
+        SELECT source,
+               count(*)::BIGINT AS total_urls,
+               sum(CASE WHEN n_chars >= 100 THEN 1 ELSE 0 END)::BIGINT AS successful_urls,
+               sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END)::BIGINT AS failed_urls,
+               sum(n_chars)::BIGINT AS total_content_length
+        FROM documents GROUP BY source
+    )
+    SELECT *,
+           (CASE WHEN successful_urls = 0 THEN 'failed'
+                 WHEN failed_urls > 0 THEN 'partial'
+                 ELSE 'success' END) AS status
+    FROM per
+    """,
+)
+def q_stats_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    ok = F.when(F.col("n_chars") >= 100, 1).otherwise(0)
+    per = d.groupBy("source").agg(
+        F.count("*").alias("total_urls"),
+        F.sum(ok).cast("long").alias("successful_urls"),
+        F.sum(1 - ok).cast("long").alias("failed_urls"),
+        F.sum("n_chars").cast("long").alias("total_content_length"),
+    )
+    return per.withColumn(
+        "status",
+        F.when(F.col("successful_urls") == 0, "failed")
+        .when(F.col("failed_urls") > 0, "partial")
+        .otherwise("success"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# S7: media-extension download filter (reference crawl_agent.py:739-777)
+# --------------------------------------------------------------------------- #
+_EXTS = ["pdf", "jpg", "png", "docx", "csv", "mp4", "html", "txt"]
+_ALLOWED = ["pdf", "jpg", "png", "docx", "csv"]
+
+
+@query(
+    "media_ext_filter",
+    f"""
+    WITH media AS (
+        SELECT doc_id::BIGINT AS doc_id,
+               ['{"', '".join(_EXTS)}'][(doc_id % 8)::INT + 1] AS ext
+        FROM documents
+    )
+    SELECT doc_id,
+           'https://host' || (doc_id % 7)::VARCHAR || '.example.com/file/'
+               || doc_id::VARCHAR || '.' || ext AS media_ref,
+           ext
+    FROM media WHERE ext IN ('{"', '".join(_ALLOWED)}')
+    """,
+)
+def q_media_ext_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    exts = F.array(*[F.lit(e) for e in _EXTS])
+    ext = F.element_at(exts, F.pmod(i, F.lit(8)).cast("int") + 1)
+    return (
+        d.select(
+            i.alias("doc_id"),
+            F.concat(
+                F.lit("https://host"), F.pmod(i, F.lit(N_HOSTS)).cast("string"),
+                F.lit(".example.com/file/"), i.cast("string"), F.lit("."), ext,
+            ).alias("media_ref"),
+            ext.alias("ext"),
+        )
+        .where(F.col("ext").isin(_ALLOWED))
+    )
+
+
+# --------------------------------------------------------------------------- #
+# Events: tumbling-window aggregation + sessionization (streaming semantics
+# on the batch table; the Structured Streaming twin is q `stream_tumbling`).
+# --------------------------------------------------------------------------- #
+@query(
+    "events_tumbling",
+    """
+    SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
+           event_type,
+           count(*)::BIGINT AS n_events,
+           sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents,
+           count(DISTINCT user_id)::BIGINT AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return e.groupBy(
+        F.unix_timestamp(F.date_trunc("hour", F.col("ts"))).alias("window_start"),
+        "event_type",
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+
+
+@query(
+    "events_sessionize",
+    """
+    WITH marked AS (
+        -- floor(epoch(..)) matches Spark's unix_timestamp() second-floor
+        SELECT user_id, ts, event_id,
+               CASE WHEN floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
+        FROM marked
+    )
+    SELECT user_id::BIGINT AS user_id, session_idx,
+           count(*)::BIGINT AS n_events,
+           (floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT) AS duration_s
+    FROM sess GROUP BY 1, 2
+    """,
+)
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag(F.col("ts")).over(w)
+    marked = e.select(
+        "user_id", "ts", "event_id",
+        F.when(
+            prev.isNull()
+            | ((F.unix_timestamp("ts") - F.unix_timestamp(prev)) > 1800),
+            1,
+        ).otherwise(0).alias("new_session"),
+    )
+    w2 = (
+        Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sess = marked.select(
+        "user_id", "ts", F.sum("new_session").over(w2).cast("long").alias("session_idx")
+    )
+    return sess.groupBy(
+        F.col("user_id").cast("long").alias("user_id"), "session_idx"
+    ).agg(
+        F.count("*").alias("n_events"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).cast("long").alias("duration_s"),
+    )
