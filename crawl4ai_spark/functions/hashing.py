@@ -179,20 +179,21 @@ def simhash60(tokens: Column) -> Column:
         F.array_repeat(F.lit(0), 60),
         lambda acc, w: F.zip_with(
             acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(59)),
-                lambda j: F.shiftright(h60(w), j).bitwiseAND(F.lit(1)).cast("int"),
-            ),
+            # literal shift amounts: F.shiftright requires a Python int
+            F.array(*[
+                F.shiftright(h60(w), j).bitwiseAND(F.lit(1)).cast("int")
+                for j in range(60)
+            ]),
             lambda a, b: a + b,
         ),
     )
     n = F.size(tokens)
-    return F.aggregate(
-        F.zip_with(counts, F.sequence(F.lit(0), F.lit(59)), lambda c, j: F.struct(c.alias("c"), j.alias("j"))),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc
-        + F.when(x["c"] * 2 > n, F.shiftleft(F.lit(1).cast("long"), x["j"])).otherwise(F.lit(0).cast("long")),
-    )
+    sim = F.lit(0).cast("long")
+    for j in range(60):
+        sim = sim + F.when(
+            F.get(counts, j) * 2 > n, F.lit(1 << j).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return sim
 
 
 def simhash60_sql(tokens_expr: str) -> str:

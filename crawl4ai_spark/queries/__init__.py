@@ -1,0 +1,11 @@
+"""Named query surface (SURVEY.md §2 + training-data pipeline ops).
+
+Import side effect: submodules register their queries in the shared
+registry. ``queries()`` / ``oracle_sql()`` are the driver contract.
+"""
+
+from .registry import oracle_sql, queries, query  # noqa: F401
+from . import crawlops  # noqa: F401,E402
+from . import dataops  # noqa: F401,E402
+
+from .crawlops import q_crawl_bfs_reachable  # noqa: F401,E402

@@ -26,39 +26,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions import hashing as H
-from .functions import text as T
-from .functions.scoring import link_score, link_score_sql
-from .functions.urls import canonicalize, canonicalize_sql
+from ..functions import hashing as H
+from ..functions import text as T
+from ..functions.scoring import link_score, link_score_sql
+from ..functions.urls import canonicalize, canonicalize_sql
+from .registry import query, table as _t
 
-# --------------------------------------------------------------------------- #
-# registry plumbing
-# --------------------------------------------------------------------------- #
-QueryFn = Callable[[SparkSession, str], DataFrame]
-_QUERIES: dict[str, QueryFn] = {}
-_ORACLES: dict[str, str] = {}
-
-
-def query(name: str, oracle: str | None = None):
-    def deco(fn: QueryFn) -> QueryFn:
-        _QUERIES[name] = fn
-        if oracle is not None:
-            _ORACLES[name] = oracle
-        return fn
-
-    return deco
-
-
-def queries() -> dict[str, QueryFn]:
-    return dict(_QUERIES)
-
-
-def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
 # --------------------------------------------------------------------------- #

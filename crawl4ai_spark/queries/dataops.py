@@ -1,0 +1,590 @@
+"""Training-data pipeline operators as oracle-checked queries.
+
+Deduplication (exact / MinHash+LSH / SimHash / n-gram Jaccard),
+similarity search (brute-force cosine top-k, LSH-bucketed), BM25
+ranking (reference P2, crawl_agent.py:535-540), keyword extraction
+(reference K4, clustering_strategies.py:227-263), and the
+SQL-expressible chunkers C4/C5 (text_chunking.py:398-497).
+
+Dedup corpus: the documents table unioned with deterministic
+perturbations (appended-tail near-dups for doc_id%5==0, verbatim copies
+for doc_id%7==0) so the operators have guaranteed positives at every sf.
+
+All hashes are md5-derived (functions.hashing) so DuckDB reproduces them
+bit-for-bit; all vector math is explicit left-to-right folds over
+float→double casts so both engines execute the identical IEEE sequence.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions import hashing as H
+from ..functions import text as T
+from .registry import query, table as _t
+
+# --------------------------------------------------------------------------- #
+# shared dedup corpus
+# --------------------------------------------------------------------------- #
+NEAR_TAIL = " extracted near duplicate tail"
+
+_CORPUS_SQL = f"""
+    SELECT doc_id::BIGINT AS id, text, lang FROM documents
+    UNION ALL
+    SELECT doc_id::BIGINT + 1000000, text || '{NEAR_TAIL}', lang
+    FROM documents WHERE doc_id % 5 = 0
+    UNION ALL
+    SELECT doc_id::BIGINT + 2000000, text, lang
+    FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    base = d.select(i.alias("id"), "text", "lang")
+    near = (
+        d.where(F.pmod(i, F.lit(5)) == 0)
+        .select((i + 1000000).alias("id"), F.concat("text", F.lit(NEAR_TAIL)).alias("text"), "lang")
+    )
+    exact = (
+        d.where(F.pmod(i, F.lit(7)) == 0)
+        .select((i + 2000000).alias("id"), "text", "lang")
+    )
+    return base.unionByName(near).unionByName(exact)
+
+
+# --------------------------------------------------------------------------- #
+# exact dedup: hash-groupBy, canonical id = min(id) per group
+# --------------------------------------------------------------------------- #
+@query(
+    "dedup_exact",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL})
+    SELECT md5(text) AS content_hash,
+           min(id)::BIGINT AS canonical_id,
+           count(*)::BIGINT AS n_members
+    FROM corpus GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _corpus(spark, sf_dir)
+    return (
+        c.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("id").alias("canonical_id"), F.count("*").alias("n_members"))
+        .where(F.col("n_members") > 1)
+    )
+
+
+# --------------------------------------------------------------------------- #
+# MinHash + LSH near-dup: 3-shingles → 12-perm signature → 4 bands × 3 rows
+# → band-bucket join → exact-Jaccard verify ≥ 0.6
+# --------------------------------------------------------------------------- #
+SHINGLE_K = 3
+N_PERM = 12
+N_BANDS = 4
+ROWS_PER_BAND = 3
+JACCARD_T = 0.6
+
+
+def _jaccard(sa, sb):
+    inter = F.size(F.array_intersect(sa, sb)).cast("double")
+    return inter / (F.size(sa) + F.size(sb) - inter)
+
+
+@query(
+    "dedup_minhash_lsh",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    sh AS (
+        SELECT id,
+               list_distinct({H.shingles_sql(T.tokens_sql('text'), SHINGLE_K)}) AS s
+        FROM corpus
+    ),
+    sig AS (
+        SELECT id, s, {H.minhash_sig_sql('s', N_PERM)} AS sig FROM sh
+    ),
+    bands AS (
+        SELECT id, s, b.band, ({H.band_keys_sql('sig', N_BANDS, ROWS_PER_BAND)})[b.band + 1] AS key
+        FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS a_id, b.id AS b_id, a.s AS sa, b.s AS sb
+        FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    ),
+    verified AS (
+        SELECT a_id, b_id,
+               len(list_intersect(sa, sb))::DOUBLE
+                 / (len(sa) + len(sb) - len(list_intersect(sa, sb))) AS j
+        FROM cand
+    )
+    SELECT a_id, b_id, round(j, 6) AS jaccard FROM verified WHERE j >= {JACCARD_T}
+    """,
+)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _corpus(spark, sf_dir)
+    sh = c.select("id", F.array_distinct(H.shingles(T.tokens("text"), SHINGLE_K)).alias("s"))
+    sig = sh.select("id", "s", H.minhash_sig(F.col("s"), N_PERM).alias("sig"))
+    bands = sig.select(
+        "id", "s",
+        F.posexplode(H.band_keys(F.col("sig"), N_BANDS, ROWS_PER_BAND)).alias("band", "key"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"),
+            F.col("a.s").alias("sa"), F.col("b.s").alias("sb"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    j = _jaccard(F.col("sa"), F.col("sb"))
+    return (
+        cand.withColumn("j", j)
+        .where(F.col("j") >= JACCARD_T)
+        .select("a_id", "b_id", F.round("j", 6).alias("jaccard"))
+    )
+
+
+# --------------------------------------------------------------------------- #
+# SimHash near-dup: 60-bit simhash, 4×15-bit LSH segments, hamming ≤ 8
+# --------------------------------------------------------------------------- #
+HAMMING_T = 8
+
+
+@query(
+    "dedup_simhash",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    sh AS (
+        SELECT id, {H.simhash60_sql(T.tokens_sql('text'))} AS sim FROM corpus
+    ),
+    segs AS (
+        SELECT id, sim, b.band, (sim >> (b.band * 15)) & 32767 AS key
+        FROM sh CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.id AS a_id, b.id AS b_id, a.sim AS sa, b.sim AS sb
+        FROM segs a JOIN segs b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    )
+    SELECT a_id, b_id, bit_count(xor(sa, sb))::INT AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= {HAMMING_T}
+    """,
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _corpus(spark, sf_dir)
+    sh = c.select("id", H.simhash60(T.tokens("text")).alias("sim"))
+    bands = F.array(*[H.simhash_band(F.col("sim"), b) for b in range(4)])
+    segs = sh.select("id", "sim", F.posexplode(bands).alias("band", "key"))
+    a, b = segs.alias("a"), segs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"),
+            F.col("a.sim").alias("sa"), F.col("b.sim").alias("sb"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    ham = H.hamming60(F.col("sa"), F.col("sb"))
+    return cand.where(ham <= HAMMING_T).select("a_id", "b_id", ham.cast("int").alias("hamming"))
+
+
+# --------------------------------------------------------------------------- #
+# exact n-gram Jaccard near-dup (blocked by lang — the brute-force baseline)
+# --------------------------------------------------------------------------- #
+@query(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    sh AS (
+        SELECT id, lang,
+               list_distinct({H.shingles_sql(T.tokens_sql('text'), SHINGLE_K)}) AS s
+        FROM corpus
+    ),
+    pairs AS (
+        SELECT a.id AS a_id, b.id AS b_id,
+               len(list_intersect(a.s, b.s))::DOUBLE
+                 / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) AS j
+        FROM sh a JOIN sh b ON a.lang = b.lang AND a.id < b.id
+        WHERE len(a.s) > 0 AND len(b.s) > 0
+    )
+    SELECT a_id, b_id, round(j, 6) AS jaccard FROM pairs WHERE j >= 0.5
+    """,
+)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _corpus(spark, sf_dir)
+    sh = c.select("id", "lang", F.array_distinct(H.shingles(T.tokens("text"), SHINGLE_K)).alias("s")).where(
+        F.size("s") > 0
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = a.join(b, (F.col("a.lang") == F.col("b.lang")) & (F.col("a.id") < F.col("b.id"))).select(
+        F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"),
+        _jaccard(F.col("a.s"), F.col("b.s")).alias("j"),
+    )
+    return pairs.where(F.col("j") >= 0.5).select("a_id", "b_id", F.round("j", 6).alias("jaccard"))
+
+
+# --------------------------------------------------------------------------- #
+# similarity search over embeddings
+# --------------------------------------------------------------------------- #
+DIM = 64
+TOP_K = 5
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0::DOUBLE, list_transform(generate_series(1, {DIM}), "
+        f"i -> ({a})[i]::DOUBLE * ({b})[i]::DOUBLE)), (acc, x) -> acc + x)"
+    )
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _cos(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return f"({_dot_sql(a, b)} / (sqrt({_dot_sql(a, a)}) * sqrt({_dot_sql(b, b)})))"
+
+
+@query(
+    "ann_cosine_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qe FROM embeddings WHERE vec_id < 10),
+    scored AS (
+        SELECT q.q_id, e.vec_id AS n_id,
+               {_cos_sql('q.qe', 'e.embedding')} AS sim
+        FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.q_id
+    )
+    SELECT q_id::BIGINT AS q_id, n_id::BIGINT AS n_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC)::INT AS rank,
+           round(sim, 6) AS sim
+    FROM scored QUALIFY rank <= {TOP_K}
+    """,
+)
+def q_ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        F.broadcast(q)
+        .crossJoin(e.select(F.col("vec_id").alias("n_id"), "embedding"))
+        .where(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", _cos(F.col("qe"), F.col("embedding")).alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            F.col("q_id").cast("long"), F.col("n_id").cast("long"),
+            "rank", F.round("sim", 6).alias("sim"),
+        )
+    )
+
+
+# LSH-bucketed ANN: bucket = sign bits of the first 6 dims (axis-aligned
+# random-hyperplane LSH with pinned hyperplanes so both engines agree);
+# candidates share the bucket — the scale path vs the brute-force baseline.
+N_SIGN_BITS = 6
+
+
+def _bucket_sql(e: str) -> str:
+    bits = " + ".join(
+        f"(CASE WHEN ({e})[{i + 1}] > 0 THEN {1 << i} ELSE 0 END)" for i in range(N_SIGN_BITS)
+    )
+    return f"({bits})"
+
+
+def _bucket(e) -> F.Column:
+    b = F.lit(0)
+    for i in range(N_SIGN_BITS):
+        b = b + F.when(F.get(e, i) > 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return b
+
+
+@query(
+    "ann_lsh_bucket",
+    f"""
+    WITH b AS (
+        SELECT vec_id, embedding, {_bucket_sql('embedding')} AS bucket FROM embeddings
+    ),
+    q AS (SELECT vec_id AS q_id, embedding AS qe, bucket FROM b WHERE vec_id < 20),
+    scored AS (
+        SELECT q.q_id, e.vec_id AS n_id,
+               {_cos_sql('q.qe', 'e.embedding')} AS sim
+        FROM q JOIN b e ON e.bucket = q.bucket AND e.vec_id <> q.q_id
+    )
+    SELECT q_id::BIGINT AS q_id, n_id::BIGINT AS n_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC)::INT AS rank,
+           round(sim, 6) AS sim
+    FROM scored QUALIFY rank <= 3
+    """,
+)
+def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    b = e.select("vec_id", "embedding", _bucket(F.col("embedding")).alias("bucket"))
+    q = b.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"), "bucket"
+    )
+    scored = (
+        F.broadcast(q)
+        .join(b.select(F.col("vec_id").alias("n_id"), "embedding", "bucket"), "bucket")
+        .where(F.col("n_id") != F.col("q_id"))
+        .select("q_id", "n_id", _cos(F.col("qe"), F.col("embedding")).alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select(
+            F.col("q_id").cast("long"), F.col("n_id").cast("long"),
+            "rank", F.round("sim", 6).alias("sim"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# BM25 ranking (reference BM25ContentFilter parameterization: P2)
+# --------------------------------------------------------------------------- #
+BM25_TERMS = ["data", "spark", "table"]  # fixed order = summation order
+K1, B = 1.2, 0.75
+
+
+@query(
+    "bm25_rank",
+    (lambda toks=T.tokens_sql("text"): f"""
+    WITH base AS (
+        SELECT doc_id::BIGINT AS doc_id, len({toks}) AS dl,
+               {', '.join(
+                   f"len(list_filter({toks}, w -> lower(w) = '{t}')) AS tf{i}"
+                   for i, t in enumerate(BM25_TERMS)
+               )}
+        FROM documents
+    ),
+    stats AS (
+        SELECT count(*)::DOUBLE AS n, sum(dl)::DOUBLE / count(*) AS avgdl,
+               {', '.join(
+                   f"sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)::DOUBLE AS df{i}"
+                   for i in range(len(BM25_TERMS))
+               )}
+        FROM base
+    )
+    SELECT doc_id,
+           round({' + '.join(
+               f"(ln((stats.n - df{i} + 0.5) / (df{i} + 0.5) + 1) * tf{i} * {K1 + 1}"
+               f" / (tf{i} + {K1} * (1 - {B} + {B} * dl / stats.avgdl)))"
+               for i in range(len(BM25_TERMS))
+           )}, 4) AS bm25
+    FROM base, stats
+    WHERE {' + '.join(f'tf{i}' for i in range(len(BM25_TERMS)))} > 0
+    """)(),
+)
+def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    base = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(toks).alias("dl"),
+        *[
+            # eagerly evaluated inside the comprehension — no late binding
+            F.size(F.filter(toks, lambda w: F.lower(w) == F.lit(t))).alias(f"tf{i}")
+            for i, t in enumerate(BM25_TERMS)
+        ],
+    )
+    stats = base.agg(
+        F.count("*").cast("double").alias("n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+        *[
+            F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0)).cast("double").alias(f"df{i}")
+            for i in range(len(BM25_TERMS))
+        ],
+    )
+    j = base.crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(BM25_TERMS)):
+        tf = F.col(f"tf{i}").cast("double")
+        df = F.col(f"df{i}")
+        idf = F.log((F.col("n") - df + 0.5) / (df + 0.5) + 1)
+        part = idf * tf * (K1 + 1) / (tf + K1 * (1 - B + B * F.col("dl") / F.col("avgdl")))
+        score = part if score is None else score + part
+    tf_any = sum(F.col(f"tf{i}") for i in range(len(BM25_TERMS)))
+    return j.where(tf_any > 0).select("doc_id", F.round(score, 4).alias("bm25"))
+
+
+# --------------------------------------------------------------------------- #
+# K4: top-N keywords per group (stopword-filtered term counts)
+# --------------------------------------------------------------------------- #
+TOP_TERMS = 5
+
+
+@query(
+    "keywords_topn",
+    f"""
+    WITH terms AS (
+        SELECT lang, lower(u.w) AS term
+        FROM documents, unnest({T.tokens_sql('text')}) AS u(w)
+        WHERE lower(u.w) NOT IN ({', '.join(f"'{w}'" for w in T.STOPWORDS)})
+          AND regexp_matches(lower(u.w), '^[a-z]{{2,}}$')
+    ),
+    counted AS (
+        SELECT lang, term, count(*)::BIGINT AS cnt FROM terms GROUP BY 1, 2
+    )
+    SELECT lang, term, cnt,
+           row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, term ASC)::INT AS rk
+    FROM counted QUALIFY rk <= {TOP_TERMS}
+    """,
+)
+def q_keywords_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    terms = (
+        d.select("lang", F.explode(T.tokens("text")).alias("w"))
+        .select("lang", F.lower("w").alias("term"))
+        .where(~F.col("term").isin(T.STOPWORDS) & F.col("term").rlike("^[a-z]{2,}$"))
+    )
+    counted = terms.groupBy("lang", "term").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(), F.col("term").asc())
+    return (
+        counted.withColumn("rk", F.row_number().over(w).cast("int"))
+        .where(F.col("rk") <= TOP_TERMS)
+    )
+
+
+# --------------------------------------------------------------------------- #
+# C5: sliding-window chunking (word windows, size 20 step 10 — reference
+# semantics: tail words beyond the last full window are dropped)
+# --------------------------------------------------------------------------- #
+WIN, STEP = 20, 10
+
+
+@query(
+    "chunk_sliding",
+    f"""
+    WITH toks AS (
+        SELECT doc_id::BIGINT AS doc_id, {T.tokens_sql('text')} AS t FROM documents
+    )
+    SELECT doc_id, w.i::INT AS chunk_id,
+           (CASE WHEN len(t) <= {WIN} THEN array_to_string(t, ' ')
+                 ELSE array_to_string(list_slice(t, w.i * {STEP} + 1, w.i * {STEP} + {WIN}), ' ')
+            END) AS chunk
+    FROM toks,
+         unnest(generate_series(0, (CASE WHEN len(t) <= {WIN} THEN 0
+                                         ELSE floor((len(t) - {WIN}) / {STEP})::BIGINT END))) AS w(i)
+    """,
+)
+def q_chunk_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.col("doc_id").cast("long").alias("doc_id"), T.tokens("text").alias("t"))
+    n = F.size("t")
+    n_win = F.when(n <= WIN, F.lit(0)).otherwise(F.floor((n - WIN) / STEP)).cast("int")
+    return toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), n_win)).alias("chunk_id"),
+        "t",
+    ).select(
+        "doc_id",
+        F.col("chunk_id").cast("int"),
+        F.when(F.size("t") <= WIN, F.array_join("t", " "))
+        .otherwise(F.array_join(F.slice("t", F.col("chunk_id") * STEP + 1, WIN), " "))
+        .alias("chunk"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# C4: regex chunking — split on a pattern, strip, drop empties, re-index
+# (reference text_chunking.py:398-441)
+# --------------------------------------------------------------------------- #
+CHUNK_PATTERN = "data"
+
+
+@query(
+    "chunk_regex",
+    f"""
+    WITH split_docs AS (
+        SELECT doc_id::BIGINT AS doc_id,
+               list_filter(list_transform(string_split_regex(text, '{CHUNK_PATTERN}'),
+                                          p -> trim(p)), p -> p <> '') AS chunks
+        FROM documents
+    )
+    SELECT doc_id, (i.i - 1)::INT AS chunk_id, chunks[i.i] AS chunk
+    FROM split_docs, unnest(generate_series(1, len(chunks))) AS i(i)
+    """,
+)
+def q_chunk_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    chunks = F.filter(
+        F.transform(F.split("text", CHUNK_PATTERN), lambda p: F.trim(p)),
+        lambda p: p != "",
+    )
+    return d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.posexplode(chunks).alias("chunk_id", "chunk"),
+    ).select("doc_id", F.col("chunk_id").cast("int"), "chunk")
+
+
+# --------------------------------------------------------------------------- #
+# K3-adjacent: per-label embedding centroid via order-pinned fold (the
+# aggregation backbone of cluster summaries) — identical fp sequence in
+# both engines because the fold order is (vec_id asc), not engine-chosen.
+# --------------------------------------------------------------------------- #
+@query(
+    "embed_centroid",
+    f"""
+    WITH ordered AS (
+        SELECT label, list(list_transform(embedding, x -> x::DOUBLE) ORDER BY vec_id) AS vecs,
+               count(*)::BIGINT AS n
+        FROM embeddings GROUP BY label
+    ),
+    summed AS (
+        SELECT label, n,
+               list_reduce(list_prepend(list_transform(generate_series(1, {DIM}), i -> 0.0::DOUBLE), vecs),
+                           (acc, v) -> list_transform(generate_series(1, {DIM}), i -> acc[i] + v[i])) AS s
+        FROM ordered
+    )
+    SELECT label::BIGINT AS label, n,
+           round(s[1] / n, 6) AS c0, round(s[2] / n, 6) AS c1,
+           round(s[3] / n, 6) AS c2, round(s[4] / n, 6) AS c3
+    FROM summed
+    """,
+)
+def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    ordered = e.groupBy("label").agg(
+        F.array_sort(
+            F.collect_list(F.struct(F.col("vec_id").alias("k"), F.col("embedding").alias("v")))
+        ).alias("kv"),
+        F.count("*").alias("n"),
+    )
+    zeros = F.array_repeat(F.lit(0.0), DIM)
+    summed = ordered.select(
+        "label", "n",
+        F.aggregate(
+            F.col("kv"),
+            zeros,
+            lambda acc, kv: F.zip_with(acc, kv["v"], lambda a, x: a + x.cast("double")),
+        ).alias("s"),
+    )
+    return summed.select(
+        F.col("label").cast("long").alias("label"), "n",
+        *[F.round(F.get("s", i) / F.col("n"), 6).alias(f"c{i}") for i in range(4)],
+    )
