@@ -7,5 +7,7 @@ registry. ``queries()`` / ``oracle_sql()`` are the driver contract.
 from .registry import oracle_sql, queries, query  # noqa: F401
 from . import crawlops  # noqa: F401,E402
 from . import dataops  # noqa: F401,E402
+from . import chunkops  # noqa: F401,E402
+from . import spansops  # noqa: F401,E402
 
 from .crawlops import q_crawl_bfs_reachable  # noqa: F401,E402

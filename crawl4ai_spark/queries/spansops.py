@@ -1,0 +1,253 @@
+"""Span-document operator queries (input_hint schema) with oracles.
+
+The driver's flat ``documents(text)`` table is deterministically lifted
+into the input_hint span shape (8-token groups → spans with arithmetic
+kinds/refs) identically in both engines; the Spark side then exercises
+the REAL operators from ``operators/markdown.py`` (renderer, pruning
+filter, inventories, page concat) while DuckDB mirrors the rendered
+strings directly. This puts E4/E5/E6/E7/P1/A1/A4 under the value-hash
+correctness gate, not just unit tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators import markdown as M
+from .registry import query, table as _t
+
+GROUP = 8  # tokens per derived span
+
+
+# --------------------------------------------------------------------------- #
+# span derivation (identical arithmetic in both dialects)
+# --------------------------------------------------------------------------- #
+def derived_spans(doc_id: Column, text: Column) -> Column:
+    toks = F.filter(F.split(text, "\\s+"), lambda w: w != "")
+    n = F.size(toks)
+
+    def span(g: Column) -> Column:
+        gtext = F.array_join(F.slice(toks, g * GROUP + 1, GROUP), " ")
+        k = F.pmod(doc_id * 7 + g, F.lit(10))
+        kind = (
+            F.when(g == 0, F.lit("heading"))
+            .when(k <= 4, F.lit("text"))
+            .when(k <= 6, F.lit("link"))
+            .when(k == 7, F.lit("image"))
+            .when(k == 8, F.lit("media"))
+            .otherwise(F.lit("heading"))
+        )
+        h = F.pmod(doc_id + g, F.lit(7)).cast("string")
+        tgt = F.pmod(doc_id * 31 + g * 17, F.lit(1000)).cast("string")
+        base = F.concat(F.lit("https://host"), h, F.lit(".example.com/"))
+        ref = (
+            F.when(kind == "link", F.concat(base, F.lit("p/"), tgt))
+            .when(kind == "image", F.concat(base, F.lit("img/"), doc_id.cast("string"), F.lit("_"), g.cast("string"), F.lit(".png")))
+            .when(kind == "media", F.concat(base, F.lit("file/"), doc_id.cast("string"), F.lit("_"), g.cast("string"), F.lit(".pdf")))
+            .otherwise(F.lit(None).cast("string"))
+        )
+        return F.struct(kind.alias("kind"), gtext.alias("text"), ref.alias("media_ref"), g.cast("int").alias("offset"))
+
+    return F.when(
+        n > 0, F.transform(F.sequence(F.lit(0), F.floor((n - 1) / GROUP).cast("int")), span)
+    ).otherwise(F.array().cast("array<struct<kind:string,text:string,media_ref:string,offset:int>>"))
+
+
+def _span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    return d.select(i.alias("doc_id"), derived_spans(i, F.col("text")).alias("spans"))
+
+
+# DuckDB CTEs: one row per derived span with kind/text/ref/score pieces.
+_SP_SQL = f"""
+    toks AS (
+        SELECT doc_id::BIGINT AS doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS t
+        FROM documents
+    ),
+    sp AS (
+        SELECT doc_id, u.g AS g,
+               array_to_string(list_slice(t, u.g * {GROUP} + 1, u.g * {GROUP} + {GROUP}), ' ') AS gtext,
+               len(list_slice(t, u.g * {GROUP} + 1, u.g * {GROUP} + {GROUP})) AS wc,
+               (CASE WHEN u.g = 0 THEN 'heading'
+                     WHEN (doc_id * 7 + u.g) % 10 <= 4 THEN 'text'
+                     WHEN (doc_id * 7 + u.g) % 10 <= 6 THEN 'link'
+                     WHEN (doc_id * 7 + u.g) % 10 = 7 THEN 'image'
+                     WHEN (doc_id * 7 + u.g) % 10 = 8 THEN 'media'
+                     ELSE 'heading' END) AS kind,
+               ('https://host' || ((doc_id + u.g) % 7)::VARCHAR || '.example.com/') AS base,
+               ((doc_id * 31 + u.g * 17) % 1000)::VARCHAR AS tgt
+        FROM toks, unnest(generate_series(0, (len(t) - 1) // {GROUP})) AS u(g)
+        WHERE len(t) > 0
+    ),
+    spans AS (
+        SELECT doc_id, g, gtext, wc, kind,
+               (CASE WHEN kind = 'link' THEN base || 'p/' || tgt
+                     WHEN kind = 'image' THEN base || 'img/' || doc_id::VARCHAR || '_' || g::VARCHAR || '.png'
+                     WHEN kind = 'media' THEN base || 'file/' || doc_id::VARCHAR || '_' || g::VARCHAR || '.pdf'
+                     ELSE NULL END) AS ref,
+               (CASE WHEN kind = 'heading' THEN '## ' || gtext || e'\\n\\n'
+                     WHEN kind = 'image' THEN '![' || gtext || '](' ||
+                          base || 'img/' || doc_id::VARCHAR || '_' || g::VARCHAR || '.png' || e')\\n\\n'
+                     WHEN kind = 'link' THEN '[' || gtext || '](' || base || 'p/' || tgt || e')\\n\\n'
+                     WHEN kind = 'media' THEN '[' || gtext || '](' ||
+                          base || 'file/' || doc_id::VARCHAR || '_' || g::VARCHAR || '.pdf' || e')\\n\\n'
+                     ELSE gtext || e'\\n\\n' END) AS piece,
+               least(1.0, round(least(1.0, 0.2 + 0.05 * wc) *
+                     (CASE WHEN kind = 'heading' THEN 1.2 WHEN kind = 'text' THEN 1.0
+                           WHEN kind = 'link' THEN 0.6 ELSE 0.5 END), 6)) AS score
+        FROM sp
+    )
+"""
+
+
+# --------------------------------------------------------------------------- #
+# E4: raw markdown rendering
+# --------------------------------------------------------------------------- #
+@query(
+    "spans_markdown",
+    f"""
+    WITH {_SP_SQL}
+    SELECT doc_id, string_agg(piece, '' ORDER BY g) AS raw_md
+    FROM spans GROUP BY doc_id
+    """,
+)
+def q_spans_markdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sd = _span_docs(spark, sf_dir)
+    return sd.select("doc_id", M.spans_to_markdown("spans").alias("raw_md"))
+
+
+# --------------------------------------------------------------------------- #
+# P1 + E5: pruning filter + fit ladder
+# --------------------------------------------------------------------------- #
+@query(
+    "spans_fit_filter",
+    f"""
+    WITH {_SP_SQL}
+    SELECT doc_id,
+           count(*)::BIGINT AS n_spans,
+           sum(CASE WHEN score >= 0.48 THEN 1 ELSE 0 END)::BIGINT AS n_fit,
+           coalesce(string_agg(CASE WHEN score >= 0.48 THEN piece END, '' ORDER BY g), '') AS fit_md
+    FROM spans GROUP BY doc_id
+    """,
+)
+def q_spans_fit_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sd = _span_docs(spark, sf_dir)
+    fit = M.fit_spans("spans")
+    return sd.select(
+        "doc_id",
+        F.size("spans").cast("long").alias("n_spans"),
+        F.size(fit).cast("long").alias("n_fit"),
+        M.spans_to_markdown(fit).alias("fit_md"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# E6 + E7 + A1: title, inventories, per-page stats
+# --------------------------------------------------------------------------- #
+@query(
+    "spans_inventory",
+    f"""
+    WITH {_SP_SQL}
+    SELECT doc_id,
+           arg_min(gtext, g) FILTER (WHERE kind = 'heading') AS title,
+           sum(CASE WHEN kind = 'link' THEN 1 ELSE 0 END)::BIGINT AS link_count,
+           sum(CASE WHEN kind = 'image' THEN 1 ELSE 0 END)::BIGINT AS image_count,
+           sum(CASE WHEN kind = 'media' THEN 1 ELSE 0 END)::BIGINT AS media_count,
+           sum(CASE WHEN kind = 'heading' THEN 1 ELSE 0 END)::BIGINT AS heading_count,
+           sum(wc)::BIGINT AS word_count,
+           sum(CASE WHEN kind = 'link'
+                    AND (doc_id + g) % 7 <> doc_id % 7 THEN 1 ELSE 0 END)::BIGINT AS external_links
+    FROM spans GROUP BY doc_id
+    """,
+)
+def q_spans_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sd = _span_docs(spark, sf_dir)
+    page_url = F.concat(
+        F.lit("https://host"), F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+        F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+    )
+    host = F.concat(F.lit("host"), F.pmod(F.col("doc_id"), F.lit(7)).cast("string"), F.lit(".example.com"))
+    stats = M.page_stats("spans")
+    links = M.links_of("spans", host)
+    return sd.select(
+        "doc_id",
+        M.title_of("spans", page_url).alias("title"),
+        stats["link_count"].cast("long").alias("link_count"),
+        stats["image_count"].cast("long").alias("image_count"),
+        stats["media_count"].cast("long").alias("media_count"),
+        stats["heading_count"].cast("long").alias("heading_count"),
+        stats["word_count"].cast("long").alias("word_count"),
+        F.size(F.filter(links, lambda l: l["is_external"])).cast("long").alias("external_links"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# A4 + E5: ordered multi-page concat per source group
+# --------------------------------------------------------------------------- #
+@query(
+    "pages_concat",
+    f"""
+    WITH {_SP_SQL},
+    md AS (
+        SELECT s.doc_id, d.source,
+               'https://host' || (s.doc_id % 7)::VARCHAR || '.example.com/p/' || s.doc_id::VARCHAR AS url,
+               string_agg(s.piece, '' ORDER BY s.g) AS raw_md
+        FROM spans s JOIN documents d ON d.doc_id = s.doc_id
+        GROUP BY s.doc_id, d.source
+    )
+    SELECT source,
+           string_agg(e'\\n\\n## Page: ' || url || e'\\n\\n' || raw_md, e'\\n' ORDER BY doc_id) AS combined
+    FROM md GROUP BY source
+    """,
+)
+def q_pages_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    md = d.select(
+        i.alias("doc_id"),
+        "source",
+        F.concat(
+            F.lit("https://host"), F.pmod(i, F.lit(7)).cast("string"),
+            F.lit(".example.com/p/"), i.cast("string"),
+        ).alias("url"),
+        M.spans_to_markdown(derived_spans(i, F.col("text"))).alias("raw_md"),
+    )
+    return M.concat_pages(md, "source", "url", "raw_md", "doc_id")
+
+
+# --------------------------------------------------------------------------- #
+# E4 citations variant: numbered link rewriting + references section
+# --------------------------------------------------------------------------- #
+@query(
+    "spans_markdown_citations",
+    f"""
+    WITH {_SP_SQL},
+    numbered AS (
+        SELECT *,
+               (CASE WHEN kind = 'link'
+                     THEN row_number() OVER (PARTITION BY doc_id, (CASE WHEN kind = 'link' THEN 1 ELSE 0 END) ORDER BY g)
+                     END) AS cite
+        FROM spans
+    ),
+    body AS (
+        SELECT doc_id,
+               string_agg(CASE WHEN kind = 'link'
+                               THEN '[' || gtext || ']⟨' || cite::VARCHAR || e'⟩\\n\\n'
+                               ELSE piece END, '' ORDER BY g) AS body_md,
+               coalesce(string_agg(CASE WHEN kind = 'link'
+                               THEN '⟨' || cite::VARCHAR || '⟩: ' || ref || e'\\n' END, '' ORDER BY g), '') AS refs,
+               sum(CASE WHEN kind = 'link' THEN 1 ELSE 0 END) AS n_links
+        FROM numbered GROUP BY doc_id
+    )
+    SELECT doc_id,
+           (CASE WHEN n_links = 0 THEN body_md
+                 ELSE body_md || e'## References\\n\\n' || refs END) AS md
+    FROM body
+    """,
+)
+def q_spans_markdown_citations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sd = _span_docs(spark, sf_dir)
+    return sd.select("doc_id", M.spans_to_markdown_citations("spans").alias("md"))
