@@ -1,0 +1,128 @@
+"""Benchmark harness (driver contract): one JSON line to stdout.
+
+Headline metric: URLs fetched+deduped per second through the crawl
+engine (frontier select → fetch join → outlink extract → canonicalize →
+xxhash64 → exact anti-join dedup → snapshot commit) over a synthetic
+span corpus sized to the sf directory, in throughput mode (no global
+order windows, politeness salted).
+
+Also times a representative set of query-surface operators at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), forcing full
+materialization via the noop sink (count() alone would let Catalyst
+prune work).
+
+Scaling runs (local[8] vs local[32]) are produced by
+tools/bench_scaling.py and reported in BASELINE.md / BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE_QUERIES = [
+    "url_canonicalize",
+    "crawl_bfs_reachable",
+    "politeness_select",
+    "token_counts",
+    "lang_id",
+    "quality_score",
+    "doc_fingerprint",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "ann_lsh_bucket",
+    "bm25_rank",
+    "keywords_topn",
+    "chunk_fixed",
+    "chunk_sliding",
+    "spans_markdown",
+    "spans_fit_filter",
+    "events_tumbling",
+    "events_sessionize",
+]
+
+
+def crawl_throughput(spark, work_dir: str, n_docs: int, n_hosts: int = 40) -> dict:
+    """Fetch+dedupe throughput of the real engine in throughput mode."""
+    from crawl4ai_spark.config import CrawlConfig
+    from crawl4ai_spark.fixtures import write_fixtures
+    from crawl4ai_spark.operators.frontier import CrawlEngine
+
+    fx = os.path.join(work_dir, "fx")
+    write_fixtures(spark, fx, n_docs=n_docs, n_hosts=n_hosts)
+    docs = spark.read.parquet(f"{fx}/documents.parquet")
+    seeds = [
+        r.doc_id
+        for r in docs.where(docs.doc_id.contains(f"host{n_hosts - 1}."))
+        .orderBy("doc_id").limit(64).collect()
+    ]
+    cfg = CrawlConfig(
+        seeds=seeds, max_depth=8, max_pages=None, include_external=True,
+        politeness=False, respect_robots=False, track_order=False,
+        round_size=None, max_rounds=12,
+    )
+    state = os.path.join(work_dir, "state")
+    shutil.rmtree(state, ignore_errors=True)
+    eng = CrawlEngine(spark, docs, cfg, state)
+    t0 = time.monotonic()
+    res = eng.run()
+    elapsed = time.monotonic() - t0
+    deduped = eng.url_seen().count()
+    return {
+        "fetched": res["fetched"],
+        "rounds": res["rounds"],
+        "deduped_urls": deduped,
+        "crawl_sec": round(elapsed, 3),
+        "urls_per_sec": round(res["fetched"] / elapsed, 1),
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+
+    from crawl4ai_spark.queries import queries as all_queries
+    from crawl4ai_spark.session import get_spark
+
+    spark = get_spark(app_name="bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qtimes: dict[str, float] = {}
+    qs = all_queries()
+    for name in HEADLINE_QUERIES:
+        fn = qs[name]
+        t0 = time.monotonic()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        qtimes[name] = round(time.monotonic() - t0, 3)
+
+    n_docs = max(2000, int(1_000_000 * sf))
+    work = f"/tmp/bench_crawl_{os.getpid()}"
+    try:
+        crawl = crawl_throughput(spark, work, n_docs)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+    total = round(sum(qtimes.values()) + crawl["crawl_sec"], 3)
+    print(json.dumps({
+        "metric": "urls_fetched_deduped_per_sec",
+        "value": crawl["urls_per_sec"],
+        "unit": "urls/sec",
+        "queries": qtimes,
+        "sf": sf,
+        "crawl": crawl,
+        "total_sec": total,
+        "cpus": int(cpus),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

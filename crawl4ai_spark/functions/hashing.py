@@ -167,33 +167,49 @@ def band_keys_sql(sig_expr: str, n_bands: int, rows_per_band: int) -> str:
 # --------------------------------------------------------------------------- #
 # SimHash (60-bit)
 # --------------------------------------------------------------------------- #
-def simhash60(tokens: Column) -> Column:
-    """Classic simhash over unit-weight tokens, 60-bit (fits BIGINT both engines).
-
-    bit j of the result = 1 iff (# tokens with bit j set) * 2 > # tokens.
-    Computed as: per-bit set-counts via fold, then pack. Ties (exactly half)
-    → 0, matching the strict '>' in the SQL emitter.
-    """
-    counts = F.aggregate(
-        tokens,
+def simhash_counts(tokens: Column) -> Column:
+    """Per-bit set-counts (length-60 int array) — materialize this in its
+    own projection, then apply ``simhash_pack``: packing references the
+    counts 60 times, and a materialized column keeps that O(1) per ref
+    instead of re-evaluating the whole fold per bit."""
+    # hash once per token (fold over the hash array, not the tokens —
+    # the 60 bit extractions then reference the lambda var, not 60 md5s)
+    hashes = F.transform(tokens, h60)
+    return F.aggregate(
+        hashes,
         F.array_repeat(F.lit(0), 60),
-        lambda acc, w: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
-            # literal shift amounts: F.shiftright requires a Python int
             F.array(*[
-                F.shiftright(h60(w), j).bitwiseAND(F.lit(1)).cast("int")
+                # literal shift amounts: F.shiftright requires a Python int
+                F.shiftright(h, j).bitwiseAND(F.lit(1)).cast("int")
                 for j in range(60)
             ]),
             lambda a, b: a + b,
         ),
     )
-    n = F.size(tokens)
+
+
+def simhash_pack(counts: Column, n_tokens: Column) -> Column:
     sim = F.lit(0).cast("long")
     for j in range(60):
         sim = sim + F.when(
-            F.get(counts, j) * 2 > n, F.lit(1 << j).cast("long")
+            F.get(counts, j) * 2 > n_tokens, F.lit(1 << j).cast("long")
         ).otherwise(F.lit(0).cast("long"))
     return sim
+
+
+def simhash60(tokens: Column) -> Column:
+    """Classic simhash over unit-weight tokens, 60-bit (fits BIGINT both engines).
+
+    bit j of the result = 1 iff (# tokens with bit j set) * 2 > # tokens.
+    Ties (exactly half) → 0, matching the strict '>' in the SQL emitter.
+
+    NB: single-expression form — the packing step inlines the counts
+    fold 60×. Prefer simhash_counts → project → simhash_pack in real
+    pipelines (10×+ faster); this form exists for expression contexts.
+    """
+    return simhash_pack(simhash_counts(tokens), F.size(tokens))
 
 
 def simhash60_sql(tokens_expr: str) -> str:

@@ -39,11 +39,18 @@ def fixed_chunks(text: str, chunk_size: int = 4000, chunk_overlap: int = 200) ->
     char windows with space-backtrack on the END index, next start =
     end - overlap, stop when start <= 0 or start >= len.
 
-    DELIBERATE DEVIATION (documented reference quirk): the reference
-    loops forever once a chunk reaches the text end with overlap > 0
-    (text_chunking.py:126-130 — ``start = end - overlap`` never passes
-    the ``start >= text_len`` break when ``end == text_len``). We stop
-    after emitting the chunk that reaches the end — the evident intent.
+    DELIBERATE DEVIATIONS (documented reference quirks — the reference
+    loop does not terminate on many inputs):
+    1. tail: once a chunk reaches the text end with overlap > 0, the
+       reference's ``start = end - overlap`` never passes its break
+       (text_chunking.py:126-130) and re-appends the tail forever.
+       We stop after emitting the chunk that reaches the end.
+    2. no-progress: a space-backtracked ``end`` can land within
+       ``overlap`` of ``start`` (e.g. text 'bb baa bab', size 6,
+       overlap 3), making ``start`` stall or move backwards — the
+       reference cycles forever. We stop when the next start fails to
+       advance. On any input where the reference terminates AND makes
+       forward progress every step, output is identical.
     """
     if not text:
         return []
@@ -61,10 +68,13 @@ def fixed_chunks(text: str, chunk_size: int = 4000, chunk_overlap: int = 200) ->
         else:
             end = n
         chunks.append(text[start:end])
-        if end >= n:  # deviation: terminate instead of reference's infinite loop
+        if end >= n:  # deviation 1: terminate at text end
             break
-        start = end - chunk_overlap
-        if start <= 0 or start >= n:
+        new_start = end - chunk_overlap
+        if new_start <= start:  # deviation 2: no-progress guard
+            break
+        start = new_start
+        if start >= n:
             break
     return chunks
 
