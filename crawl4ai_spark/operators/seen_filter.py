@@ -1,0 +1,119 @@
+"""Partitioned Bloom-filter sidecar for the URL-seen set (north rule).
+
+At 10^10-URL scale the exact ``left_anti`` join against ``url_seen``
+shuffles every candidate URL. The Bloom sidecar cuts that: the seen set
+is sharded by ``pmod(url_hash, n_shards)``; each shard gets a Bloom
+bitset sized for its cardinality. New candidates test membership first —
+*definitely-new* URLs (the overwhelming majority on a growing frontier)
+skip the anti-join entirely; only *maybe-seen* candidates proceed to the
+exact join, which remains the ground truth (no false dedup from Bloom
+collisions, matching F10's exactness requirement).
+
+Layout: bit positions are computed JVM-side (``xxhash64(url, seed_i)``
+columns — k hashes per URL, no Python in the hash path); only the final
+bitset set/test touches numpy, Arrow-batched per shard. Shard bitsets
+are small enough to broadcast (default 1 MiB/shard → 10^7 URLs/shard at
+~1% fpp with k=7; at 10^10 URLs use 1024 shards and per-executor local
+test via the broadcast).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+DEFAULT_BITS = 1 << 23  # 8 Mbit = 1 MiB per shard
+DEFAULT_K = 7
+
+
+def shard_of(url_hash: Column | str, n_shards: int) -> Column:
+    h = F.col(url_hash) if isinstance(url_hash, str) else url_hash
+    return F.pmod(h, F.lit(n_shards)).cast("int")
+
+
+def bit_positions(url: Column | str, n_bits: int = DEFAULT_BITS, k: int = DEFAULT_K) -> Column:
+    """k bit positions per URL from salted xxhash64 — pure JVM columns."""
+    u = F.col(url) if isinstance(url, str) else url
+    return F.array(*[
+        F.pmod(F.xxhash64(F.lit(i), u), F.lit(n_bits)).cast("long") for i in range(k)
+    ])
+
+
+def build_bloom_shards(
+    seen: DataFrame,
+    url_col: str = "url",
+    hash_col: str = "url_hash",
+    n_shards: int = 16,
+    n_bits: int = DEFAULT_BITS,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """→ ``blooms(shard INT, bits BINARY)`` — one bitset per shard,
+    built by an applyInPandas fold over that shard's bit positions."""
+    pos = seen.select(
+        shard_of(hash_col, n_shards).alias("shard"),
+        bit_positions(url_col, n_bits, k).alias("pos"),
+    )
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(n_bits // 8, dtype=np.uint8)
+        if len(pdf):
+            flat = np.concatenate(pdf["pos"].to_numpy())
+            np.bitwise_or.at(bits, (flat // 8).astype(np.int64), (1 << (flat % 8)).astype(np.uint8))
+        return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])], "bits": [bits.tobytes()]})
+
+    return pos.groupBy("shard").applyInPandas(build, "shard int, bits binary")
+
+
+def bloom_maybe_seen(
+    candidates: DataFrame,
+    blooms: DataFrame,
+    url_col: str = "url",
+    hash_col: str = "url_hash",
+    n_shards: int = 16,
+    n_bits: int = DEFAULT_BITS,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Append ``maybe_seen`` boolean. False → definitely not in the seen
+    set (Bloom guarantee); True → must be confirmed by the exact join."""
+    withpos = candidates.withColumn("_shard", shard_of(hash_col, n_shards)).withColumn(
+        "_pos", bit_positions(url_col, n_bits, k)
+    )
+    joined = withpos.join(F.broadcast(blooms.withColumnRenamed("shard", "_shard")), "_shard", "left")
+
+    @pandas_udf("boolean")
+    def test(bits: pd.Series, pos: pd.Series) -> pd.Series:
+        out = np.empty(len(bits), dtype=bool)
+        for i in range(len(bits)):
+            b = bits.iloc[i]
+            if b is None:
+                out[i] = False
+                continue
+            arr = np.frombuffer(b, dtype=np.uint8)
+            p = np.asarray(pos.iloc[i], dtype=np.int64)
+            out[i] = bool(np.all(arr[p // 8] & (1 << (p % 8).astype(np.uint8))))
+        return pd.Series(out)
+
+    return joined.withColumn("maybe_seen", test(F.col("bits"), F.col("_pos"))).drop(
+        "_shard", "_pos", "bits"
+    )
+
+
+def bloom_anti_join(
+    candidates: DataFrame,
+    seen: DataFrame,
+    blooms: DataFrame,
+    url_col: str = "url",
+    **bloom_kw,
+) -> DataFrame:
+    """Exact anti-join with Bloom pre-filter: definitely-new rows bypass
+    the shuffle; maybe-seen rows get the exact left_anti confirmation.
+    Result is IDENTICAL to a plain anti-join (tested), just cheaper."""
+    flagged = bloom_maybe_seen(candidates, blooms, url_col=url_col, **bloom_kw)
+    fresh = flagged.where(~F.col("maybe_seen")).drop("maybe_seen")
+    maybe = flagged.where(F.col("maybe_seen")).drop("maybe_seen")
+    confirmed = maybe.join(seen.select(F.col(url_col)), url_col, "left_anti")
+    return fresh.unionByName(confirmed)

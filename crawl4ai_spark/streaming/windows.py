@@ -1,0 +1,137 @@
+"""Structured Streaming operators over the events stream.
+
+The reference engine is batch rounds (SURVEY §2 notes streaming as the
+optional extension); these operators give the engine a native
+``readStream → watermark → window/state → sink`` path so continuous
+crawls/event feeds reuse the same aggregation semantics as the batch
+queries — ``stream_tumbling_agg`` run with an availableNow trigger over
+a static directory produces EXACTLY the batch answer, which is how the
+oracle checks it.
+
+Scale notes: tumbling-window aggregation is a streaming partial agg with
+state keyed by (window, event_type) — bounded state, watermark evicts
+closed windows. Sessionization uses ``applyInPandasWithState`` keyed
+per user — the canonical custom-stateful-operator shape.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EVENTS_SCHEMA = (
+    "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-stream source over a parquet directory. A single-file path
+    (the driver's ``events.parquet`` is one file) is exposed through a
+    temp directory of symlinks — the file source requires a directory."""
+    import os
+    import tempfile
+
+    if os.path.isfile(path):
+        d = tempfile.mkdtemp(prefix="events_stream_")
+        os.symlink(path, os.path.join(d, os.path.basename(path)))
+        path = d
+    return (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .format("parquet")
+        .option("path", path)
+        .load()
+    )
+
+
+def stream_tumbling_agg(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Hourly tumbling windows per event_type; late data beyond the
+    watermark is dropped once the window closes. Column contract matches
+    the batch ``events_tumbling`` query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+            # NB: approx/count-distinct over streams needs state; exact
+            # countDistinct is unsupported in update mode — collect_set
+            # keeps the semantics for bounded user cardinality
+            F.size(F.collect_set("user_id")).cast("long").alias("n_users"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type", "n_events", "sum_cents", "n_users",
+        )
+    )
+
+
+def run_stream_to_table(spark: SparkSession, stream: DataFrame, name: str, checkpoint: str) -> None:
+    """availableNow trigger → memory sink: drains everything currently
+    in the source then stops (the batch-equivalence harness)."""
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+# --------------------------------------------------------------------------- #
+# custom stateful operator: session windows via applyInPandasWithState
+# --------------------------------------------------------------------------- #
+SESSION_GAP_S = 1800
+_OUT_SCHEMA = "user_id long, session_idx long, n_events long, duration_s long"
+_STATE_SCHEMA = "session_idx long, start_s long, last_s long, n long"
+
+
+def _session_fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+    """Per-user incremental sessionizer: emits a row per session CLOSED
+    by observed data (a later event > gap after the last); the open
+    session survives in state across triggers. NoTimeout: with an
+    availableNow drain, ProcessingTimeTimeout would spin empty
+    micro-batches until wall-clock timeouts fire — idle-session closure
+    belongs to a continuous run, not the drain harness."""
+    (user_id,) = key
+    rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+    secs = (rows["ts"].astype("int64") // 1_000_000_000).to_numpy()
+    if state.exists:
+        s_idx, start_s, last_s, n = state.get
+    else:
+        s_idx, start_s, last_s, n = 0, None, None, 0
+    out = []
+    for t in secs:
+        if start_s is None:
+            s_idx, start_s, last_s, n = s_idx + 1, int(t), int(t), 1
+        elif t - last_s > SESSION_GAP_S:
+            out.append([user_id, s_idx, n, last_s - start_s])
+            s_idx, start_s, last_s, n = s_idx + 1, int(t), int(t), 1
+        else:
+            last_s, n = int(t), n + 1
+    state.update((s_idx, start_s, last_s, n))
+    yield pd.DataFrame(out, columns=["user_id", "session_idx", "n_events", "duration_s"])
+
+
+def stream_sessionize(events: DataFrame) -> DataFrame:
+    """Custom stateful sessionization (gap 30 min) — the
+    applyInPandasWithState shape the north rule's 'custom stateful
+    streaming operator' slot calls for."""
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_fn,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,75 @@
+"""Structured Streaming tests: batch equivalence + stateful sessions."""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_stream_tumbling_equals_batch(spark):
+    from crawl4ai_spark.queries.crawlops import q_events_tumbling
+    from crawl4ai_spark.queries.streamops import q_stream_tumbling
+
+    got = {tuple(r) for r in q_stream_tumbling(spark, SF).collect()}
+    want = {tuple(r) for r in q_events_tumbling(spark, SF).collect()}
+    assert got == want
+
+
+def test_stream_sessionize_matches_closed_batch_sessions(spark):
+    """Streamed sessions (closed-by-data) == batch sessions minus each
+    user's final (still-open) session."""
+    from crawl4ai_spark.queries.crawlops import q_events_sessionize
+    from crawl4ai_spark.queries.streamops import q_stream_sessionize
+
+    got = {
+        (r.user_id, r.session_idx, r.n_events, r.duration_s)
+        for r in q_stream_sessionize(spark, SF).collect()
+    }
+    batch = q_events_sessionize(spark, SF)
+    last = batch.groupBy("user_id").agg(F.max("session_idx").alias("mx"))
+    closed = batch.join(last, "user_id").where(F.col("session_idx") != F.col("mx"))
+    want = {
+        (r.user_id, r.session_idx, r.n_events, r.duration_s)
+        for r in closed.collect()
+    }
+    assert got == want
+
+
+def test_stream_incremental_state_across_batches(spark):
+    """Split events into two file batches; sessions spanning the file
+    boundary must still be stitched by the state store."""
+    import os
+
+    from crawl4ai_spark.streaming.windows import (
+        EVENTS_SCHEMA,
+        stream_sessionize,
+    )
+
+    d = tempfile.mkdtemp(prefix="ev2_")
+    ev = spark.read.parquet(f"{SF}/events.parquet").orderBy("ts").limit(2000)
+    rows = ev.collect()
+    half = len(rows) // 2
+    spark.createDataFrame(rows[:half], ev.schema).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "p1"))
+    spark.createDataFrame(rows[half:], ev.schema).coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "p2"))
+    src = (
+        spark.readStream.schema(EVENTS_SCHEMA).format("parquet")
+        .option("maxFilesPerTrigger", "1")
+        .load(d + "/*/")
+    )
+    name = f"sess_{uuid.uuid4().hex[:6]}"
+    q = (
+        stream_sessionize(src)
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    streamed = spark.table(name)
+    # all emitted sessions have positive counts and no duplicates per key
+    assert streamed.where(F.col("n_events") <= 0).count() == 0
+    dupes = streamed.groupBy("user_id", "session_idx").count().where("count > 1").count()
+    assert dupes == 0
