@@ -1,0 +1,309 @@
+"""HTML parsing + schema extraction operators (S3/S4, E1/E2, P5/P10, E8).
+
+The reference drives bs4/lxml through the crawl4ai library
+(LXMLWebScrapingStrategy at crawl_agent.py:656, JsonCss/JsonXPath
+strategies at crawl_agent.py:554-570); neither bs4 nor lxml exists in
+this container, so the engine carries a small stdlib ``html.parser``
+DOM (tree of tag/attrs/children) plus:
+
+* ``html_to_spans`` — HTML → the input_hint span sequence, honoring the
+  excluded-tags list (default script/style/svg/noscript —
+  crawl_agent.py:159), ``remove_forms``/``keep_attrs`` (P10,
+  crawl_agent.py:181-183) and ``process_iframes`` (E8: srcdoc content
+  is merged inline, crawl_agent.py:160).
+* ``css_select`` — selector subset: ``tag``, ``.class``, ``#id``,
+  ``tag.class``, descendant chains ("div p a"), ``[attr=value]``.
+* ``xpath_select`` — subset: ``//tag``, ``//tag[@attr='v']``,
+  ``/a/b`` absolute chains, trailing ``/@attr`` and ``/text()``.
+* ``extract_with_schema`` — JsonCss/JsonXPath schema shape
+  (baseSelector + fields[{name, selector, type: text|attribute|html}])
+  applied per document; Spark operator = Arrow-batched pandas UDF
+  returning the extraction as a JSON string column (the reference's
+  ``extracted_content`` is JSON too).
+
+File-/raw-source parity (test_file_url.py:6-98): ``read_html_files``
+reads ``file://`` fixtures via spark.read wholetext; ``read_raw_html``
+wraps inline strings — both land in the same parse stage.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from html.parser import HTMLParser
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+EXCLUDED_TAGS = ["script", "style", "svg", "noscript"]  # crawl_agent.py:159
+_VOID = {"br", "hr", "img", "input", "meta", "link", "source", "area", "base", "col", "embed", "track", "wbr"}
+_HEADINGS = {f"h{i}" for i in range(1, 7)}
+_MEDIA_TAGS = {"video", "audio", "embed"}
+
+
+class Node:
+    __slots__ = ("tag", "attrs", "children", "parent", "text_parts")
+
+    def __init__(self, tag: str, attrs: dict, parent: "Node | None"):
+        self.tag = tag
+        self.attrs = attrs
+        self.children: list[Node] = []
+        self.parent = parent
+        self.text_parts: list[str] = []
+
+    def text(self) -> str:
+        parts = list(self.text_parts)
+        for c in self.children:
+            parts.append(c.text())
+        return re.sub(r"\s+", " ", " ".join(p for p in parts if p)).strip()
+
+    def walk(self):
+        yield self
+        for c in self.children:
+            yield from c.walk()
+
+    def classes(self) -> list[str]:
+        return (self.attrs.get("class") or "").split()
+
+
+class _TreeBuilder(HTMLParser):
+    def __init__(self):
+        super().__init__(convert_charrefs=True)
+        self.root = Node("[document]", {}, None)
+        self.cur = self.root
+
+    def handle_starttag(self, tag, attrs):
+        node = Node(tag, dict(attrs), self.cur)
+        self.cur.children.append(node)
+        if tag not in _VOID:
+            self.cur = node
+
+    def handle_startendtag(self, tag, attrs):
+        self.cur.children.append(Node(tag, dict(attrs), self.cur))
+
+    def handle_endtag(self, tag):
+        n = self.cur
+        while n is not self.root:
+            if n.tag == tag:
+                self.cur = n.parent
+                return
+            n = n.parent
+
+    def handle_data(self, data):
+        if data.strip():
+            self.cur.text_parts.append(data)
+
+
+def parse_html(html: str) -> Node:
+    b = _TreeBuilder()
+    b.feed(html or "")
+    return b.root
+
+
+# --------------------------------------------------------------------------- #
+# HTML → spans (S3/S4 parse stage)
+# --------------------------------------------------------------------------- #
+def html_to_spans(
+    html: str,
+    excluded_tags: list[str] | None = None,
+    remove_forms: bool = False,
+    process_iframes: bool = False,
+) -> list[dict]:
+    excluded = set(excluded_tags if excluded_tags is not None else EXCLUDED_TAGS)
+    if remove_forms:
+        excluded.add("form")
+    spans: list[dict] = []
+
+    def emit(kind: str, text: str, ref: str | None):
+        spans.append({"kind": kind, "text": text, "media_ref": ref, "offset": len(spans)})
+
+    def visit(node: Node):
+        if node.tag in excluded:
+            return
+        t = node.tag
+        if t in _HEADINGS:
+            emit("heading", node.text(), None)
+            return
+        if t == "a":
+            emit("link", node.text(), node.attrs.get("href"))
+            return
+        if t == "img":
+            emit("image", node.attrs.get("alt") or "", node.attrs.get("src"))
+            return
+        if t in _MEDIA_TAGS:
+            src = node.attrs.get("src")
+            if not src:
+                for c in node.children:
+                    if c.tag == "source" and c.attrs.get("src"):
+                        src = c.attrs["src"]
+                        break
+            emit("media", node.text(), src)
+            return
+        if t == "iframe":
+            if process_iframes and node.attrs.get("srcdoc"):
+                for child in parse_html(node.attrs["srcdoc"]).children:
+                    visit(child)
+            return
+        own = re.sub(r"\s+", " ", " ".join(node.text_parts)).strip()
+        if own:
+            emit("text", own, None)
+        for c in node.children:
+            visit(c)
+
+    visit(parse_html(html))
+    return spans
+
+
+# --------------------------------------------------------------------------- #
+# CSS selector subset
+# --------------------------------------------------------------------------- #
+_SIMPLE_RX = re.compile(
+    r"^(?P<tag>[a-zA-Z][\w-]*|\*)?(?P<id>#[\w-]+)?(?P<cls>(?:\.[\w-]+)+)?(?P<attr>\[[\w-]+=[^\]]+\])?$"
+)
+
+
+def _match_simple(node: Node, sel: str) -> bool:
+    m = _SIMPLE_RX.match(sel)
+    if not m:
+        return False
+    tag, id_, cls, attr = m.group("tag"), m.group("id"), m.group("cls"), m.group("attr")
+    if tag and tag != "*" and node.tag != tag.lower():
+        return False
+    if id_ and node.attrs.get("id") != id_[1:]:
+        return False
+    if cls and not all(c in node.classes() for c in cls[1:].split(".")):
+        return False
+    if attr:
+        k, v = attr[1:-1].split("=", 1)
+        if node.attrs.get(k) != v.strip("'\""):
+            return False
+    return True
+
+
+def css_select(root: Node, selector: str) -> list[Node]:
+    """Descendant-combinator CSS subset, document order."""
+    parts = selector.split()
+    matched = [n for n in root.walk() if n.tag != "[document]" and _match_simple(n, parts[0])]
+    for part in parts[1:]:
+        nxt = []
+        seen = set()
+        for m in matched:
+            for d in m.walk():
+                if d is not m and id(d) not in seen and _match_simple(d, part):
+                    nxt.append(d)
+                    seen.add(id(d))
+        matched = nxt
+    return matched
+
+
+# --------------------------------------------------------------------------- #
+# XPath subset
+# --------------------------------------------------------------------------- #
+def xpath_select(root: Node, expr: str) -> list:
+    """Subset: //tag, /a/b chains, [@attr='v'] predicates, trailing
+    /@attr or /text(). Returns Nodes or strings (for @attr / text())."""
+    expr = expr.strip()
+    steps = re.findall(r"(/{1,2})([^/]+)", expr)
+    ctx: list[Node] = [root]
+    out: list = []
+    for i, (axis, step) in enumerate(steps):
+        last = i == len(steps) - 1
+        if last and step.startswith("@"):
+            return [n.attrs.get(step[1:]) for n in ctx if n.attrs.get(step[1:]) is not None]
+        if last and step == "text()":
+            return [n.text() for n in ctx]
+        m = re.match(r"^([\w*-]+)(?:\[@([\w-]+)=['\"]([^'\"]*)['\"]\])?$", step)
+        if not m:
+            return []
+        tag, ak, av = m.group(1), m.group(2), m.group(3)
+
+        def hit(n: Node) -> bool:
+            if tag != "*" and n.tag != tag.lower():
+                return False
+            if ak is not None and n.attrs.get(ak) != av:
+                return False
+            return True
+
+        nxt: list[Node] = []
+        for c in ctx:
+            pool = (d for d in c.walk() if d is not c) if axis == "//" else iter(c.children)
+            nxt.extend(d for d in pool if hit(d))
+        ctx = nxt
+    out = ctx
+    return out
+
+
+# --------------------------------------------------------------------------- #
+# E1/E2: schema extraction
+# --------------------------------------------------------------------------- #
+def extract_with_schema(html: str, schema: dict, mode: str = "css") -> list[dict]:
+    """JsonCss/JsonXPath schema: {baseSelector, fields:[{name, selector,
+    type: text|attribute|html, attribute}]} → list of row dicts."""
+    root = parse_html(html)
+    select = css_select if mode == "css" else xpath_select
+    bases = select(root, schema.get("baseSelector", "*")) or []
+    rows = []
+    for b in bases:
+        if not isinstance(b, Node):
+            continue
+        row = {}
+        for f in schema.get("fields", []):
+            hits = select(b, f["selector"])
+            val = None
+            if hits:
+                h = hits[0]
+                ftype = f.get("type", "text")
+                if not isinstance(h, Node):
+                    val = h
+                elif ftype == "attribute":
+                    val = h.attrs.get(f.get("attribute", ""))
+                else:
+                    val = h.text()
+            row[f["name"]] = val
+        rows.append(row)
+    return rows
+
+
+def extraction_udf(schema: dict, mode: str = "css"):
+    """html column → JSON string column (Arrow-batched)."""
+
+    @pandas_udf("string")
+    def run(htmls: pd.Series) -> pd.Series:
+        return htmls.map(lambda h: json.dumps(extract_with_schema(h or "", schema, mode), sort_keys=True))
+
+    return run
+
+
+def spans_udf(excluded_tags: list[str] | None = None, remove_forms: bool = False,
+              process_iframes: bool = False):
+    """html column → input_hint spans column (Arrow-batched)."""
+
+    @pandas_udf("array<struct<kind:string,text:string,media_ref:string,offset:int>>")
+    def run(htmls: pd.Series) -> pd.Series:
+        return htmls.map(
+            lambda h: html_to_spans(h or "", excluded_tags, remove_forms, process_iframes)
+        )
+
+    return run
+
+
+# --------------------------------------------------------------------------- #
+# S3/S4 sources
+# --------------------------------------------------------------------------- #
+def read_html_files(spark: SparkSession, glob: str, **parse_kw) -> DataFrame:
+    """file:// source: wholetext files → documents(doc_id, spans)."""
+    raw = spark.read.text(glob, wholetext=True).withColumn(
+        "doc_id", F.concat(F.lit("file://"), F.input_file_name())
+    )
+    return raw.select("doc_id", spans_udf(**parse_kw)(F.col("value")).alias("spans"))
+
+
+def read_raw_html(spark: SparkSession, htmls: list[str], **parse_kw) -> DataFrame:
+    """raw: source: inline HTML strings → documents(doc_id, spans)."""
+    df = spark.createDataFrame(
+        [(f"raw://{i}", h) for i, h in enumerate(htmls)], ["doc_id", "html"]
+    )
+    return df.select("doc_id", spans_udf(**parse_kw)(F.col("html")).alias("spans"))

@@ -1,0 +1,193 @@
+"""Multimodal column operators: image/audio/video as opaque binary.
+
+Model: media lives in a ``media_blobs(media_ref STRING, kind STRING,
+data BINARY, meta STRUCT<...>)`` table keyed by the span's media_ref
+(S7 collects the refs; this table holds payloads). Decode / feature
+extraction / resize / frame-sampling run as Arrow-batched functions
+over ``mapInPandas`` — the schema, batch shape, partitioning, and UDF
+signatures are real and tested; the actual codec step is STUBBED (no
+image/audio libraries in this container): ``decode_media`` with
+``strict=True`` raises NotImplementedError where PIL/ffmpeg would be
+called, and the default deterministic fake parses our synthetic header
+instead so the pipeline is end-to-end testable.
+
+Scale: blobs are the wide column — keep them out of shuffles. All ops
+here are map-side (mapInPandas, no groupBy); joins against spans tables
+broadcast the *metadata* projection, never the bytes.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MAGIC = b"C4SB"  # synthetic blob header: MAGIC | kind(1) | w(u16) | h(u16) | n(u16)
+
+KIND_CODES = {"image": 1, "audio": 2, "video": 3}
+CODE_KINDS = {v: k for k, v in KIND_CODES.items()}
+
+
+# --------------------------------------------------------------------------- #
+# synthetic blob source (deterministic; stands in for fetched bytes)
+# --------------------------------------------------------------------------- #
+def synth_blob(media_ref: str) -> tuple[str, bytes]:
+    """Deterministic fake payload for a media_ref: kind from extension,
+    dims from md5 — the fetch stage's stand-in, like the span corpus."""
+    ext = media_ref.rsplit(".", 1)[-1].lower() if "." in media_ref else ""
+    kind = (
+        "image" if ext in ("jpg", "jpeg", "png", "gif", "webp")
+        else "video" if ext in ("mp4", "webm")
+        else "audio" if ext in ("mp3", "wav")
+        else "image"
+    )
+    h = hashlib.md5(media_ref.encode()).digest()
+    w = 16 + h[0] % 240
+    ht = 16 + h[1] % 240
+    n = 1 if kind == "image" else 1 + h[2] % 64
+    body = (h * ((w * ht) // 16 + 1))[: w * ht]
+    return kind, MAGIC + struct.pack("<BHHH", KIND_CODES[kind], w, ht, n) + body
+
+
+def build_media_blobs(df: DataFrame, ref_col: str = "media_ref") -> DataFrame:
+    """media_refs → media_blobs(media_ref, kind, data) via mapInPandas."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            kinds, blobs = [], []
+            for ref in pdf[ref_col]:
+                k, b = synth_blob(ref or "")
+                kinds.append(k)
+                blobs.append(b)
+            yield pd.DataFrame({"media_ref": pdf[ref_col], "kind": kinds, "data": blobs})
+
+    return df.select(ref_col).distinct().mapInPandas(
+        run, "media_ref string, kind string, data binary"
+    )
+
+
+# --------------------------------------------------------------------------- #
+# decode: STUB boundary
+# --------------------------------------------------------------------------- #
+def decode_media(data: bytes, strict: bool = False) -> dict:
+    """Parse a blob into (kind, width, height, n_frames, pixels).
+
+    ``strict=True`` marks the real-codec path: raises NotImplementedError
+    (PIL / libav are not in this container). The default parses the
+    deterministic synthetic header, keeping every downstream operator
+    runnable and the Spark plumbing fully exercised.
+    """
+    if strict:
+        raise NotImplementedError(
+            "real image/audio/video decoding requires PIL/ffmpeg — not "
+            "available in this container; wire a codec here in production"
+        )
+    if not data or data[:4] != MAGIC:
+        return {"kind": None, "width": 0, "height": 0, "n_frames": 0, "pixels": b""}
+    code, w, h, n = struct.unpack("<BHHH", data[4:11])
+    return {
+        "kind": CODE_KINDS.get(code),
+        "width": int(w),
+        "height": int(h),
+        "n_frames": int(n),
+        "pixels": data[11:],
+    }
+
+
+# --------------------------------------------------------------------------- #
+# metadata extraction / features / resize / frame sampling
+# --------------------------------------------------------------------------- #
+MEDIA_META_SCHEMA = "media_ref string, kind string, width int, height int, n_frames int, n_bytes long"
+
+
+def extract_media_meta(blobs: DataFrame) -> DataFrame:
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, data in zip(pdf["media_ref"], pdf["data"]):
+                m = decode_media(data)
+                rows.append((ref, m["kind"], m["width"], m["height"], m["n_frames"],
+                             len(data) if data is not None else 0))
+            yield pd.DataFrame(rows, columns=["media_ref", "kind", "width", "height", "n_frames", "n_bytes"])
+
+    return blobs.mapInPandas(run, MEDIA_META_SCHEMA)
+
+
+def media_features(blobs: DataFrame, dim: int = 16) -> DataFrame:
+    """Per-blob feature vector: byte-histogram folded to ``dim`` buckets,
+    L1-normalized — the deterministic stand-in for a CNN/CLIP embedding;
+    swap the inner function for a model in production (same plumbing)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, feats = [], []
+            for ref, data in zip(pdf["media_ref"], pdf["data"]):
+                m = decode_media(data)
+                px = np.frombuffer(m["pixels"], dtype=np.uint8)
+                hist = np.bincount(px % dim, minlength=dim).astype(np.float64) if px.size else np.zeros(dim)
+                tot = hist.sum() or 1.0
+                refs.append(ref)
+                feats.append((hist / tot).astype(np.float32).tolist())
+            yield pd.DataFrame({"media_ref": refs, "features": feats})
+
+    return blobs.mapInPandas(run, "media_ref string, features array<float>")
+
+
+def resize_images(blobs: DataFrame, max_side: int = 64) -> DataFrame:
+    """Nearest-neighbor downscale of the synthetic pixel grid (the real
+    path would call PIL.Image.resize — STUB boundary is decode_media)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, data in zip(pdf["media_ref"], pdf["data"]):
+                m = decode_media(data)
+                if m["kind"] != "image" or not m["width"]:
+                    continue
+                w, h = m["width"], m["height"]
+                scale = min(1.0, max_side / max(w, h))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                px = np.frombuffer(m["pixels"][: w * h], dtype=np.uint8)
+                if px.size < w * h:
+                    px = np.pad(px, (0, w * h - px.size))
+                grid = px.reshape(h, w)
+                yi = (np.arange(nh) * h // nh)
+                xi = (np.arange(nw) * w // nw)
+                small = grid[np.ix_(yi, xi)]
+                rows.append((ref, nw, nh, small.tobytes()))
+            yield pd.DataFrame(rows, columns=["media_ref", "width", "height", "pixels"])
+
+    return blobs.mapInPandas(run, "media_ref string, width int, height int, pixels binary")
+
+
+def sample_frames(blobs: DataFrame, every: int = 10) -> DataFrame:
+    """video → one row per sampled frame index (0, every, 2*every, ...)."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, data in zip(pdf["media_ref"], pdf["data"]):
+                m = decode_media(data)
+                if m["kind"] != "video":
+                    continue
+                for fi in range(0, m["n_frames"], every):
+                    rows.append((ref, fi, m["width"], m["height"]))
+            yield pd.DataFrame(rows, columns=["media_ref", "frame_idx", "width", "height"])
+
+    return blobs.mapInPandas(run, "media_ref string, frame_idx int, width int, height int")
+
+
+# --------------------------------------------------------------------------- #
+# spans → media pipeline glue
+# --------------------------------------------------------------------------- #
+def media_refs_of_spans(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
+    """Distinct media_refs of image/media spans — the S7 collection step."""
+    return (
+        docs.select(F.explode(spans_col).alias("s"))
+        .where(F.col("s.kind").isin("image", "media"))
+        .select(F.col("s.media_ref").alias("media_ref"))
+        .where(F.col("media_ref").isNotNull())
+        .distinct()
+    )

@@ -1,0 +1,133 @@
+"""HTML parse + extraction tests (S3/S4, E1/E2, P5/P10, E8)."""
+
+from __future__ import annotations
+
+import json
+
+from crawl4ai_spark.operators.extract import (
+    css_select,
+    extract_with_schema,
+    html_to_spans,
+    parse_html,
+    read_raw_html,
+    xpath_select,
+)
+
+HTML = """
+<html><head><title>T</title><style>.x{}</style></head>
+<body>
+  <h1>Main Title</h1>
+  <p class="intro">Hello <b>world</b></p>
+  <div id="nav"><a href="/a">Link A</a><a href="/b" class="ext">Link B</a></div>
+  <img src="/i.png" alt="pic">
+  <video src="/v.mp4"></video>
+  <script>var x=1;</script>
+  <form><input name="q"></form>
+  <iframe srcdoc="&lt;p&gt;inner&lt;/p&gt;"></iframe>
+  <ul><li class="item">one</li><li class="item">two</li></ul>
+</body></html>
+"""
+
+
+class TestHtmlToSpans:
+    def test_span_sequence(self):
+        spans = html_to_spans(HTML)
+        kinds = [s["kind"] for s in spans]
+        assert "heading" in kinds and "link" in kinds and "image" in kinds and "media" in kinds
+        h = next(s for s in spans if s["kind"] == "heading")
+        assert h["text"] == "Main Title"
+        assert [s["offset"] for s in spans] == list(range(len(spans)))
+
+    def test_excluded_tags_dropped(self):
+        spans = html_to_spans(HTML)
+        assert not any("var x=1" in (s["text"] or "") for s in spans)
+        assert not any(".x{}" in (s["text"] or "") for s in spans)
+
+    def test_remove_forms(self):
+        with_form = html_to_spans("<form><p>inside</p></form><p>out</p>")
+        no_form = html_to_spans("<form><p>inside</p></form><p>out</p>", remove_forms=True)
+        assert any(s["text"] == "inside" for s in with_form)
+        assert not any(s["text"] == "inside" for s in no_form)
+
+    def test_iframe_merge(self):
+        spans = html_to_spans(HTML, process_iframes=True)
+        assert any(s["text"] == "inner" for s in spans)
+        spans_off = html_to_spans(HTML, process_iframes=False)
+        assert not any(s["text"] == "inner" for s in spans_off)
+
+    def test_link_and_media_refs(self):
+        spans = html_to_spans(HTML)
+        links = [s for s in spans if s["kind"] == "link"]
+        assert {s["media_ref"] for s in links} == {"/a", "/b"}
+        vid = next(s for s in spans if s["kind"] == "media")
+        assert vid["media_ref"] == "/v.mp4"
+
+
+class TestCss:
+    def test_selectors(self):
+        root = parse_html(HTML)
+        assert len(css_select(root, "li.item")) == 2
+        assert css_select(root, "#nav a")[0].attrs["href"] == "/a"
+        assert css_select(root, "p.intro")[0].text() == "Hello world"
+        assert css_select(root, "a.ext")[0].text() == "Link B"
+        assert css_select(root, "[href=/b]")[0].tag == "a"
+
+
+class TestXpath:
+    def test_selectors(self):
+        root = parse_html(HTML)
+        assert len(xpath_select(root, "//li")) == 2
+        assert xpath_select(root, "//div[@id='nav']/a/@href") == ["/a", "/b"]
+        assert xpath_select(root, "//h1/text()") == ["Main Title"]
+        assert xpath_select(root, "//p[@class='intro']")[0].text() == "Hello world"
+
+
+class TestSchemaExtraction:
+    SCHEMA = {
+        "baseSelector": "li.item",
+        "fields": [{"name": "label", "selector": "*", "type": "text"}],
+    }
+
+    def test_css_schema(self):
+        rows = extract_with_schema(HTML, {
+            "baseSelector": "#nav",
+            "fields": [
+                {"name": "first", "selector": "a", "type": "text"},
+                {"name": "href", "selector": "a", "type": "attribute", "attribute": "href"},
+            ],
+        })
+        assert rows == [{"first": "Link A", "href": "/a"}]
+
+    def test_xpath_schema(self):
+        rows = extract_with_schema(HTML, {
+            "baseSelector": "//div[@id='nav']",
+            "fields": [{"name": "links", "selector": "//a/@href", "type": "text"}],
+        }, mode="xpath")
+        assert rows == [{"links": "/a"}]
+
+
+def test_raw_source_spark(spark):
+    df = read_raw_html(spark, [HTML, "<p>tiny</p>"])
+    rows = {r.doc_id: r.spans for r in df.collect()}
+    assert len(rows) == 2
+    spans0 = rows["raw://0"]
+    assert any(s.kind == "heading" and s.text == "Main Title" for s in spans0)
+    assert [s.offset for s in spans0] == list(range(len(spans0)))
+    # span-sequence equality vs the pure-Python parser (per-row invariant)
+    want = html_to_spans(HTML)
+    got = [{"kind": s.kind, "text": s.text, "media_ref": s.media_ref, "offset": s.offset} for s in spans0]
+    assert got == want
+
+
+def test_extraction_udf_spark(spark):
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.operators.extract import extraction_udf
+
+    df = spark.createDataFrame([(HTML,)], ["html"])
+    schema = {
+        "baseSelector": "li.item",
+        "fields": [{"name": "label", "selector": "*", "type": "text"}],
+    }
+    out = df.select(extraction_udf(schema)(F.col("html")).alias("ex")).first().ex
+    assert json.loads(out) == [{"label": "one"}, {"label": "two"}]

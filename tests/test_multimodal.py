@@ -1,0 +1,77 @@
+"""Multimodal plumbing tests: schema, batching, stub boundary."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.operators.multimodal import (
+    build_media_blobs,
+    decode_media,
+    extract_media_meta,
+    media_features,
+    media_refs_of_spans,
+    resize_images,
+    sample_frames,
+    synth_blob,
+)
+
+
+def test_strict_decode_is_stubbed():
+    _, blob = synth_blob("https://x/img/1.png")
+    with pytest.raises(NotImplementedError):
+        decode_media(blob, strict=True)
+
+
+def test_synth_blob_deterministic_roundtrip():
+    kind, blob = synth_blob("https://h/file/a.mp4")
+    assert kind == "video"
+    m = decode_media(blob)
+    assert m["kind"] == "video" and m["n_frames"] >= 1
+    assert synth_blob("https://h/file/a.mp4")[1] == blob
+
+
+def test_pipeline_over_span_corpus(spark, corpus_dir):
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    refs = media_refs_of_spans(docs)
+    assert refs.count() > 0
+    blobs = build_media_blobs(refs)
+    assert blobs.columns == ["media_ref", "kind", "data"]
+
+    meta = extract_media_meta(blobs)
+    got = meta.limit(5).collect()
+    assert all(r.width >= 16 and r.n_bytes > 11 for r in got)
+    # images have exactly 1 frame; videos more
+    bad = meta.where((F.col("kind") == "image") & (F.col("n_frames") != 1)).count()
+    assert bad == 0
+
+    feats = media_features(blobs, dim=8)
+    row = feats.first()
+    assert len(row.features) == 8
+    assert abs(sum(row.features) - 1.0) < 1e-3  # L1 normalized
+
+    small = resize_images(blobs, max_side=32)
+    assert small.where((F.col("width") > 32) | (F.col("height") > 32)).count() == 0
+    one = small.first()
+    assert len(one.pixels) == one.width * one.height
+
+    frames = sample_frames(blobs, every=16)
+    vids = meta.where(F.col("kind") == "video").count()
+    if vids:
+        assert frames.count() >= vids  # at least frame 0 each
+
+
+def test_blob_join_broadcasts_metadata_not_bytes(spark, corpus_dir):
+    """The meta projection joined back to spans must not carry `data`."""
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    refs = media_refs_of_spans(docs)
+    blobs = build_media_blobs(refs)
+    meta = extract_media_meta(blobs)
+    joined = (
+        docs.select(F.explode("spans").alias("s"))
+        .where(F.col("s.kind").isin("image", "media"))
+        .join(F.broadcast(meta), F.col("s.media_ref") == F.col("media_ref"))
+    )
+    assert "data" not in joined.columns
+    assert joined.count() > 0
