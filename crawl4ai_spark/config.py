@@ -44,6 +44,10 @@ class CrawlConfig:
     track_order: bool = True          # assign global crawl ranks (off = throughput mode)
     max_rounds: int = 1000
     use_ai_agent: bool = False        # needed for best_first (see resolve_strategy)
+    use_bloom: bool = False           # Bloom-sidecar prefilter for the seen-set anti-join
+    bloom_shards: int = 16
+    bloom_bits: int = 1 << 23         # bits per shard (1 MiB)
+    bloom_k: int = 7
 
 
 def resolve_strategy(cfg: CrawlConfig) -> str:

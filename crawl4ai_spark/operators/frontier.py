@@ -50,6 +50,7 @@ from ..config import SOCIAL_DOMAINS, CrawlConfig, resolve_strategy
 from ..functions.scoring import link_score
 from ..functions.urls import canonicalize, url_hash, url_host, url_path
 from ..tables import Checkpoint, SnapshotTable
+from .seen_filter import bloom_anti_join, build_bloom_shards, merge_bloom_shards
 
 FRONTIER_COLS = [
     "url", "url_hash", "host", "host_salt", "depth", "score",
@@ -75,6 +76,7 @@ class CrawlEngine:
         self.seen_tbl = SnapshotTable(state_dir, "url_seen")
         self.pages_tbl = SnapshotTable(state_dir, "pages")
         self.metrics_tbl = SnapshotTable(state_dir, "metrics")
+        self.bloom_tbl = SnapshotTable(state_dir, "blooms")
         self.ckp = Checkpoint(state_dir)
         self.robots = robots
         self.host_budgets = host_budgets
@@ -241,13 +243,19 @@ class CrawlEngine:
                 seeds.select("url", "url_hash", F.lit(0).alias("first_round"),
                              F.lit("frontier").alias("state"))
             )
+            if cfg.use_bloom:
+                self.bloom_tbl.overwrite(build_bloom_shards(
+                    self.seen_tbl.read(spark), n_shards=cfg.bloom_shards,
+                    n_bits=cfg.bloom_bits, k=cfg.bloom_k))
             round_no, fetched = 1, 0
         else:
             # Roll back any table commits that happened after the last
             # durable checkpoint — the interrupted round replays exactly.
             for name, tbl in (("frontier", self.frontier_tbl), ("url_seen", self.seen_tbl),
-                              ("pages", self.pages_tbl), ("metrics", self.metrics_tbl)):
-                tbl.rollback(ck["versions"][name])
+                              ("pages", self.pages_tbl), ("metrics", self.metrics_tbl),
+                              ("blooms", self.bloom_tbl)):
+                if name in ck["versions"]:
+                    tbl.rollback(ck["versions"][name])
             round_no, fetched = ck["round"] + 1, ck["fetched"]
 
         while round_no <= cfg.max_rounds:
@@ -272,7 +280,16 @@ class CrawlEngine:
 
             new_links = self._extract_links(pages_batch, round_no)
             seen = self.seen_tbl.read(spark).select("url")
-            fresh = new_links.join(seen, "url", "left_anti")
+            if cfg.use_bloom:
+                # definitely-new links skip the anti-join shuffle; only
+                # maybe-seen ones get the exact confirmation (F10 stays exact)
+                fresh = bloom_anti_join(
+                    new_links, seen, self.bloom_tbl.read(spark),
+                    url_col="url", hash_col="url_hash",
+                    n_shards=cfg.bloom_shards, n_bits=cfg.bloom_bits, k=cfg.bloom_k,
+                )
+            else:
+                fresh = new_links.join(seen, "url", "left_anti")
             allowed, blocked = self._robots_split(fresh)
 
             sel_urls = selected.select("url")
@@ -288,6 +305,12 @@ class CrawlEngine:
                     "url", "url_hash", F.lit(round_no).alias("first_round"),
                     F.lit("robots_blocked").alias("state")))
             self.seen_tbl.append(seen_add)
+            if cfg.use_bloom:
+                delta = build_bloom_shards(
+                    self._read_delta(self.seen_tbl), n_shards=cfg.bloom_shards,
+                    n_bits=cfg.bloom_bits, k=cfg.bloom_k)
+                self.bloom_tbl.overwrite(
+                    merge_bloom_shards(self.bloom_tbl.read(spark), delta))
 
             elapsed = time.monotonic() - t0
             metrics = (
@@ -305,6 +328,7 @@ class CrawlEngine:
                 "url_seen": self.seen_tbl.current_version(),
                 "pages": self.pages_tbl.current_version(),
                 "metrics": self.metrics_tbl.current_version(),
+                "blooms": self.bloom_tbl.current_version(),
             }, {"fetched": fetched})
             round_no += 1
 

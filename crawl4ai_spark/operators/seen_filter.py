@@ -102,6 +102,32 @@ def bloom_maybe_seen(
     )
 
 
+def merge_bloom_shards(existing: DataFrame | None, delta: DataFrame) -> DataFrame:
+    """OR the delta's shard bitsets into the existing sidecar (full outer
+    per shard) — the incremental per-round update path."""
+    if existing is None:
+        return delta
+    e = existing.withColumnRenamed("bits", "bits_a")
+    d = delta.withColumnRenamed("bits", "bits_b")
+    joined = e.join(d, "shard", "full_outer")
+
+    @pandas_udf("binary")
+    def orbits(a: pd.Series, b: pd.Series) -> pd.Series:
+        out = []
+        for x, y in zip(a, b):
+            if x is None:
+                out.append(y)
+            elif y is None:
+                out.append(x)
+            else:
+                out.append(
+                    (np.frombuffer(x, dtype=np.uint8) | np.frombuffer(y, dtype=np.uint8)).tobytes()
+                )
+        return pd.Series(out)
+
+    return joined.select("shard", orbits(F.col("bits_a"), F.col("bits_b")).alias("bits"))
+
+
 def bloom_anti_join(
     candidates: DataFrame,
     seen: DataFrame,

@@ -148,3 +148,24 @@ def test_resume_is_exact(spark, corpus_dir, tmp_path):
     sa = {(r.url, r.state) for r in full.url_seen().collect()}
     sb = {(r.url, r.state) for r in resumed.url_seen().collect()}
     assert sa == sb
+
+
+def test_bloom_engine_matches_exact(spark, corpus_dir, tmp_path):
+    """use_bloom=True must produce identical pages + seen set (F10 exact)."""
+    from dataclasses import replace
+
+    base = CrawlConfig(strategy="bfs", max_depth=3, max_pages=40, round_size=None)
+    base.seeds = get_seeds(spark, corpus_dir)
+    bloom_cfg = replace(base, use_bloom=True, bloom_shards=4, bloom_bits=1 << 16, bloom_k=5)
+
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    e1 = CrawlEngine(spark, docs, base, str(tmp_path / "exact"))
+    e1.run()
+    e2 = CrawlEngine(spark, docs, bloom_cfg, str(tmp_path / "bloom"))
+    e2.run()
+    p1 = [(r.rank, r.url) for r in e1.pages().orderBy("rank").collect()]
+    p2 = [(r.rank, r.url) for r in e2.pages().orderBy("rank").collect()]
+    assert p1 == p2
+    s1 = {(r.url, r.state) for r in e1.url_seen().collect()}
+    s2 = {(r.url, r.state) for r in e2.url_seen().collect()}
+    assert s1 == s2
