@@ -158,7 +158,7 @@ class CrawlEngine:
         heading = F.get(F.filter("spans", lambda s: s["kind"] == "heading"), 0)["text"]
         return joined.select(
             "url", "url_hash", "host", "depth",
-            (F.lit(fetched_so_far) + F.col("rank_in_round")).alias("rank"),
+            (F.lit(fetched_so_far) + F.col("rank_in_round")).cast("long").alias("rank"),
             F.lit(round_no).alias("fetch_round"),
             F.coalesce(F.col("_st"), F.lit("missing")).alias("status"),
             F.coalesce(heading, F.col("url")).alias("title"),  # E6 ladder
@@ -204,7 +204,7 @@ class CrawlEngine:
             F.pmod(F.xxhash64("url"), F.lit(max(1, cfg.politeness_salts))).cast("int").alias("host_salt"),
             (F.col("p_depth") + 1).alias("depth"),
             link_score("url", "anchor", cfg.query).alias("score"),
-            F.col("p_rank").alias("parent_rank"),
+            F.col("p_rank").cast("long").alias("parent_rank"),
             F.col("offset").alias("parent_offset"),
             F.concat("p_path", F.lit("/"), F.lpad(F.col("offset").cast("string"), 6, "0")).alias("path"),
             F.lit(round_no).alias("discovered_round"),
@@ -233,8 +233,27 @@ class CrawlEngine:
         return allowed, blocked
 
     # ------------------------------------------------------------------ #
+    def _sweep_mode(self) -> bool:
+        """BFS throughput fast path: with no page budget, no politeness
+        and no order tracking, round r's batch is EXACTLY the fresh links
+        discovered in round r-1 — the frontier degenerates to an
+        append-only log (each round touches only its delta) instead of a
+        remainder anti-join + full overwrite per round. At a 10^10-row
+        frontier the overwrite path rewrites the whole queue every round;
+        the sweep path writes only the per-round delta."""
+        cfg = self.cfg
+        return (
+            not cfg.track_order
+            and cfg.max_pages is None
+            and not cfg.politeness
+            and cfg.round_size is None
+            and self.strategy == "bfs"
+        )
+
+    # ------------------------------------------------------------------ #
     def run(self, resume: bool = False) -> dict:
         cfg, spark = self.cfg, self.spark
+        sweep = self._sweep_mode()
         ck = self.ckp.latest() if resume else None
         if ck is None:
             self.frontier_tbl.overwrite(self._seed_frontier())
@@ -259,9 +278,6 @@ class CrawlEngine:
             round_no, fetched = ck["round"] + 1, ck["fetched"]
 
         while round_no <= cfg.max_rounds:
-            frontier = self.frontier_tbl.read(spark)
-            if frontier is None:
-                break
             remaining = None if cfg.max_pages is None else cfg.max_pages - fetched
             if remaining is not None and remaining <= 0:
                 break
@@ -270,11 +286,21 @@ class CrawlEngine:
                 limit = cfg.round_size if limit is None else min(limit, cfg.round_size)
 
             t0 = time.monotonic()
-            selected = self._select_batch(frontier, limit)
+            if sweep:
+                # delta-only selection: last round's appended links
+                delta = self._read_delta(self.frontier_tbl)
+                if delta is None:
+                    break
+                selected = delta.withColumn("rank_in_round", F.lit(0))
+            else:
+                frontier = self.frontier_tbl.read(spark)
+                if frontier is None:
+                    break
+                selected = self._select_batch(frontier, limit)
             pages_batch = self._fetch(selected, round_no, fetched)
             self.pages_tbl.append(pages_batch)
             pages_batch = self._read_delta(self.pages_tbl)
-            n_sel = pages_batch.count()
+            n_sel = 0 if pages_batch is None else pages_batch.count()
             if n_sel == 0:
                 break
 
@@ -292,10 +318,13 @@ class CrawlEngine:
                 fresh = new_links.join(seen, "url", "left_anti")
             allowed, blocked = self._robots_split(fresh)
 
-            sel_urls = selected.select("url")
-            remainder = frontier.join(sel_urls, "url", "left_anti")
-            new_frontier = remainder.unionByName(allowed.select(*FRONTIER_COLS))
-            self.frontier_tbl.overwrite(new_frontier)
+            if sweep:
+                self.frontier_tbl.append(allowed.select(*FRONTIER_COLS))
+            else:
+                sel_urls = selected.select("url")
+                remainder = frontier.join(sel_urls, "url", "left_anti")
+                new_frontier = remainder.unionByName(allowed.select(*FRONTIER_COLS))
+                self.frontier_tbl.overwrite(new_frontier)
 
             seen_add = allowed.select(
                 "url", "url_hash", F.lit(round_no).alias("first_round"),
@@ -306,11 +335,13 @@ class CrawlEngine:
                     F.lit("robots_blocked").alias("state")))
             self.seen_tbl.append(seen_add)
             if cfg.use_bloom:
-                delta = build_bloom_shards(
-                    self._read_delta(self.seen_tbl), n_shards=cfg.bloom_shards,
-                    n_bits=cfg.bloom_bits, k=cfg.bloom_k)
-                self.bloom_tbl.overwrite(
-                    merge_bloom_shards(self.bloom_tbl.read(spark), delta))
+                seen_delta = self._read_delta(self.seen_tbl)
+                if seen_delta is not None:
+                    bloom_delta = build_bloom_shards(
+                        seen_delta, n_shards=cfg.bloom_shards,
+                        n_bits=cfg.bloom_bits, k=cfg.bloom_k)
+                    self.bloom_tbl.overwrite(
+                        merge_bloom_shards(self.bloom_tbl.read(spark), bloom_delta))
 
             elapsed = time.monotonic() - t0
             metrics = (
@@ -335,13 +366,16 @@ class CrawlEngine:
         return {"rounds": round_no - 1, "fetched": fetched}
 
     # ------------------------------------------------------------------ #
-    def _read_delta(self, tbl: SnapshotTable) -> DataFrame:
-        """Read only the files added by the latest append (write-then-read
+    def _read_delta(self, tbl: SnapshotTable) -> DataFrame | None:
+        """Read only the files added by the latest commit (write-then-read
         keeps each round's lineage flat — the parquet round-trip IS the
-        checkpoint, no .cache()/unpersist bookkeeping)."""
+        checkpoint, no .cache()/unpersist bookkeeping). None if the last
+        commit added no files (e.g. an empty append)."""
         v = tbl.current_version()
         prev = set(tbl.files(v - 1)) if v > 1 else set()
         delta = [f for f in tbl.files(v) if f not in prev]
+        if not delta:
+            return None
         return self.spark.read.parquet(*delta)
 
     # ------------------------------------------------------------------ #

@@ -169,3 +169,39 @@ def test_bloom_engine_matches_exact(spark, corpus_dir, tmp_path):
     s1 = {(r.url, r.state) for r in e1.url_seen().collect()}
     s2 = {(r.url, r.state) for r in e2.url_seen().collect()}
     assert s1 == s2
+
+
+def test_sweep_mode_same_coverage(spark, corpus_dir, tmp_path):
+    """Throughput sweep (append-only frontier) fetches the same page SET
+    and seen set as the windowed path with order tracking on."""
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    seeds = get_seeds(spark, corpus_dir)
+    slow = CrawlConfig(seeds=seeds, strategy="bfs", max_depth=3, max_pages=None,
+                       track_order=True, respect_robots=False)
+    fast = CrawlConfig(seeds=seeds, strategy="bfs", max_depth=3, max_pages=None,
+                       track_order=False, respect_robots=False)
+    e1 = CrawlEngine(spark, docs, slow, str(tmp_path / "slow"))
+    e1.run()
+    e2 = CrawlEngine(spark, docs, fast, str(tmp_path / "fast"))
+    assert e2._sweep_mode()
+    e2.run()
+    assert {r.url for r in e1.pages().collect()} == {r.url for r in e2.pages().collect()}
+    assert {r.url for r in e1.url_seen().collect()} == {r.url for r in e2.url_seen().collect()}
+
+
+def test_sweep_mode_resume(spark, corpus_dir, tmp_path):
+    """Kill after round 1 in sweep mode; resume must complete identically."""
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    seeds = get_seeds(spark, corpus_dir)
+    cfg_full = CrawlConfig(seeds=seeds, strategy="bfs", max_depth=3, max_pages=None,
+                           track_order=False, respect_robots=False)
+    full = CrawlEngine(spark, docs, cfg_full, str(tmp_path / "full"))
+    full.run()
+
+    from dataclasses import replace
+    part = CrawlEngine(spark, docs, replace(cfg_full, max_rounds=1), str(tmp_path / "part"))
+    part.run()
+    resumed = CrawlEngine(spark, docs, cfg_full, str(tmp_path / "part"))
+    resumed.run(resume=True)
+    assert {r.url for r in full.pages().collect()} == {r.url for r in resumed.pages().collect()}
+    assert {r.url for r in full.url_seen().collect()} == {r.url for r in resumed.url_seen().collect()}

@@ -1,0 +1,106 @@
+"""Scaling-efficiency benchmark: the same crawl job at two parallelism
+levels (sandbox stand-in for N vs 4N executors, per BASELINE.json's
+north rule: efficiency >= 0.8 from N to 4N).
+
+Runs the engine's throughput-mode crawl over an identical pre-generated
+corpus at local[8] and local[32] in separate subprocesses (fresh JVM
+each, no warm-cache bleed), prints a JSON summary and leaves it in
+BENCH_SCALING.json for BASELINE.md/BENCH.md.
+
+Usage: python tools/bench_scaling.py [n_docs] [runs_per_level]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+CHILD = r"""
+import json, os, shutil, sys, time
+repo, cores, fx, out, n_hosts = sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4], int(sys.argv[5])
+sys.path.insert(0, repo)
+from crawl4ai_spark.session import get_spark
+from crawl4ai_spark.config import CrawlConfig
+from crawl4ai_spark.operators.frontier import CrawlEngine
+
+spark = get_spark(app_name=f"scale{cores}", master=f"local[{cores}]",
+                  shuffle_partitions=max(8, cores))
+spark.sparkContext.setLogLevel("ERROR")
+docs = spark.read.parquet(f"{fx}/documents.parquet")
+seeds = [r.doc_id for r in docs.where(docs.doc_id.contains(f"host{n_hosts-1}."))
+         .orderBy("doc_id").limit(64).collect()]
+cfg = CrawlConfig(seeds=seeds, max_depth=8, max_pages=None, include_external=True,
+                  politeness=False, respect_robots=False, track_order=False,
+                  max_rounds=12)
+state = f"/tmp/scale_state_{cores}_{os.getpid()}"
+shutil.rmtree(state, ignore_errors=True)
+eng = CrawlEngine(spark, docs, cfg, state)
+t0 = time.monotonic()
+res = eng.run()
+dt = time.monotonic() - t0
+deduped = eng.url_seen().count()
+shutil.rmtree(state, ignore_errors=True)
+json.dump({"cores": cores, "fetched": res["fetched"], "rounds": res["rounds"],
+            "deduped": deduped, "sec": round(dt, 2),
+            "urls_per_sec": round(res["fetched"] / dt, 1)}, open(out, "w"))
+spark.stop()
+"""
+
+
+def run_level(cores: int, fx: str, n_hosts: int, runs: int) -> dict:
+    best = None
+    for i in range(runs):
+        out = f"/tmp/scale_out_{cores}_{i}.json"
+        subprocess.run(
+            [sys.executable, "-c", CHILD, REPO, str(cores), fx, out, str(n_hosts)],
+            check=True, cwd=REPO,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        r = json.load(open(out))
+        if best is None or r["urls_per_sec"] > best["urls_per_sec"]:
+            best = r
+    return best
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    n_hosts = 40
+    fx = f"/tmp/scale_fx_{n_docs}"
+
+    if not os.path.exists(f"{fx}/documents.parquet"):
+        gen = (
+            f"import sys; sys.path.insert(0, {REPO!r});\n"
+            "from crawl4ai_spark.session import get_spark\n"
+            "from crawl4ai_spark.fixtures import write_fixtures\n"
+            "s = get_spark(master='local[16]'); s.sparkContext.setLogLevel('ERROR')\n"
+            f"write_fixtures(s, {fx!r}, n_docs={n_docs}, n_hosts={n_hosts})\n"
+            "s.stop()\n"
+        )
+        subprocess.run([sys.executable, "-c", gen], check=True, cwd=REPO,
+                       stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
+
+    lo = run_level(8, fx, n_hosts, runs)
+    hi = run_level(32, fx, n_hosts, runs)
+    speedup = hi["urls_per_sec"] / lo["urls_per_sec"]
+    efficiency = speedup / 4.0
+    result = {
+        "n_docs": n_docs,
+        "low": lo,
+        "high": hi,
+        "speedup_8_to_32": round(speedup, 3),
+        "scaling_efficiency": round(efficiency, 3),
+        "target": 0.8,
+        "pass": efficiency >= 0.8,
+    }
+    print(json.dumps(result, indent=2))
+    with open(os.path.join(REPO, "BENCH_SCALING.json"), "w") as f:
+        json.dump(result, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()
