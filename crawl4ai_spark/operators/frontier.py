@@ -67,8 +67,19 @@ class CrawlEngine:
         state_dir: str,
         robots: DataFrame | None = None,
         host_budgets: DataFrame | None = None,
+        optimize_corpus: bool = True,
     ):
         self.spark = spark
+        if optimize_corpus:
+            # the corpus is joined every round (it stands in for the HTTP
+            # fetch): hash-partition it by url once and keep it resident,
+            # so per-round joins shuffle only the (small) frontier delta.
+            # At 100 TB this is "bucket the snapshot table by url_hash".
+            from pyspark import StorageLevel
+
+            corpus = corpus.repartition(
+                spark.sparkContext.defaultParallelism, "doc_id"
+            ).persist(StorageLevel.MEMORY_AND_DISK)
         self.corpus = corpus
         self.cfg = cfg
         self.strategy = resolve_strategy(cfg)
@@ -154,8 +165,15 @@ class CrawlEngine:
         docs = self.corpus.select(
             F.col("doc_id").alias("url"), "spans", F.lit("fetched").alias("_st")
         )
-        joined = selected.join(docs, "url", "left")
+        # shuffle_hash: stops AQE re-broadcasting the big corpus side every
+        # round; the cached partitioning means only `selected` shuffles
+        joined = selected.join(docs.hint("shuffle_hash"), "url", "left")
         heading = F.get(F.filter("spans", lambda s: s["kind"] == "heading"), 0)["text"]
+        # spread the write across executors: AQE coalesces this small-at-
+        # test-scale shuffle to 1-2 partitions, which would serialize the
+        # parquet write AND next round's scan; url_hash keeps it even
+        par = self.spark.sparkContext.defaultParallelism
+        joined = joined.repartition(par, "url_hash")
         return joined.select(
             "url", "url_hash", "host", "depth",
             (F.lit(fetched_so_far) + F.col("rank_in_round")).cast("long").alias("rank"),
@@ -318,22 +336,38 @@ class CrawlEngine:
                 fresh = new_links.join(seen, "url", "left_anti")
             allowed, blocked = self._robots_split(fresh)
 
+            par = self.spark.sparkContext.defaultParallelism
             if sweep:
-                self.frontier_tbl.append(allowed.select(*FRONTIER_COLS))
+                self.frontier_tbl.append(
+                    allowed.select(*FRONTIER_COLS).repartition(par, "url_hash"))
+                # reuse the just-written delta for the seen append — the
+                # extract+dedup lineage runs ONCE, not once per sink
+                allowed = self._read_delta(self.frontier_tbl)
             else:
                 sel_urls = selected.select("url")
                 remainder = frontier.join(sel_urls, "url", "left_anti")
                 new_frontier = remainder.unionByName(allowed.select(*FRONTIER_COLS))
                 self.frontier_tbl.overwrite(new_frontier)
+                allowed = self._read_delta(self.frontier_tbl)
+                if allowed is not None:
+                    # overwrite wrote remainder+new links; recover the new
+                    # links as those discovered this round
+                    allowed = allowed.where(F.col("discovered_round") == round_no)
 
-            seen_add = allowed.select(
-                "url", "url_hash", F.lit(round_no).alias("first_round"),
-                F.lit("frontier").alias("state"))
-            if blocked is not None:
-                seen_add = seen_add.unionByName(blocked.select(
+            seen_src = allowed
+            if seen_src is not None:
+                seen_add = seen_src.select(
                     "url", "url_hash", F.lit(round_no).alias("first_round"),
-                    F.lit("robots_blocked").alias("state")))
-            self.seen_tbl.append(seen_add)
+                    F.lit("frontier").alias("state"))
+            else:
+                seen_add = None
+            if blocked is not None:
+                b = blocked.select(
+                    "url", "url_hash", F.lit(round_no).alias("first_round"),
+                    F.lit("robots_blocked").alias("state"))
+                seen_add = b if seen_add is None else seen_add.unionByName(b)
+            if seen_add is not None:
+                self.seen_tbl.append(seen_add)
             if cfg.use_bloom:
                 seen_delta = self._read_delta(self.seen_tbl)
                 if seen_delta is not None:
