@@ -265,17 +265,21 @@ class CrawlEngine:
     def run(self, resume: bool = False) -> dict:
         cfg, spark = self.cfg, self.spark
         sweep = self._sweep_mode()
+        self._metrics_parts: list[DataFrame] = []
         ck = self.ckp.latest() if resume else None
         if ck is None:
             self.frontier_tbl.overwrite(self._seed_frontier())
             seeds = self.frontier_tbl.read(spark)
-            self.seen_tbl.overwrite(
-                seeds.select("url", "url_hash", F.lit(0).alias("first_round"),
-                             F.lit("frontier").alias("state"))
-            )
+            if not sweep:
+                # sweep mode: the append-only frontier IS the seen set —
+                # url_seen() derives from it; no separate table writes
+                self.seen_tbl.overwrite(
+                    seeds.select("url", "url_hash", F.lit(0).alias("first_round"),
+                                 F.lit("frontier").alias("state"))
+                )
             if cfg.use_bloom:
                 self.bloom_tbl.overwrite(build_bloom_shards(
-                    self.seen_tbl.read(spark), n_shards=cfg.bloom_shards,
+                    seeds, n_shards=cfg.bloom_shards,
                     n_bits=cfg.bloom_bits, k=cfg.bloom_k))
             round_no, fetched = 1, 0
         else:
@@ -296,6 +300,8 @@ class CrawlEngine:
             if cfg.round_size is not None:
                 limit = cfg.round_size if limit is None else min(limit, cfg.round_size)
 
+            from pyspark.sql import Observation
+
             t0 = time.monotonic()
             if sweep:
                 # delta-only selection: last round's appended links
@@ -308,15 +314,25 @@ class CrawlEngine:
                 if frontier is None:
                     break
                 selected = self._select_batch(frontier, limit)
-            pages_batch = self._fetch(selected, round_no, fetched)
+            obs = Observation()
+            pages_batch = self._fetch(selected, round_no, fetched).observe(
+                obs, F.count(F.lit(1)).alias("n")
+            )
             self.pages_tbl.append(pages_batch)
-            pages_batch = self._read_delta(self.pages_tbl)
-            n_sel = 0 if pages_batch is None else pages_batch.count()
+            # row count from the write's own observation — no extra job
+            n_sel = int(obs.get["n"])
             if n_sel == 0:
                 break
+            pages_batch = self._read_delta(self.pages_tbl)
 
             new_links = self._extract_links(pages_batch, round_no)
-            seen = self.seen_tbl.read(spark).select("url")
+            if sweep:
+                seen = self.frontier_tbl.read(spark).select("url")
+                blocked_seen = self.seen_tbl.read(spark)
+                if blocked_seen is not None:  # robots-blocked rows live here
+                    seen = seen.unionByName(blocked_seen.select("url"))
+            else:
+                seen = self.seen_tbl.read(spark).select("url")
             if cfg.use_bloom:
                 # definitely-new links skip the anti-join shuffle; only
                 # maybe-seen ones get the exact confirmation (F10 stays exact)
@@ -333,9 +349,7 @@ class CrawlEngine:
             if sweep:
                 self.frontier_tbl.append(
                     allowed.select(*FRONTIER_COLS).repartition(par, "url_hash"))
-                # reuse the just-written delta for the seen append — the
-                # extract+dedup lineage runs ONCE, not once per sink
-                allowed = self._read_delta(self.frontier_tbl)
+                allowed = None  # seen rows derive from the frontier log
             else:
                 sel_urls = selected.select("url")
                 remainder = frontier.join(sel_urls, "url", "left_anti")
@@ -362,7 +376,8 @@ class CrawlEngine:
             if seen_add is not None:
                 self.seen_tbl.append(seen_add)
             if cfg.use_bloom:
-                seen_delta = self._read_delta(self.seen_tbl)
+                seen_delta = self._read_delta(
+                    self.frontier_tbl if sweep else self.seen_tbl)
                 if seen_delta is not None:
                     bloom_delta = build_bloom_shards(
                         seen_delta, n_shards=cfg.bloom_shards,
@@ -378,7 +393,13 @@ class CrawlEngine:
                 .select(F.lit(round_no).alias("round"), "partition_id", "fetched", "missing",
                         F.lit(float(elapsed)).alias("elapsed_s"))
             )
-            self.metrics_tbl.append(metrics)
+            if sweep:
+                # buffered (lazy over immutable delta files); flushed in one
+                # append after the loop — per-round observability without a
+                # per-round write job
+                self._metrics_parts.append(metrics)
+            else:
+                self.metrics_tbl.append(metrics)
 
             fetched += n_sel
             self.ckp.commit(round_no, {
@@ -390,6 +411,12 @@ class CrawlEngine:
             }, {"fetched": fetched})
             round_no += 1
 
+        if self._metrics_parts:
+            flat = self._metrics_parts[0]
+            for m in self._metrics_parts[1:]:
+                flat = flat.unionByName(m)
+            self.metrics_tbl.append(flat)
+            self._metrics_parts = []
         return {"rounds": round_no - 1, "fetched": fetched}
 
     # ------------------------------------------------------------------ #
@@ -410,7 +437,23 @@ class CrawlEngine:
         return self.pages_tbl.read(self.spark)
 
     def url_seen(self) -> DataFrame | None:
-        return self.seen_tbl.read(self.spark)
+        """The deduplicated URL-seen set. In sweep mode the append-only
+        frontier log IS the seen set (plus any robots-blocked rows in
+        seen_tbl); in windowed mode it is materialized directly."""
+        base = self.seen_tbl.read(self.spark)
+        if not self._sweep_mode():
+            return base
+        fr = self.frontier_tbl.read(self.spark)
+        derived = None
+        if fr is not None:
+            derived = fr.select(
+                "url", "url_hash",
+                F.col("discovered_round").alias("first_round"),
+                F.lit("frontier").alias("state"),
+            )
+        if base is None:
+            return derived
+        return base if derived is None else derived.unionByName(base)
 
     def metrics(self) -> DataFrame | None:
         return self.metrics_tbl.read(self.spark)
