@@ -123,11 +123,12 @@ def _link_href(i: Column, j: Column, n_docs: int, n_hosts: int) -> Column:
     )
 
 
-def build_documents(spark: SparkSession, n_docs: int, n_hosts: int = 20,
-                    min_spans: int = 6, extra_spans: int = 14) -> DataFrame:
-    """The interleaved text+media corpus (input_hint shape), columnar-born."""
-    df = spark.range(n_docs).toDF("i")
-    i = F.col("i")
+def spans_for_index(i: Column, n_docs: int, n_hosts: int = 20,
+                    min_spans: int = 6, extra_spans: int = 14) -> Column:
+    """Span array of doc i as a pure column expression — the corpus is a
+    deterministic function of the index, so a fetch can SYNTHESIZE the
+    document from its URL (VirtualCorpus) instead of joining a stored
+    table; both paths produce byte-identical spans."""
     n_spans = F.lit(min_spans) + F.pmod(_h("ns", i), F.lit(extra_spans))
     h_i = host_index(i, n_hosts, n_docs).cast("string")
 
@@ -162,8 +163,72 @@ def build_documents(spark: SparkSession, n_docs: int, n_hosts: int = 20,
             j.cast("int").alias("offset"),
         )
 
-    spans = F.transform(F.sequence(F.lit(0), n_spans - 1), span)
-    return df.select(doc_url(i, n_docs, n_hosts).alias("doc_id"), spans.alias("spans"))
+    return F.transform(F.sequence(F.lit(0), n_spans - 1), span)
+
+
+def build_documents(spark: SparkSession, n_docs: int, n_hosts: int = 20,
+                    min_spans: int = 6, extra_spans: int = 14) -> DataFrame:
+    """The interleaved text+media corpus (input_hint shape), columnar-born."""
+    df = spark.range(n_docs).toDF("i")
+    i = F.col("i")
+    return df.select(
+        doc_url(i, n_docs, n_hosts).alias("doc_id"),
+        spans_for_index(i, n_docs, n_hosts, min_spans, extra_spans).alias("spans"),
+    )
+
+
+class VirtualCorpus:
+    """A web of ``n_docs`` synthetic documents defined arithmetically —
+    no storage at all. ``fetch(url)`` parses the doc index out of the URL
+    and synthesizes the span array with the same column expressions the
+    parquet fixture generator uses, so a crawl over a VirtualCorpus is
+    byte-identical to one over the written corpus (tested).
+
+    This is the honest fetch cost model for scheduler benchmarks: a real
+    crawl pays O(batch) per round (HTTP + parse per URL), never
+    O(corpus) — a corpus *join* stand-in scans/shuffles the whole table
+    every round, which at 10^10 URLs measures the join, not the engine.
+    A 10^10-entry frontier is just ``VirtualCorpus(n_docs=10**10)``.
+    """
+
+    def __init__(self, n_docs: int, n_hosts: int = 20,
+                 min_spans: int = 6, extra_spans: int = 14):
+        self.n_docs = n_docs
+        self.n_hosts = n_hosts
+        self.min_spans = min_spans
+        self.extra_spans = extra_spans
+
+    def seed_urls(self, host: int, n: int) -> list[str]:
+        """First n doc URLs on a host block (driver-side arithmetic)."""
+        import math
+
+        lo = math.ceil(self.n_docs * (host / self.n_hosts) ** 3)
+        out = []
+        i = max(0, lo)
+        while len(out) < n and i < self.n_docs:
+            out.append(self._url_py(i))
+            i += 1
+        return out
+
+    def _url_py(self, i: int) -> str:
+        # python mirror of doc_url()/host_index()/_pathseg()
+        frac = (i + 0.5) / float(self.n_docs)
+        h = int(self.n_hosts * frac ** (1.0 / 3.0))
+        h = min(self.n_hosts - 1, max(0, h))
+        seg = "login/p" if i % 13 == 0 else ("a/b/c" if i % 13 == 1 else "p")
+        return f"https://host{h}.example.com/{seg}/{i}"
+
+    def fetch(self, selected: DataFrame, url_col: str = "url") -> DataFrame:
+        """Append ``spans`` + ``_st`` (fetched/missing) columns by
+        synthesizing the document for valid doc URLs."""
+        u = F.col(url_col)
+        idx = F.regexp_extract(u, "/([0-9]+)$", 1)
+        i = F.when(idx == "", F.lit(-1)).otherwise(idx).cast("long")
+        valid = (i >= 0) & (i < self.n_docs) & (u == doc_url(i, self.n_docs, self.n_hosts))
+        spans = spans_for_index(i, self.n_docs, self.n_hosts, self.min_spans, self.extra_spans)
+        return selected.withColumn(
+            "spans", F.when(valid, spans).otherwise(F.lit(None))
+        ).withColumn("_st", F.when(valid, F.lit("fetched")).otherwise(F.lit(None)))
 
 
 def build_robots(spark: SparkSession, n_hosts: int = 20) -> DataFrame:

@@ -155,12 +155,23 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------ #
     def _fetch(self, selected: DataFrame, round_no: int, fetched_so_far: int) -> DataFrame:
-        """Fetch = join vs corpus. Production swaps this single stage for a
-        mapInPandas HTTP fetcher; scheduling/dedup/ordering are unchanged."""
-        docs = self.corpus.select(
-            F.col("doc_id").alias("url"), "spans", F.lit("fetched").alias("_st")
-        )
-        joined = selected.join(docs, "url", "left")
+        """Fetch stage. Two stand-ins for the production mapInPandas HTTP
+        fetcher (scheduling/dedup/ordering identical in all three):
+
+        * DataFrame corpus — left join vs the stored table (test path);
+        * VirtualCorpus — synthesize the document from the URL itself:
+          O(batch) per round like a real fetch, no corpus scan/shuffle
+          (the bench path; a corpus join at 10^10 docs would measure the
+          join, not the scheduler)."""
+        from ..fixtures import VirtualCorpus
+
+        if isinstance(self.corpus, VirtualCorpus):
+            joined = self.corpus.fetch(selected)
+        else:
+            docs = self.corpus.select(
+                F.col("doc_id").alias("url"), "spans", F.lit("fetched").alias("_st")
+            )
+            joined = selected.join(docs, "url", "left")
         heading = F.get(F.filter("spans", lambda s: s["kind"] == "heading"), 0)["text"]
         # spread the write across executors: AQE coalesces this small-at-
         # test-scale shuffle to 1-2 partitions, which would serialize the

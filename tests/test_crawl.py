@@ -205,3 +205,27 @@ def test_sweep_mode_resume(spark, corpus_dir, tmp_path):
     resumed.run(resume=True)
     assert {r.url for r in full.pages().collect()} == {r.url for r in resumed.pages().collect()}
     assert {r.url for r in full.url_seen().collect()} == {r.url for r in resumed.url_seen().collect()}
+
+
+def test_virtual_corpus_matches_stored(spark, corpus_dir, tmp_path):
+    """Crawling the arithmetic VirtualCorpus == crawling the written
+    parquet corpus (same generator function, no storage)."""
+    from crawl4ai_spark.fixtures import VirtualCorpus
+
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    seeds = get_seeds(spark, corpus_dir)
+    cfg = CrawlConfig(seeds=seeds, strategy="bfs", max_depth=3, max_pages=25,
+                      respect_robots=False)
+    e1 = CrawlEngine(spark, docs, cfg, str(tmp_path / "stored"))
+    e1.run()
+    vc = VirtualCorpus(n_docs=300, n_hosts=12)  # matches conftest fixture
+    e2 = CrawlEngine(spark, vc, cfg, str(tmp_path / "virtual"))
+    e2.run()
+    p1 = [(r.rank, r.url, r.status) for r in e1.pages().orderBy("rank").collect()]
+    p2 = [(r.rank, r.url, r.status) for r in e2.pages().orderBy("rank").collect()]
+    assert p1 == p2
+    # span-sequence equality on a sample page (per-row invariant)
+    s1 = e1.pages().where("status='fetched'").orderBy("rank").first()
+    s2 = e2.pages().where("status='fetched'").orderBy("rank").first()
+    assert [tuple(x) for x in s1.spans] == [tuple(x) for x in s2.spans]
+    assert vc.seed_urls(11, 2) == sorted(vc.seed_urls(11, 2))

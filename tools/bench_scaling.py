@@ -28,24 +28,24 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 CHILD = r"""
 import json, os, shutil, sys, time
-repo, cores, fx, out, n_hosts = sys.argv[1], int(sys.argv[2]), sys.argv[3], sys.argv[4], int(sys.argv[5])
+repo, cores, n_docs, out = sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
 sys.path.insert(0, repo)
 from crawl4ai_spark.session import get_spark
 from crawl4ai_spark.config import CrawlConfig
+from crawl4ai_spark.fixtures import VirtualCorpus
 from crawl4ai_spark.operators.frontier import CrawlEngine
 
 spark = get_spark(app_name=f"scale{cores}", master=f"local[{cores}]",
                   shuffle_partitions=max(4, cores))
 spark.sparkContext.setLogLevel("ERROR")
-docs = spark.read.parquet(f"{fx}/documents.parquet")
-seeds = [r.doc_id for r in docs.where(docs.doc_id.contains(f"host{n_hosts-1}."))
-         .orderBy("doc_id").limit(4096).collect()]
-cfg = CrawlConfig(seeds=seeds, max_depth=5, max_pages=None, include_external=True,
+vc = VirtualCorpus(n_docs=n_docs, n_hosts=40)
+seeds = vc.seed_urls(39, 4096)
+cfg = CrawlConfig(seeds=seeds, max_depth=6, max_pages=None, include_external=True,
                   politeness=False, respect_robots=False, track_order=False,
-                  max_rounds=6)
+                  max_rounds=5)
 state = f"/dev/shm/scale_state_{cores}_{os.getpid()}"
 shutil.rmtree(state, ignore_errors=True)
-eng = CrawlEngine(spark, docs, cfg, state)
+eng = CrawlEngine(spark, vc, cfg, state)
 t0 = time.monotonic()
 res = eng.run()
 dt = time.monotonic() - t0
@@ -58,12 +58,12 @@ spark.stop()
 """
 
 
-def run_level(cores: int, fx: str, n_hosts: int, runs: int) -> dict:
+def run_level(cores: int, n_docs: int, runs: int) -> dict:
     best = None
     for i in range(runs):
         out = f"/tmp/scale_out_{cores}_{i}.json"
         subprocess.run(
-            [sys.executable, "-c", CHILD, REPO, str(cores), fx, out, str(n_hosts)],
+            [sys.executable, "-c", CHILD, REPO, str(cores), str(n_docs), out],
             check=True, cwd=REPO,
             env={**os.environ, "SPARK_DRIVER_MEM": "16g"},
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
@@ -75,25 +75,11 @@ def run_level(cores: int, fx: str, n_hosts: int, runs: int) -> dict:
 
 
 def main() -> None:
-    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000_000
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
-    n_hosts = 40
-    fx = f"/tmp/scale_fx_{n_docs}"
 
-    if not os.path.exists(f"{fx}/documents.parquet"):
-        gen = (
-            f"import sys; sys.path.insert(0, {REPO!r});\n"
-            "from crawl4ai_spark.session import get_spark\n"
-            "from crawl4ai_spark.fixtures import write_fixtures\n"
-            "s = get_spark(master='local[16]'); s.sparkContext.setLogLevel('ERROR')\n"
-            f"write_fixtures(s, {fx!r}, n_docs={n_docs}, n_hosts={n_hosts})\n"
-            "s.stop()\n"
-        )
-        subprocess.run([sys.executable, "-c", gen], check=True, cwd=REPO,
-                       stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL)
-
-    lo = run_level(1, fx, n_hosts, runs)
-    hi = run_level(4, fx, n_hosts, runs)
+    lo = run_level(1, n_docs, runs)
+    hi = run_level(4, n_docs, runs)
     speedup = hi["urls_per_sec"] / lo["urls_per_sec"]
     efficiency = speedup / 4.0
     result = {
