@@ -1,0 +1,77 @@
+"""S6/S7 sinks: markdown export + file-download collection.
+
+* S6 (crawl_agent.py:155; app.py:744-768): ``save_markdown`` writes one
+  .md file per page (driver-side export of an already-small result) or
+  a parquet/text table for bulk.
+* S7 (crawl_agent.py:729-781): the reference's JS collects a[href] /
+  img[src] by extension with a size cap; ``collect_downloads`` filters
+  media spans by the same extension lists and joins blob sizes, then
+  appends to a ``media_blobs`` table.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# extension lists mirror the reference's collection JS (crawl_agent.py:753-761)
+PDF_EXTS = ["pdf"]
+IMAGE_EXTS = ["jpg", "jpeg", "png", "gif", "webp"]
+DOC_EXTS = ["doc", "docx", "xls", "xlsx", "ppt", "pptx", "txt", "csv"]
+
+
+def save_markdown(df: DataFrame, out_dir: str, url_col: str = "url", md_col: str = "raw_md") -> int:
+    """One .md file per page (driver export; bulk goes through
+    ``df.write``). Returns number of files written."""
+    os.makedirs(out_dir, exist_ok=True)
+    n = 0
+    for row in df.select(url_col, md_col).toLocalIterator():
+        name = re.sub(r"[^A-Za-z0-9._-]+", "_", row[url_col])[:150] or f"page_{n}"
+        with open(os.path.join(out_dir, name + ".md"), "w") as f:
+            f.write(row[md_col] or "")
+        n += 1
+    return n
+
+
+def collect_downloads(
+    docs: DataFrame,
+    spans_col: str = "spans",
+    download_pdfs: bool = True,
+    download_images: bool = False,
+    download_docs: bool = False,
+    max_file_size_mb: float | None = 10.0,
+    blob_sizes: DataFrame | None = None,
+) -> DataFrame:
+    """Downloadable refs per the reference's flag set
+    (crawl_agent.py:79-83): filter image/media spans on extension; size
+    cap applied when a ``blob_sizes(media_ref, n_bytes)`` table exists."""
+    exts: list[str] = []
+    if download_pdfs:
+        exts += PDF_EXTS
+    if download_images:
+        exts += IMAGE_EXTS
+    if download_docs:
+        exts += DOC_EXTS
+    if not exts:
+        return docs.sparkSession.createDataFrame([], "doc_id string, media_ref string, ext string")
+    refs = (
+        docs.select("doc_id", F.explode(spans_col).alias("s"))
+        .where(F.col("s.kind").isin("image", "media") & F.col("s.media_ref").isNotNull())
+        .select(
+            "doc_id",
+            F.col("s.media_ref").alias("media_ref"),
+            F.lower(F.regexp_extract(F.col("s.media_ref"), r"\.([A-Za-z0-9]+)$", 1)).alias("ext"),
+        )
+        .where(F.col("ext").isin(exts))
+    )
+    if blob_sizes is not None and max_file_size_mb is not None:
+        cap = int(max_file_size_mb * 1024 * 1024)
+        refs = (
+            refs.join(F.broadcast(blob_sizes), "media_ref", "left")
+            .where(F.coalesce(F.col("n_bytes"), F.lit(0)) <= cap)
+            .drop("n_bytes")
+        )
+    return refs

@@ -1,0 +1,116 @@
+"""Tests for the S5/S6/S7/S8/U1 surface operators."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+
+class TestCacheModes:
+    def _fetch(self, df):
+        return df.withColumn("content", F.concat(F.lit("body:"), F.col("url")))
+
+    def _run(self, spark, mode):
+        from crawl4ai_spark.operators.cache import cached_fetch
+
+        sel = spark.createDataFrame([("u1",), ("u2",), ("u3",)], ["url"])
+        cache = spark.createDataFrame([("u1", "cached:u1")], ["url", "content"])
+        pages, writes = cached_fetch(sel, cache, self._fetch, mode)
+        got = {r.url: (r.content, r.from_cache) for r in pages.collect()}
+        wrote = None if writes is None else {r.url for r in writes.collect()}
+        return got, wrote
+
+    def test_enabled_reads_and_writes(self, spark):
+        got, wrote = self._run(spark, "enabled")
+        assert got["u1"] == ("cached:u1", True)
+        assert got["u2"] == ("body:u2", False)
+        assert wrote == {"u2", "u3"}
+
+    def test_bypass_refetches_all(self, spark):
+        got, wrote = self._run(spark, "BYPASS")  # case-insensitive
+        assert got["u1"] == ("body:u1", False)
+        assert wrote == {"u1", "u2", "u3"}
+
+    def test_read_only(self, spark):
+        got, wrote = self._run(spark, "read_only")
+        assert got["u1"][1] is True and wrote is None
+
+    def test_disabled(self, spark):
+        got, wrote = self._run(spark, "disabled")
+        assert all(not fc for _, fc in got.values()) and wrote is None
+
+    def test_unknown_defaults_to_enabled(self, spark):
+        from crawl4ai_spark.operators.cache import resolve_cache_mode
+
+        assert resolve_cache_mode("whatever") == "enabled"
+        assert resolve_cache_mode(None) == "enabled"
+
+
+class TestMemory:
+    def test_add_and_retrieve(self, spark):
+        from crawl4ai_spark.operators.memory import add_knowledge, retrieve_relevant
+
+        mem = add_knowledge(spark, None, [("u1", "spark shuffle join"), ("u2", "cats and dogs")])
+        mem = add_knowledge(spark, mem, [("u3", "spark partitions")])
+        assert mem.count() == 3
+        assert [r.vec_id for r in mem.orderBy("vec_id").collect()] == [0, 1, 2]
+        got = retrieve_relevant(mem, "spark shuffle join", k=1).collect()
+        assert len(got) == 1 and got[0].url == "u1"  # exact text → sim 1.0
+
+
+class TestStrategy:
+    def test_analyze_always_default(self):
+        from crawl4ai_spark.agent import CrawlStrategy, analyze_website
+
+        assert analyze_website("https://x", use_llm=True) == CrawlStrategy()
+
+    def test_keywords_force_best_first(self):
+        from crawl4ai_spark.agent import CrawlStrategy, apply_strategy
+        from crawl4ai_spark.config import CrawlConfig, resolve_strategy
+
+        cfg = apply_strategy(CrawlConfig(seeds=["https://x"]),
+                             CrawlStrategy(focus_keywords=("spark", "data")))
+        assert cfg.strategy == "best_first" and cfg.query == "spark data"
+        assert resolve_strategy(cfg) == "best_first"  # use_ai_agent set
+
+    def test_enhance_stub_raises(self, spark):
+        from crawl4ai_spark.agent import enhance_content
+
+        df = spark.createDataFrame([("m",)], ["markdown"])
+        with pytest.raises(NotImplementedError):
+            enhance_content(df)
+
+
+class TestSinks:
+    def test_collect_downloads(self, spark, corpus_dir):
+        from crawl4ai_spark.operators.sinks import collect_downloads
+
+        docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+        pdfs = collect_downloads(docs, download_pdfs=True)
+        assert pdfs.where(F.col("ext") != "pdf").count() == 0
+        both = collect_downloads(docs, download_pdfs=True, download_images=True)
+        assert both.count() > pdfs.count()
+
+    def test_download_size_cap(self, spark, corpus_dir):
+        from crawl4ai_spark.operators.sinks import collect_downloads
+
+        docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+        all_refs = collect_downloads(docs, download_pdfs=True)
+        sizes = all_refs.select("media_ref").distinct().withColumn(
+            "n_bytes", F.lit(100 * 1024 * 1024)
+        )
+        capped = collect_downloads(docs, download_pdfs=True, blob_sizes=sizes,
+                                   max_file_size_mb=10)
+        assert capped.count() == 0
+
+    def test_save_markdown(self, spark, tmp_path):
+        from crawl4ai_spark.operators.sinks import save_markdown
+
+        df = spark.createDataFrame(
+            [("https://a/x", "# A"), ("https://b/y", "# B")], ["url", "raw_md"]
+        )
+        n = save_markdown(df, str(tmp_path / "md"))
+        assert n == 2
+        files = sorted(p.name for p in (tmp_path / "md").iterdir())
+        assert all(f.endswith(".md") for f in files) and len(files) == 2

@@ -42,7 +42,7 @@ vc = VirtualCorpus(n_docs=n_docs, n_hosts=40)
 seeds = vc.seed_urls(39, 4096)
 cfg = CrawlConfig(seeds=seeds, max_depth=6, max_pages=None, include_external=True,
                   politeness=False, respect_robots=False, track_order=False,
-                  max_rounds=5)
+                  max_rounds=6)
 state = f"/dev/shm/scale_state_{cores}_{os.getpid()}"
 shutil.rmtree(state, ignore_errors=True)
 eng = CrawlEngine(spark, vc, cfg, state)
