@@ -9,11 +9,15 @@ DuckDB oracle over the same parquet tables.
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from crawl4ai_spark import queries as Q
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))  # cwd-independent import
+
+from crawl4ai_spark import queries as Q  # noqa: E402
 
 
 def entry(spark: SparkSession) -> DataFrame:

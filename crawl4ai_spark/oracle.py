@@ -70,14 +70,20 @@ def run_oracle(
 
         cand = sorted(frontier, key=prio_key)
         if cfg.politeness and budgets is not None:
-            by_host: dict[str, int] = {}
+            from .functions.xxhash import xxhash64_str
+
+            salts = max(1, cfg.politeness_salts)
+            by_key: dict[tuple[str, int], int] = {}
             kept = []
             for n in cand:
                 b = budgets.get(n["host"], 1_000_000_000)
-                b = max(1, math.ceil(b / max(1, cfg.politeness_salts)))
-                c = by_host.get(n["host"], 0)
+                b = max(1, math.ceil(b / salts))
+                # per-(host, salt) cap — mirrors the engine's window
+                # partition (host_salt = pmod(xxhash64(url), salts))
+                key = (n["host"], xxhash64_str(n["url"]) % salts)
+                c = by_key.get(key, 0)
                 if c < b:
-                    by_host[n["host"]] = c + 1
+                    by_key[key] = c + 1
                     kept.append(n)
             cand = kept
         selected = cand if limit is None else cand[:limit]

@@ -229,3 +229,16 @@ def test_virtual_corpus_matches_stored(spark, corpus_dir, tmp_path):
     s2 = e2.pages().where("status='fetched'").orderBy("rank").first()
     assert [tuple(x) for x in s1.spans] == [tuple(x) for x in s2.spans]
     assert vc.seed_urls(11, 2) == sorted(vc.seed_urls(11, 2))
+
+
+def test_politeness_with_host_salting(spark, corpus_dir, tmp_path):
+    """politeness_salts > 1 splits the per-host budget across salts
+    (scale mode for hot domains) — engine must match the oracle, which
+    models the same ceil(budget/salts) per-salt cap."""
+    cfg = CrawlConfig(strategy="bfs", max_depth=3, max_pages=30,
+                      politeness=True, politeness_salts=4)
+    got_pages, want_pages, got_seen, want_seen = _run_both(
+        spark, corpus_dir, tmp_path, cfg, "salted"
+    )
+    assert got_pages == want_pages  # exact order now that the oracle mirrors salt caps
+    assert got_seen == want_seen
