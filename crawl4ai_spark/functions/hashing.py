@@ -103,36 +103,62 @@ def shingles_sql(tokens_expr: str, k: int) -> str:
 
 
 # --------------------------------------------------------------------------- #
-# MinHash signature
+# MinHash signature — classic affine-permutation family over ONE base hash
+# per shingle: h = h60(s) mod M31, perm p's value = (a_p*h + b_p) mod M31.
+# One md5 per shingle total (vs one per perm per shingle for salted-hash
+# permutations — 12x less hashing, the dominant cost at corpus scale).
+# a_p/b_p are fixed LCG-derived constants so both engines embed identical
+# literals; products stay < 2^62 so BIGINT arithmetic never overflows in
+# either engine (DuckDB errors on overflow; Spark wraps — neither happens).
 # --------------------------------------------------------------------------- #
-def minhash_sig(shingle_arr: Column, n_perm: int) -> Column:
-    """Array of n_perm minhash values: min over shingles of h60(p || '|' || s).
+def _minhash_ab(n_perm: int) -> list[tuple[int, int]]:
+    out = []
+    for p in range(1, n_perm + 1):
+        a = (1103515245 * p + 12345) % MERSENNE31 or 1
+        b = (214013 * p + 2531011) % MERSENNE31
+        out.append((a, b))
+    return out
 
-    Salted-hash permutations (one md5 per permutation per shingle) instead of
-    the classic (a*x+b) mod p family so the DuckDB oracle can reproduce the
-    values exactly. Empty shingle set → all-zero signature (never collides
-    with a real min because h60 of a non-empty salt is ~never 0).
-    """
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(n_perm - 1)),
-        lambda p: F.coalesce(
-            F.array_min(
-                F.transform(
-                    shingle_arr,
-                    lambda s: h60(F.concat(p.cast("string"), F.lit("|"), s)),
-                )
-            ),
-            F.lit(0).cast("long"),
-        ),
-    )
+
+def shingle_hashes(shingle_arr: Column) -> Column:
+    """Base hashes: h60(s) mod M31 per shingle (the only md5 in minhash)."""
+    return F.transform(shingle_arr, lambda s: F.pmod(h60(s), F.lit(MERSENNE31)))
+
+
+def shingle_hashes_sql(shingles_expr: str) -> str:
+    return f"list_transform({shingles_expr}, s -> {h60_sql('s')} % {MERSENNE31})"
+
+
+def _affine(a: int, b: int):
+    # closure (not default-arg lambda): pyspark derives the HOF lambda's
+    # arity from the Python signature, so default args would break it
+    return lambda h: F.pmod(h * a + b, F.lit(MERSENNE31))
+
+
+def minhash_sig_from_hashes(hs: Column, n_perm: int) -> Column:
+    """n_perm minhash values from precomputed base hashes. Empty shingle
+    set → all-zero signature (a real min is ~never 0)."""
+    return F.array(*[
+        F.coalesce(F.array_min(F.transform(hs, _affine(a, b))), F.lit(0).cast("long"))
+        for a, b in _minhash_ab(n_perm)
+    ])
+
+
+def minhash_sig(shingle_arr: Column, n_perm: int) -> Column:
+    """Single-expression form; prefer shingle_hashes → project →
+    minhash_sig_from_hashes in pipelines so the base-hash array is
+    materialized once per row, not re-derived per permutation."""
+    return minhash_sig_from_hashes(shingle_hashes(shingle_arr), n_perm)
 
 
 def minhash_sig_sql(shingles_expr: str, n_perm: int) -> str:
-    inner = h60_sql(f"p::VARCHAR || '|' || s")
-    return (
-        f"list_transform(generate_series(0, {n_perm - 1}), "
-        f"p -> coalesce(list_min(list_transform({shingles_expr}, s -> {inner})), 0))"
+    m = MERSENNE31
+    hs = shingle_hashes_sql(shingles_expr)
+    elems = ", ".join(
+        f"coalesce(list_min(list_transform({hs}, h -> (h * {a} + {b}) % {m})), 0)"
+        for a, b in _minhash_ab(n_perm)
     )
+    return f"[{elems}]"
 
 
 def band_keys(sig: Column, n_bands: int, rows_per_band: int) -> Column:

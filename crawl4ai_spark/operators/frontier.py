@@ -302,6 +302,23 @@ class CrawlEngine:
                 if name in ck["versions"]:
                     tbl.rollback(ck["versions"][name])
             round_no, fetched = ck["round"] + 1, ck["fetched"]
+            if cfg.use_bloom and self.bloom_tbl.read(spark) is None:
+                # resuming a crawl whose checkpoint predates use_bloom:
+                # rebuild the sidecar from the full current seen set —
+                # a partial (delta-only) bloom would let already-seen
+                # URLs test definitely-new and re-enter the frontier
+                src = self.seen_tbl.read(spark)
+                if src is not None:
+                    src = src.select("url", "url_hash")
+                if sweep:
+                    fr = self.frontier_tbl.read(spark)
+                    if fr is not None:
+                        fr = fr.select("url", "url_hash")
+                        src = fr if src is None else src.unionByName(fr)
+                if src is not None:
+                    self.bloom_tbl.overwrite(build_bloom_shards(
+                        src, n_shards=cfg.bloom_shards,
+                        n_bits=cfg.bloom_bits, k=cfg.bloom_k))
 
         while round_no <= cfg.max_rounds:
             remaining = None if cfg.max_pages is None else cfg.max_pages - fetched
@@ -387,8 +404,24 @@ class CrawlEngine:
             if seen_add is not None:
                 self.seen_tbl.append(seen_add)
             if cfg.use_bloom:
-                seen_delta = self._read_delta(
-                    self.frontier_tbl if sweep else self.seen_tbl)
+                if sweep:
+                    seen_delta = self._read_delta(self.frontier_tbl)
+                    if seen_delta is not None:
+                        seen_delta = seen_delta.select("url", "url_hash")
+                    # robots-blocked rows live in seen_tbl, not the frontier
+                    # log — without them a rediscovered blocked URL would
+                    # test definitely-new, bypass the exact confirmation,
+                    # and be re-appended to seen_tbl every round
+                    if blocked is not None:
+                        b_delta = self._read_delta(self.seen_tbl)
+                        if b_delta is not None:
+                            b_delta = b_delta.select("url", "url_hash")
+                            seen_delta = (
+                                b_delta if seen_delta is None
+                                else seen_delta.unionByName(b_delta)
+                            )
+                else:
+                    seen_delta = self._read_delta(self.seen_tbl)
                 if seen_delta is not None:
                     bloom_delta = build_bloom_shards(
                         seen_delta, n_shards=cfg.bloom_shards,
@@ -406,9 +439,12 @@ class CrawlEngine:
             )
             if sweep:
                 # buffered (lazy over immutable delta files); flushed in one
-                # append after the loop — per-round observability without a
-                # per-round write job
+                # append every METRICS_FLUSH_ROUNDS rounds BEFORE the round
+                # checkpoint (so a crash loses at most that many rounds of
+                # metrics, not the whole run's) and once after the loop
                 self._metrics_parts.append(metrics)
+                if len(self._metrics_parts) >= self.METRICS_FLUSH_ROUNDS:
+                    self._flush_metrics()
             else:
                 self.metrics_tbl.append(metrics)
 
@@ -422,13 +458,19 @@ class CrawlEngine:
             }, {"fetched": fetched})
             round_no += 1
 
-        if self._metrics_parts:
-            flat = self._metrics_parts[0]
-            for m in self._metrics_parts[1:]:
-                flat = flat.unionByName(m)
-            self.metrics_tbl.append(flat)
-            self._metrics_parts = []
+        self._flush_metrics()
         return {"rounds": round_no - 1, "fetched": fetched}
+
+    METRICS_FLUSH_ROUNDS = 8
+
+    def _flush_metrics(self) -> None:
+        if not self._metrics_parts:
+            return
+        flat = self._metrics_parts[0]
+        for m in self._metrics_parts[1:]:
+            flat = flat.unionByName(m)
+        self.metrics_tbl.append(flat)
+        self._metrics_parts = []
 
     # ------------------------------------------------------------------ #
     def _read_delta(self, tbl: SnapshotTable) -> DataFrame | None:

@@ -137,7 +137,13 @@ def bloom_anti_join(
 ) -> DataFrame:
     """Exact anti-join with Bloom pre-filter: definitely-new rows bypass
     the shuffle; maybe-seen rows get the exact left_anti confirmation.
-    Result is IDENTICAL to a plain anti-join (tested), just cheaper."""
+    Result is IDENTICAL to a plain anti-join (tested), just cheaper.
+
+    ``blooms=None`` (e.g. resuming a crawl whose checkpoint predates
+    ``use_bloom``, so the sidecar table is empty) degrades to the plain
+    exact anti-join — everything is treated as maybe-seen."""
+    if blooms is None:
+        return candidates.join(seen.select(F.col(url_col)), url_col, "left_anti")
     flagged = bloom_maybe_seen(candidates, blooms, url_col=url_col, **bloom_kw)
     fresh = flagged.where(~F.col("maybe_seen")).drop("maybe_seen")
     maybe = flagged.where(F.col("maybe_seen")).drop("maybe_seen")

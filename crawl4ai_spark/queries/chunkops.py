@@ -6,10 +6,18 @@ DuckDB oracles.
   space-backtrack + overlap recurrence exactly.
 * ``chunk_overlapping`` (C6): UDF loop vs a closed-form grid with the
   tail-merge rule expressed as CASE logic.
-* ``chunk_sentence`` / ``chunk_semantic`` (C2/C3): genuinely stateful
-  greedy packing — registered without oracle SQL (driver rows-only
-  check); their exact semantics are pinned by unit tests against
-  hand-computed goldens instead.
+* ``chunk_sentence`` (C2): the greedy packing recurrence as a recursive
+  CTE carrying (i, cur) state — a flush emits the previous ``cur``; the
+  final non-empty ``cur`` is the last chunk.
+* ``chunk_semantic`` (C3): blank-line boundary starts computed from the
+  split-parts/match-lengths cumulative sums, sections between bounds,
+  oversize sections re-packed by the C2 CTE keyed (doc_id, sec_idx).
+  The md/HTML-header and Title-colon boundary regexes of the engine
+  (operators/chunking.py:111-114) cannot match this corpus — its
+  charset is lowercase letters, space, newline and '.' only (no '#',
+  '<', ':', uppercase), so blank lines are provably the complete
+  boundary set here; the full 4-regex semantics are pinned by
+  tests/test_chunking.py goldens.
 """
 
 from __future__ import annotations
@@ -61,7 +69,11 @@ _END_EXPR = f"""
         UNION ALL
         SELECT s.doc_id, s.idx + 1, s.fin - {FIXED_OVERLAP}, {_END_EXPR.replace('s.start', f'(s.fin - {FIXED_OVERLAP})')}
         FROM state s JOIN doc d USING (doc_id)
+        -- the last conjunct is the engine's no-progress guard (fixed_chunks
+        -- deviation 2): stop when the next start fails to advance past the
+        -- current one (space-backtracked end landed within overlap of start)
         WHERE s.fin < d.n AND s.fin - {FIXED_OVERLAP} > 0
+          AND s.fin - {FIXED_OVERLAP} > s.start
     )
     SELECT s.doc_id, s.idx::INT AS chunk_id,
            substring(d.text, s.start + 1, s.fin - s.start) AS chunk
@@ -120,8 +132,7 @@ def q_chunk_overlapping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
-# C2/C3: greedy sentence packing + semantic boundaries — rows-only checks
-# (stateful fold; exact semantics pinned by tests/test_chunking.py)
+# C2/C3: greedy sentence packing + semantic boundaries — recursive-CTE oracles
 # --------------------------------------------------------------------------- #
 def _sentenceish(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inject deterministic sentence/paragraph boundaries into the word
@@ -144,17 +155,137 @@ def _sentenceish(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", with_seps.alias("text"))
 
 
-@query("chunk_sentence")
+SENT_MAX, SENT_MIN = 120, 40
+SEM_MAX, SEM_MIN = 64, 20  # max < longest section so the C3 oversize path fires
+
+# the sentenceish corpus in DuckDB (twin of _sentenceish above)
+_SENTENCEISH_SQL = r"""
+toks AS (
+    SELECT doc_id::BIGINT AS doc_id,
+           list_filter(regexp_split_to_array(text, '\s+'), w -> w <> '') AS t
+    FROM documents
+),
+sent AS (
+    SELECT doc_id, array_to_string(list_transform(generate_series(1, len(t)),
+        i -> t[i] || (CASE WHEN i % 11 = 0 THEN '.' || chr(10) || chr(10)
+                           WHEN i % 5 = 0 THEN '.' ELSE '' END)), ' ') AS text
+    FROM toks
+)"""
+
+
+def _split_sents_sql(text_expr: str) -> str:
+    r"""Sentence split: ``re.split(r'\.(?=\s)', text)`` — RE2 has no
+    lookahead, so replace '.<ws>' with chr(1)+'<ws>' then split."""
+    return (
+        f"string_split(regexp_replace({text_expr}, "
+        f"'\\.(\\s)', chr(1) || '\\1', 'g'), chr(1))"
+    )
+
+
+def _pack_cte_sql(keys: str, maxc: int, minc: int) -> str:
+    """Greedy sentence-packing recurrence (SentenceChunker, reference
+    text_chunking.py:175-221) as a recursive CTE over ``prep(<keys>,
+    sents)``: state = (i, cur); a flush (len(cur)+len(next) > max AND
+    len(cur) >= min) emits cur and restarts from the next sentence; the
+    final non-empty cur is the last chunk. Yields ``emits(<keys>, pos,
+    chunk)`` with pos preserving emission order. Initial state cur =
+    sents[1] is the engine loop's first iteration (cur='' never flushes
+    for min > 0)."""
+    return f"""
+st({keys}, i, cur, flushed) AS (
+    SELECT {keys}, 1, sents[1], NULL::VARCHAR FROM prep WHERE len(sents) >= 1
+    UNION ALL
+    SELECT {', '.join('s.' + k for k in keys.split(', '))}, s.i + 1,
+        CASE WHEN length(s.cur) + length(p.sents[s.i + 1]) > {maxc} AND length(s.cur) >= {minc}
+             THEN p.sents[s.i + 1]
+             WHEN s.cur = '' THEN p.sents[s.i + 1]
+             ELSE s.cur || ' ' || p.sents[s.i + 1] END,
+        CASE WHEN length(s.cur) + length(p.sents[s.i + 1]) > {maxc} AND length(s.cur) >= {minc}
+             THEN s.cur ELSE NULL END
+    FROM st s JOIN prep p USING ({keys})
+    WHERE s.i < len(p.sents)
+),
+packed AS (
+    SELECT {keys}, i AS pos, flushed AS chunk FROM st WHERE flushed IS NOT NULL
+    UNION ALL
+    SELECT {', '.join('s.' + k for k in keys.split(', '))}, s.i + 1, s.cur
+    FROM st s JOIN prep p USING ({keys})
+    WHERE s.i = len(p.sents) AND s.cur <> ''
+)"""
+
+
+@query(
+    "chunk_sentence",
+    f"""
+    WITH RECURSIVE {_SENTENCEISH_SQL},
+    prep AS (
+        SELECT doc_id, {_split_sents_sql('text')} AS sents FROM sent
+    ),
+    {_pack_cte_sql('doc_id', SENT_MAX, SENT_MIN)}
+    SELECT doc_id,
+           (row_number() OVER (PARTITION BY doc_id ORDER BY pos) - 1)::INT AS chunk_id,
+           chunk
+    FROM packed
+    """,
+)
 def q_chunk_sentence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(
         _sentenceish(spark, sf_dir), "sentence",
-        max_chunk_size=120, min_chunk_size=40,
+        max_chunk_size=SENT_MAX, min_chunk_size=SENT_MIN,
     ).withColumn("chunk_id", F.col("chunk_id").cast("int"))
 
 
-@query("chunk_semantic")
+@query(
+    "chunk_semantic",
+    f"""
+    WITH RECURSIVE {_SENTENCEISH_SQL},
+    -- blank-line boundary starts: split parts + matched separators give
+    -- each match's offset as a cumulative length sum (finditer twin)
+    bdoc AS (
+        SELECT doc_id, text,
+               string_split_regex(text, '\\n\\s*\\n') AS parts,
+               regexp_extract_all(text, '\\n\\s*\\n') AS ms
+        FROM sent
+    ),
+    bnd AS (
+        SELECT doc_id, text,
+               list_sort(list_distinct(list_concat(list_concat(
+                 [0::BIGINT],
+                 list_transform(generate_series(1, len(ms)),
+                   i -> (list_sum(list_transform(generate_series(1, i), j -> length(parts[j])))
+                      + coalesce(list_sum(list_transform(generate_series(1, i - 1), j -> length(ms[j]))), 0))::BIGINT)),
+                 [length(text)::BIGINT]))) AS bounds
+        FROM bdoc WHERE len(ms) > 0
+    ),
+    units AS (
+        -- sections between consecutive bounds; oversize ones re-packed
+        SELECT doc_id, k.k::INT AS sec_idx,
+               substring(text, (bounds[k.k + 1] + 1)::INT, (bounds[k.k + 2] - bounds[k.k + 1])::INT) AS utext,
+               (bounds[k.k + 2] - bounds[k.k + 1]) > {SEM_MAX} AS needs_pack
+        FROM bnd, unnest(generate_series(0, len(bounds) - 2)) AS k(k)
+        WHERE bounds[k.k + 2] > bounds[k.k + 1]
+        UNION ALL
+        -- no boundaries at all: the whole text is sentence-packed
+        SELECT doc_id, 0, text, TRUE FROM bdoc WHERE len(ms) = 0
+    ),
+    prep AS (
+        SELECT doc_id, sec_idx, {_split_sents_sql('utext')} AS sents
+        FROM units WHERE needs_pack
+    ),
+    {_pack_cte_sql('doc_id, sec_idx', SEM_MAX, SEM_MIN)},
+    emits AS (
+        SELECT doc_id, sec_idx, pos, chunk FROM packed
+        UNION ALL
+        SELECT doc_id, sec_idx, 0, utext FROM units WHERE NOT needs_pack
+    )
+    SELECT doc_id,
+           (row_number() OVER (PARTITION BY doc_id ORDER BY sec_idx, pos) - 1)::INT AS chunk_id,
+           chunk
+    FROM emits
+    """,
+)
 def q_chunk_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(
         _sentenceish(spark, sf_dir), "semantic",
-        max_chunk_size=160, min_chunk_size=40,
+        max_chunk_size=SEM_MAX, min_chunk_size=SEM_MIN,
     ).withColumn("chunk_id", F.col("chunk_id").cast("int"))

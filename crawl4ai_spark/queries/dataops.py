@@ -124,11 +124,28 @@ def _jaccard(sa, sb):
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _corpus(spark, sf_dir)
-    sh = c.select("id", F.array_distinct(H.shingles(T.tokens("text"), SHINGLE_K)).alias("s"))
-    sig = sh.select("id", "s", H.minhash_sig(F.col("s"), N_PERM).alias("sig"))
-    bands = sig.select(
-        "id", "s",
-        F.posexplode(H.band_keys(F.col("sig"), N_BANDS, ROWS_PER_BAND)).alias("band", "key"),
+    # barrier 1 (repartition by id): shingle sets computed ONCE and
+    # hash-partitioned by id — the exchange is reused (ReusedExchange)
+    # by both shingle back-joins below, so the shingling never re-runs
+    sh = (
+        c.select("id", F.array_distinct(H.shingles(T.tokens("text"), SHINGLE_K)).alias("s"))
+        .repartition(F.col("id"))
+    )
+    # barrier 2: the per-shingle base hashes (the only md5 in minhash) run
+    # exactly once per doc — without it CollapseProject re-inlines the
+    # hash transform into every permutation-min AND both sides of the
+    # band self-join (same pathology the SimHash query documents). The
+    # affine permutation mins + band keys downstream are pure arithmetic
+    # over the materialized hash array, cheap to recompute per side.
+    hs = sh.select("id", H.shingle_hashes(F.col("s")).alias("hs")).repartition(F.col("id"))
+    # slim band rows: (id, band, key) only — the shingle arrays never
+    # ride through the band-join shuffle; they are joined back by id
+    # AFTER banding, when the candidate set is already tiny
+    bands = hs.select(
+        "id",
+        F.posexplode(
+            H.band_keys(H.minhash_sig_from_hashes(F.col("hs"), N_PERM), N_BANDS, ROWS_PER_BAND)
+        ).alias("band", "key"),
     )
     a = bands.alias("a")
     b = bands.alias("b")
@@ -139,12 +156,12 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"),
-            F.col("a.s").alias("sa"), F.col("b.s").alias("sb"),
-        )
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
         .dropDuplicates(["a_id", "b_id"])
     )
+    cand = cand.join(
+        sh.select(F.col("id").alias("a_id"), F.col("s").alias("sa")), "a_id"
+    ).join(sh.select(F.col("id").alias("b_id"), F.col("s").alias("sb")), "b_id")
     j = _jaccard(F.col("sa"), F.col("sb"))
     return (
         cand.withColumn("j", j)

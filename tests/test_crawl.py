@@ -171,6 +171,60 @@ def test_bloom_engine_matches_exact(spark, corpus_dir, tmp_path):
     assert s1 == s2
 
 
+def test_sweep_bloom_robots_no_duplicate_seen(spark, corpus_dir, tmp_path):
+    """Sweep + bloom + robots: blocked URLs live in seen_tbl (not the
+    frontier log), so the bloom delta must include them — otherwise a
+    blocked URL rediscovered in a later round tests definitely-new,
+    bypasses the exact confirmation, and is re-appended to seen_tbl with
+    a different first_round every round it reappears."""
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    robots = spark.read.parquet(f"{corpus_dir}/robots.parquet")
+    seeds = get_seeds(spark, corpus_dir)
+    base = CrawlConfig(seeds=seeds, strategy="bfs", max_depth=6, max_pages=None,
+                       track_order=False, respect_robots=True)
+    from dataclasses import replace
+    bloom_cfg = replace(base, use_bloom=True, bloom_shards=4,
+                        bloom_bits=1 << 16, bloom_k=5)
+    e1 = CrawlEngine(spark, docs, base, str(tmp_path / "sw_exact"), robots=robots)
+    assert e1._sweep_mode()
+    e1.run()
+    e2 = CrawlEngine(spark, docs, bloom_cfg, str(tmp_path / "sw_bloom"), robots=robots)
+    assert e2._sweep_mode()
+    e2.run()
+    s1 = [(r.url, r.state) for r in e2.url_seen().collect()]
+    assert len(s1) == len(set(s1)), "duplicate rows in url_seen (bloom missed blocked)"
+    blocked = {u for u, st in s1 if st == "robots_blocked"}
+    assert blocked, "fixture should produce robots-blocked URLs in sweep mode"
+    assert set(s1) == {(r.url, r.state) for r in e1.url_seen().collect()}
+    assert {r.url for r in e1.pages().collect()} == {r.url for r in e2.pages().collect()}
+
+
+def test_bloom_resume_from_pre_bloom_checkpoint(spark, corpus_dir, tmp_path):
+    """Enabling use_bloom when resuming a crawl whose checkpoint predates
+    it must not crash (blooms table is empty) and must not duplicate
+    seen rows (the sidecar is rebuilt from the full seen set)."""
+    from dataclasses import replace
+
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    seeds = get_seeds(spark, corpus_dir)
+    cfg = CrawlConfig(seeds=seeds, strategy="bfs", max_depth=3, max_pages=40)
+    full = CrawlEngine(spark, docs, cfg, str(tmp_path / "nb_full"))
+    full.run()
+
+    part = CrawlEngine(spark, docs, replace(cfg, max_rounds=1), str(tmp_path / "nb_part"))
+    part.run()
+    bloom_cfg = replace(cfg, use_bloom=True, bloom_shards=4,
+                        bloom_bits=1 << 16, bloom_k=5)
+    resumed = CrawlEngine(spark, docs, bloom_cfg, str(tmp_path / "nb_part"))
+    resumed.run(resume=True)
+    a = [(r.rank, r.url) for r in full.pages().orderBy("rank").collect()]
+    b = [(r.rank, r.url) for r in resumed.pages().orderBy("rank").collect()]
+    assert a == b
+    sb = [(r.url, r.state) for r in resumed.url_seen().collect()]
+    assert len(sb) == len(set(sb))
+    assert set(sb) == {(r.url, r.state) for r in full.url_seen().collect()}
+
+
 def test_sweep_mode_same_coverage(spark, corpus_dir, tmp_path):
     """Throughput sweep (append-only frontier) fetches the same page SET
     and seen set as the windowed path with order tracking on."""
