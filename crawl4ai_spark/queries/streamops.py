@@ -6,11 +6,11 @@ availableNow trigger) and must equal the BATCH oracle — same SQL as
 ``events_tumbling`` — because a fully-drained availableNow run with no
 late data is batch-equivalent.
 
-``stream_sessionize`` exercises applyInPandasWithState; only sessions
-closed by the 30-min gap are emitted during a single drain (open
-sessions remain in state), so it is registered rows-only and its exact
-semantics are pinned by tests/test_streaming.py against the batch
-sessionizer.
+``stream_sessionize`` exercises applyInPandasWithState. The drain
+appends one FLUSH_EVENT sentinel per user (end-of-stream punctuation,
+stamped after every real event) so open sessions are closed by data —
+the drained stream then equals the batch ``events_sessionize`` oracle
+row-for-row, which is how it is checked.
 """
 
 from __future__ import annotations
@@ -27,8 +27,30 @@ from ..streaming.windows import (
     run_stream_to_table,
     stream_sessionize,
     stream_tumbling_agg,
+    write_flush_sentinels,
 )
 from .registry import query
+
+_SESSIONIZE_ORACLE = """
+    WITH marked AS (
+        -- floor(epoch(..)) matches Spark's unix_timestamp() second-floor
+        SELECT user_id, ts, event_id,
+               CASE WHEN floor(epoch(ts))::BIGINT - floor(epoch(lag(ts) OVER w))::BIGINT > 1800
+                    OR lag(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+        SELECT user_id, ts,
+               sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)::BIGINT AS session_idx
+        FROM marked
+    )
+    SELECT user_id::BIGINT AS user_id, session_idx,
+           count(*)::BIGINT AS n_events,
+           (floor(epoch(max(ts)))::BIGINT - floor(epoch(min(ts)))::BIGINT) AS duration_s
+    FROM sess GROUP BY 1, 2
+"""
 
 _TUMBLING_ORACLE = """
     SELECT epoch(date_trunc('hour', ts))::BIGINT AS window_start,
@@ -51,11 +73,16 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("stream_sessionize")
+@query("stream_sessionize", _SESSIONIZE_ORACLE)
 def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
     ckp = os.path.join(tempfile.gettempdir(), f"ckp_{name}")
-    events = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    # stream dir = the real events file + one flush sentinel per user
+    # (punctuation closing open sessions at drain end)
+    d = tempfile.mkdtemp(prefix="events_flush_")
+    os.symlink(f"{sf_dir}/events.parquet", os.path.join(d, "events.parquet"))
+    write_flush_sentinels(spark, f"{sf_dir}/events.parquet", d)
+    events = read_events_stream(spark, d)
     q = (
         stream_sessionize(events)
         .writeStream.format("memory")

@@ -89,6 +89,7 @@ def run_stream_to_table(spark: SparkSession, stream: DataFrame, name: str, check
 # custom stateful operator: session windows via applyInPandasWithState
 # --------------------------------------------------------------------------- #
 SESSION_GAP_S = 1800
+FLUSH_EVENT = "__flush__"  # stream punctuation: close the open session
 _OUT_SCHEMA = "user_id long, session_idx long, n_events long, duration_s long"
 _STATE_SCHEMA = "session_idx long, start_s long, last_s long, n long"
 
@@ -99,16 +100,26 @@ def _session_fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
     session survives in state across triggers. NoTimeout: with an
     availableNow drain, ProcessingTimeTimeout would spin empty
     micro-batches until wall-clock timeouts fire — idle-session closure
-    belongs to a continuous run, not the drain harness."""
+    belongs to a continuous run, not the drain harness. A FLUSH_EVENT
+    row is end-of-stream punctuation (the standard sentinel pattern):
+    it closes the user's open session without starting a new one, so a
+    fully-drained punctuated stream equals the batch sessionizer
+    row-for-row."""
     (user_id,) = key
     rows = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
     secs = (rows["ts"].astype("int64") // 1_000_000_000).to_numpy()
+    kinds = rows["event_type"].to_numpy()
     if state.exists:
         s_idx, start_s, last_s, n = state.get
     else:
         s_idx, start_s, last_s, n = 0, None, None, 0
     out = []
-    for t in secs:
+    for t, et in zip(secs, kinds):
+        if et == FLUSH_EVENT:
+            if start_s is not None:
+                out.append([user_id, s_idx, n, last_s - start_s])
+                start_s, last_s, n = None, None, 0
+            continue
         if start_s is None:
             s_idx, start_s, last_s, n = s_idx + 1, int(t), int(t), 1
         elif t - last_s > SESSION_GAP_S:
@@ -118,6 +129,39 @@ def _session_fn(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
             last_s, n = int(t), n + 1
     state.update((s_idx, start_s, last_s, n))
     yield pd.DataFrame(out, columns=["user_id", "session_idx", "n_events", "duration_s"])
+
+
+def write_flush_sentinels(spark: SparkSession, events_path: str, stream_dir: str) -> None:
+    """Append one FLUSH_EVENT row per user to ``stream_dir``, stamped
+    past every real event (global max ts + gap + 1 h) so it sorts last
+    for each user and forces the open session closed during the drain.
+    Written as a single parquet FILE (the stream source lists files,
+    not nested directories)."""
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    e = spark.read.parquet(events_path)
+    mx = e.agg(F.max("ts")).collect()[0][0]
+    # +2 days margin: .timestamp() on the collected naive datetime uses
+    # the local tz — any offset must never land the sentinel before a
+    # real event (it only needs to sort strictly last per user)
+    flush_s = int(mx.timestamp()) + SESSION_GAP_S + 2 * 86400
+    sent = e.select("user_id").distinct().select(
+        (F.lit(1 << 50) + F.col("user_id")).cast("long").alias("event_id"),
+        F.timestamp_seconds(F.lit(flush_s)).alias("ts"),
+        F.col("user_id").cast("long").alias("user_id"),
+        F.lit(FLUSH_EVENT).alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("").alias("props"),
+    )
+    tmp = tempfile.mkdtemp(prefix="sentinels_")
+    sent.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+    shutil.move(os.path.join(tmp, part), os.path.join(stream_dir, "zz_sentinels.parquet"))
+    shutil.rmtree(tmp, ignore_errors=True)
 
 
 def stream_sessionize(events: DataFrame) -> DataFrame:

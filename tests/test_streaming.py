@@ -19,15 +19,44 @@ def test_stream_tumbling_equals_batch(spark):
     assert got == want
 
 
-def test_stream_sessionize_matches_closed_batch_sessions(spark):
-    """Streamed sessions (closed-by-data) == batch sessions minus each
-    user's final (still-open) session."""
+def test_stream_sessionize_with_flush_equals_batch(spark):
+    """With flush-sentinel punctuation, the drained stream equals the
+    batch sessionizer EXACTLY (open sessions are closed by the sentinel)."""
     from crawl4ai_spark.queries.crawlops import q_events_sessionize
     from crawl4ai_spark.queries.streamops import q_stream_sessionize
 
     got = {
         (r.user_id, r.session_idx, r.n_events, r.duration_s)
         for r in q_stream_sessionize(spark, SF).collect()
+    }
+    want = {
+        (r.user_id, r.session_idx, r.n_events, r.duration_s)
+        for r in q_events_sessionize(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_stream_sessionize_unpunctuated_keeps_open_sessions(spark):
+    """Without sentinels, only sessions closed by data are emitted: batch
+    sessions minus each user's final (still-open) session."""
+    import os
+    import uuid as _uuid
+
+    from crawl4ai_spark.queries.crawlops import q_events_sessionize
+    from crawl4ai_spark.streaming.windows import read_events_stream, stream_sessionize
+
+    name = f"sess_raw_{_uuid.uuid4().hex[:6]}"
+    events = read_events_stream(spark, f"{SF}/events.parquet")
+    q = (
+        stream_sessionize(events)
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .option("checkpointLocation", os.path.join(tempfile.mkdtemp(), "ckp"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {
+        (r.user_id, r.session_idx, r.n_events, r.duration_s)
+        for r in spark.table(name).collect()
     }
     batch = q_events_sessionize(spark, SF)
     last = batch.groupBy("user_id").agg(F.max("session_idx").alias("mx"))
