@@ -35,6 +35,8 @@ class CrawlConfig:
     max_pages: int = 10               # reference default (crawl_agent.py:60)
     include_external: bool = False
     query: str = ""                   # best-first scorer terms (F5)
+    scorer: str = "contextual"        # contextual (F5) | keyword (F6)
+    score_keywords: list[str] = field(default_factory=list)  # F6 keyword list
     politeness: bool = False          # per-host per-round budgets (hosts table)
     politeness_salts: int = 1         # >1: split hot-host budget across salts (scale mode)
     respect_robots: bool = True

@@ -91,11 +91,21 @@ def _words(i: Column, j: Column, tag: str) -> Column:
     )
 
 
+def redirect_alias(t: Column, n_docs: int, n_hosts: int) -> Column:
+    """One-hop redirect alias of doc t: /r/<t> 301s to doc_url(t) (F12)."""
+    return F.concat(
+        F.lit("https://host"), host_index(t, n_hosts, n_docs).cast("string"),
+        F.lit(".example.com/r/"), t.cast("string"),
+    )
+
+
 def _link_href(i: Column, j: Column, n_docs: int, n_hosts: int) -> Column:
     """Link variants over a 20-sided die: 0-1 any-host (cross-host
-    discovery), 2-12 plain same-host, 13 fragment dup, 14-15 query-order
-    dups (canonicalize equal, fetch-miss), 16 uppercase dup, 17 default-
-    port dup, 18 external host, 19 social."""
+    discovery), 2-11 plain same-host, 12 redirect alias (resolves to the
+    plain URL through the redirects table — dedup-through-redirect),
+    13 fragment dup, 14-15 query-order dups (canonicalize equal,
+    fetch-miss), 16 uppercase dup, 17 default-port dup, 18 external
+    host, 19 social."""
     v = F.pmod(_h("lv", i, j), F.lit(20))
     t_any = F.pmod(_h("lt", i, j), F.lit(n_docs))
     t_same = _same_host_target(i, j, n_docs, n_hosts)
@@ -112,7 +122,8 @@ def _link_href(i: Column, j: Column, n_docs: int, n_hosts: int) -> Column:
                    F.lit(".other.net/x/"), t.cast("string"))
     social = F.concat(F.lit("https://facebook.com/share/"), t.cast("string"))
     return (
-        F.when(v <= 12, base)
+        F.when(v <= 11, base)
+        .when(v == 12, redirect_alias(t, n_docs, n_hosts))
         .when(v == 13, F.concat(base, F.lit("#sec"), j.cast("string")))
         .when(v == 14, F.concat(base, F.lit("?b=2&a=1")))
         .when(v == 15, F.concat(base, F.lit("?a=1&b=2")))
@@ -247,6 +258,24 @@ def build_robots(spark: SparkSession, n_hosts: int = 20) -> DataFrame:
     )
 
 
+def build_redirects(spark: SparkSession, n_docs: int, n_hosts: int = 20) -> DataFrame:
+    """redirects(src_url, dst_url): /r/<t> → doc_url(t) for every doc,
+    plus a second hop /rr/<t> → /r/<t> (chain testing, F12). Both sides
+    are already canonical by construction."""
+    df = spark.range(n_docs).toDF("i")
+    i = F.col("i")
+    one = df.select(
+        redirect_alias(i, n_docs, n_hosts).alias("src_url"),
+        doc_url(i, n_docs, n_hosts).alias("dst_url"),
+    )
+    h = host_index(i, n_hosts, n_docs).cast("string")
+    two = df.select(
+        F.concat(F.lit("https://host"), h, F.lit(".example.com/rr/"), i.cast("string")).alias("src_url"),
+        redirect_alias(i, n_docs, n_hosts).alias("dst_url"),
+    )
+    return one.unionByName(two)
+
+
 def build_host_budgets(spark: SparkSession, n_hosts: int = 20, base_budget: int = 4) -> DataFrame:
     g = F.col("g")
     return (
@@ -263,3 +292,4 @@ def write_fixtures(spark: SparkSession, out_dir: str, n_docs: int = 1000,
     build_documents(spark, n_docs, n_hosts, **doc_kw).write.mode("overwrite").parquet(f"{out_dir}/documents.parquet")
     build_robots(spark, n_hosts).write.mode("overwrite").parquet(f"{out_dir}/robots.parquet")
     build_host_budgets(spark, n_hosts).write.mode("overwrite").parquet(f"{out_dir}/hosts.parquet")
+    build_redirects(spark, n_docs, n_hosts).write.mode("overwrite").parquet(f"{out_dir}/redirects.parquet")

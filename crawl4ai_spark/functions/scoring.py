@@ -72,6 +72,41 @@ def link_score_sql(url_expr: str, text_expr: str, query: str = "") -> str:
     )
 
 
+def keyword_score(url: Column | str, keywords: list[str], weight: float = 1.0) -> Column:
+    """F6 — KeywordRelevanceScorer (imported by the reference at
+    /root/reference/crawl_agent.py:14; documented Best-First scorer,
+    original-README.md:509-510): the fraction of keywords appearing
+    (case-insensitive substring) in the URL, scaled by ``weight``.
+    Pure column expression — JVM codegen, no Python."""
+    if not keywords:
+        return F.lit(0.0)
+    u = F.col(url) if isinstance(url, str) else url
+    lu = F.lower(u)
+    hits = None
+    for k in keywords:
+        c = F.when(lu.contains(k.lower()), F.lit(1.0)).otherwise(F.lit(0.0))
+        hits = c if hits is None else hits + c
+    return F.round(hits * F.lit(weight / len(keywords)), 6)
+
+
+def keyword_score_sql(url_expr: str, keywords: list[str], weight: float = 1.0) -> str:
+    if not keywords:
+        return "0.0"
+    hits = " + ".join(
+        f"(CASE WHEN contains(lower({url_expr}), '{k.lower()}') THEN 1.0 ELSE 0.0 END)"
+        for k in keywords
+    )
+    return f"CAST(round(({hits}) * {weight / len(keywords)!r}, 6) AS DOUBLE)"
+
+
+def keyword_score_py(url: str, keywords: list[str], weight: float = 1.0) -> float:
+    if not keywords:
+        return 0.0
+    lu = url.lower()
+    hits = sum(1.0 for k in keywords if k.lower() in lu)
+    return round(hits * weight / len(keywords), 6)
+
+
 def link_score_py(url: str, text: str, query: str = "") -> float:
     """Python mirror for the sequential oracle (same as reference)."""
     score = 0.5

@@ -106,12 +106,35 @@ def parse_html(html: str) -> Node:
 # --------------------------------------------------------------------------- #
 # HTML → spans (S3/S4 parse stage)
 # --------------------------------------------------------------------------- #
+def filter_attrs(root: Node, keep_attrs: list[str], keep_data_attributes: bool = False) -> Node:
+    """P10 — HTML attribute filtering (reference config keep_attrs /
+    keep_data_attributes, crawl_agent.py:181-183): strip every attribute
+    not in the whitelist; ``keep_data_attributes`` additionally keeps
+    ``data-*``. Mutates and returns the tree."""
+    keep = set(keep_attrs)
+    for n in root.walk():
+        n.attrs = {
+            k: v for k, v in n.attrs.items()
+            if k in keep or (keep_data_attributes and k.startswith("data-"))
+        }
+    return root
+
+
 def html_to_spans(
     html: str,
     excluded_tags: list[str] | None = None,
     remove_forms: bool = False,
     process_iframes: bool = False,
+    keep_attrs: list[str] | None = None,
+    keep_data_attributes: bool = False,
 ) -> list[dict]:
+    """HTML → span sequence. ``keep_attrs`` (P10): when given, the DOM's
+    attributes are whitelist-filtered BEFORE extraction, so e.g.
+    keep_attrs=['href'] preserves link targets but drops img src
+    (media_ref None); None = keep everything. ``process_iframes`` (E8):
+    srcdoc content is parsed and merged inline; src-only iframes emit an
+    ``iframe`` span carrying the src so ``merge_iframes_by_src`` can
+    splice the referenced document in an in-corpus join."""
     excluded = set(excluded_tags if excluded_tags is not None else EXCLUDED_TAGS)
     if remove_forms:
         excluded.add("form")
@@ -143,9 +166,12 @@ def html_to_spans(
             emit("media", node.text(), src)
             return
         if t == "iframe":
-            if process_iframes and node.attrs.get("srcdoc"):
-                for child in parse_html(node.attrs["srcdoc"]).children:
-                    visit(child)
+            if process_iframes:
+                if node.attrs.get("srcdoc"):
+                    for child in parse_html(node.attrs["srcdoc"]).children:
+                        visit(child)
+                elif node.attrs.get("src"):
+                    emit("iframe", node.text(), node.attrs["src"])
             return
         own = re.sub(r"\s+", " ", " ".join(node.text_parts)).strip()
         if own:
@@ -153,7 +179,10 @@ def html_to_spans(
         for c in node.children:
             visit(c)
 
-    visit(parse_html(html))
+    root = parse_html(html)
+    if keep_attrs is not None:
+        filter_attrs(root, keep_attrs, keep_data_attributes)
+    visit(root)
     return spans
 
 
@@ -288,6 +317,54 @@ def spans_udf(excluded_tags: list[str] | None = None, remove_forms: bool = False
         )
 
     return run
+
+
+# --------------------------------------------------------------------------- #
+# E8: iframe-by-src merge — in-corpus join, pure DataFrame ops
+# --------------------------------------------------------------------------- #
+def merge_iframes_by_src(docs: DataFrame) -> DataFrame:
+    """E8 — the reference merges iframe CONTENT into the parent page
+    (crawl_agent.py:160,669). ``srcdoc`` iframes are inlined at parse
+    time (html_to_spans); src-referenced iframes become ``iframe`` spans
+    whose media_ref is resolved HERE by joining against the corpus
+    itself (no network): the referenced document's spans are spliced in
+    place of the iframe span, offsets re-indexed. Unresolvable iframes
+    keep their span. Shape: explode → left join on media_ref=doc_id →
+    re-assemble sorted by (parent position, child position) — all
+    JVM-side, one join + one agg."""
+    ex = docs.select(
+        "doc_id", F.posexplode("spans").alias("pos", "s")
+    )
+    child = docs.select(
+        F.col("doc_id").alias("_src"), F.col("spans").alias("_child_spans")
+    )
+    joined = ex.join(
+        child,
+        (F.col("s.kind") == "iframe") & (F.col("s.media_ref") == F.col("_src")),
+        "left",
+    )
+    # resolved iframes expand to their child spans; everything else (and
+    # unresolved iframes) passes through as a single-element array
+    pieces = joined.select(
+        "doc_id", "pos",
+        F.when(F.col("_child_spans").isNotNull(), F.col("_child_spans"))
+        .otherwise(F.array("s")).alias("piece"),
+    ).select("doc_id", "pos", F.posexplode("piece").alias("cpos", "s"))
+    assembled = pieces.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("pos", "cpos", F.col("s").alias("s")))
+        ).alias("ordered")
+    )
+    reindexed = F.transform(
+        F.col("ordered"),
+        lambda x, i: F.struct(
+            x["s"]["kind"].alias("kind"),
+            x["s"]["text"].alias("text"),
+            x["s"]["media_ref"].alias("media_ref"),
+            i.cast("int").alias("offset"),
+        ),
+    )
+    return assembled.select("doc_id", reindexed.alias("spans"))
 
 
 # --------------------------------------------------------------------------- #

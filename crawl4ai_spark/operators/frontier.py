@@ -33,10 +33,17 @@ Scale notes (10^10 frontier):
 * hot hosts: politeness window partitions by (host, host_salt) with the
   budget split across ``politeness_salts`` salts, so one mega-host's
   rank-and-limit doesn't serialize into one task.
-* global rank assignment (track_order) costs a single-partition window
-  over the SELECTED BATCH only (bounded by round budget), never over the
-  whole frontier; throughput mode (track_order=False, max_pages=None)
-  skips all global windows.
+* global rank assignment (track_order): with a round budget the rank is
+  a two-level top-k — parallel per-partition cuts, then one window over
+  ≤ P×limit survivors (bounded by budget, never frontier size); with no
+  budget (BFS full-order) ranks come from depth-block offsets (an
+  O(max_depth) collect) + per-depth windows. No window ever spans the
+  whole frontier in a single partition. Throughput mode
+  (track_order=False, max_pages=None) skips all global windows.
+* the frontier is an append-only log in EVERY mode: new links append,
+  and "pending" is derived by anti-joining the pages table (the
+  tombstone set). Per-round writes are O(delta); only the pending scan
+  is O(frontier), which priority selection inherently needs.
 """
 
 from __future__ import annotations
@@ -47,7 +54,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import SOCIAL_DOMAINS, CrawlConfig, resolve_strategy
-from ..functions.scoring import link_score
+from ..functions.scoring import keyword_score, link_score
 from ..functions.urls import canonicalize, url_hash, url_host, url_path
 from ..tables import Checkpoint, SnapshotTable
 from .seen_filter import bloom_anti_join, build_bloom_shards, merge_bloom_shards
@@ -67,6 +74,8 @@ class CrawlEngine:
         state_dir: str,
         robots: DataFrame | None = None,
         host_budgets: DataFrame | None = None,
+        redirects: DataFrame | None = None,
+        max_redirect_hops: int = 2,
     ):
         self.spark = spark
         # NB: do NOT persist() the corpus — a deserialized nested-row cache
@@ -83,9 +92,12 @@ class CrawlEngine:
         self.pages_tbl = SnapshotTable(state_dir, "pages")
         self.metrics_tbl = SnapshotTable(state_dir, "metrics")
         self.bloom_tbl = SnapshotTable(state_dir, "blooms")
+        self.redirects_tbl = SnapshotTable(state_dir, "redirects")
         self.ckp = Checkpoint(state_dir)
         self.robots = robots
         self.host_budgets = host_budgets
+        self.redirects = redirects
+        self.max_redirect_hops = max_redirect_hops
 
     # ------------------------------------------------------------------ #
     def _priority(self) -> list:
@@ -110,9 +122,13 @@ class CrawlEngine:
         seeds = self.spark.createDataFrame(
             [(u, i) for i, u in enumerate(cfg.seeds)], ["raw_url", "seed_idx"]
         )
-        c = canonicalize("raw_url")
-        w = Window.partitionBy(c).orderBy(F.col("seed_idx").asc())
+        seeds = seeds.select(canonicalize("raw_url").alias("url"), "seed_idx")
+        seeds = self._resolve_redirects(seeds)  # F12: seed on the FINAL url
+        w = Window.partitionBy("url").orderBy(F.col("seed_idx").asc())
         seeds = seeds.withColumn("_r", F.row_number().over(w)).where(F.col("_r") == 1)
+        if self.redirects is not None:
+            self._record_redirects(seeds, 0)
+        c = F.col("url")
         return seeds.select(
             c.alias("url"),
             url_hash(c).alias("url_hash"),
@@ -125,6 +141,54 @@ class CrawlEngine:
             F.lpad(F.col("seed_idx").cast("string"), 6, "0").alias("path"),
             F.lit(0).alias("discovered_round"),
         )
+
+    # ------------------------------------------------------------------ #
+    def _resolve_redirects(self, df: DataFrame, url_col: str = "url") -> DataFrame:
+        """F12: replace ``url`` with its final target by following the
+        redirects map up to ``max_redirect_hops`` joins (the reference
+        caps redirect chains; original-README.md:523 records them).
+        Adds ``redirect_src`` — the ORIGINAL alias url for rows that
+        moved, null otherwise. The map join is a plain hash join keyed
+        on the canonical url: at 10^10 scale the redirects table is
+        bucketed by url_hash like every other engine table (AQE picks
+        broadcast when the map is small). No-op (null column) when no
+        redirects table is configured."""
+        if self.redirects is None:
+            return df.withColumn("redirect_src", F.lit(None).cast("string"))
+        r = self.redirects.select(
+            F.col("src_url").alias(url_col), F.col("dst_url").alias("_dst")
+        )
+        out = df.withColumn("redirect_src", F.lit(None).cast("string"))
+        for _ in range(self.max_redirect_hops):
+            out = (
+                out.join(r, url_col, "left")
+                .withColumn(
+                    "redirect_src",
+                    F.when(
+                        F.col("_dst").isNotNull() & F.col("redirect_src").isNull(),
+                        F.col(url_col),
+                    ).otherwise(F.col("redirect_src")),
+                )
+                .withColumn(url_col, F.coalesce("_dst", url_col))
+                .drop("_dst")
+            )
+        return out
+
+    def _record_redirects(self, df: DataFrame, round_no: int) -> None:
+        """Append observed alias→final mappings to the redirects table
+        (src keyed like url_seen: canonical url + xxhash64)."""
+        m = (
+            df.where(F.col("redirect_src").isNotNull())
+            .select(
+                F.col("redirect_src").alias("src_url"),
+                url_hash(F.col("redirect_src")).alias("src_hash"),
+                F.col("url").alias("dst_url"),
+                url_hash(F.col("url")).alias("dst_hash"),
+                F.lit(round_no).alias("observed_round"),
+            )
+            .dropDuplicates(["src_url"])
+        )
+        self.redirects_tbl.append(m)
 
     # ------------------------------------------------------------------ #
     def _select_batch(self, frontier: DataFrame, limit: int | None):
@@ -144,14 +208,65 @@ class CrawlEngine:
                 .where(F.col("_hr") <= F.col("_budget"))
                 .drop("_hr", "_budget")
             )
-        if limit is not None or self.cfg.track_order:
-            wg = Window.orderBy(*pri)  # over the candidate batch only
-            cand = cand.withColumn("rank_in_round", F.row_number().over(wg))
-            if limit is not None:
-                cand = cand.where(F.col("rank_in_round") <= limit)
+        if limit is not None:
+            cand = self._global_rank_topk(cand, pri, limit)
+        elif self.cfg.track_order:
+            cand = self._global_rank_full(cand, pri)
         else:
             cand = cand.withColumn("rank_in_round", F.lit(0))
         return cand
+
+    def _global_rank_topk(self, cand: DataFrame, pri: list, limit: int) -> DataFrame:
+        """Distributed exact top-k + rank. The classic two-level cut:
+        each input partition keeps its local top-``limit`` (parallel
+        windows keyed by partition id), so the single-partition global
+        window only ever sees ≤ P×limit survivors — bounded by the round
+        budget, NEVER by frontier size. The global top-k is a subset of
+        the union of per-partition top-k's, so the result is exact, and
+        the final total-order window makes ranks deterministic whatever
+        the physical partition assignment was."""
+        wl = Window.partitionBy("_pid").orderBy(*pri)
+        cut = (
+            cand.withColumn("_pid", F.spark_partition_id())
+            .withColumn("_lrk", F.row_number().over(wl))
+            .where(F.col("_lrk") <= limit)
+        )
+        wg = Window.orderBy(*pri)  # ≤ P×limit rows by construction
+        return (
+            cut.withColumn("rank_in_round", F.row_number().over(wg))
+            .where(F.col("rank_in_round") <= limit)
+            .drop("_pid", "_lrk")
+        )
+
+    def _global_rank_full(self, cand: DataFrame, pri: list) -> DataFrame:
+        """Exact global rank with NO limit (track_order over the whole
+        candidate set). Only BFS offers a cheap order-aligned block key:
+        rank = (count of shallower-depth rows) + within-depth rank. The
+        per-depth counts are an O(max_depth)-row collect — deterministic
+        (pure function of the snapshot, unlike range-partitioner
+        sampling) — and the within-depth windows run one task per depth;
+        no window ever spans the whole frontier in one partition. DFS /
+        best-first have no such block key: an unbounded global rank
+        there is inherently a serial sort, so we require a budget."""
+        if self.strategy != "bfs":
+            raise ValueError(
+                "track_order with no max_pages/round_size requires strategy='bfs' "
+                "(depth-block ranks); set round_size or max_pages for dfs/best_first"
+            )
+        counts = {
+            r["depth"]: r["cnt"]
+            for r in cand.groupBy("depth").agg(F.count("*").alias("cnt")).collect()
+        }
+        if not counts:
+            return cand.withColumn("rank_in_round", F.lit(0))
+        off_expr, acc = F.lit(0), 0
+        for d in sorted(counts):
+            off_expr = F.when(F.col("depth") == d, F.lit(acc)).otherwise(off_expr)
+            acc += counts[d]
+        wd = Window.partitionBy("depth").orderBy(*pri[1:])  # pri[0] is depth
+        return cand.withColumn(
+            "rank_in_round", (off_expr + F.row_number().over(wd)).cast("int")
+        )
 
     # ------------------------------------------------------------------ #
     def _fetch(self, selected: DataFrame, round_no: int, fetched_so_far: int) -> DataFrame:
@@ -207,8 +322,14 @@ class CrawlEngine:
         )
         c = canonicalize(F.col("href"))
         links = links.select(
-            c.alias("url"), url_host(c).alias("host"), url_path(c).alias("u_path"),
-            "anchor", "offset", "p_host", "p_depth", "p_rank", "p_path",
+            c.alias("url"), "anchor", "offset", "p_host", "p_depth", "p_rank", "p_path",
+        )
+        # F12: filters, scoring, dedup and the seen set all key on the
+        # FINAL url (the landed page), as the reference does
+        links = self._resolve_redirects(links)
+        u = F.col("url")
+        links = links.select(
+            "*", url_host(u).alias("host"), url_path(u).alias("u_path"),
         )
         if not cfg.include_external:
             links = links.where(F.col("host") == F.col("p_host"))
@@ -219,18 +340,22 @@ class CrawlEngine:
             links = links.where(~F.col("host").isin(cfg.exclude_domains))
         links = links.where(F.col("p_depth") < cfg.max_depth)
 
+        if cfg.scorer == "keyword" and cfg.score_keywords:
+            sc = keyword_score("url", cfg.score_keywords)  # F6
+        else:
+            sc = link_score("url", "anchor", cfg.query)  # F5 (default)
         scored = links.select(
             "url",
             url_hash("url").alias("url_hash"),
             "host",
             F.pmod(F.xxhash64("url"), F.lit(max(1, cfg.politeness_salts))).cast("int").alias("host_salt"),
             (F.col("p_depth") + 1).alias("depth"),
-            link_score("url", "anchor", cfg.query).alias("score"),
+            sc.alias("score"),
             F.col("p_rank").cast("long").alias("parent_rank"),
             F.col("offset").alias("parent_offset"),
             F.concat("p_path", F.lit("/"), F.lpad(F.col("offset").cast("string"), 6, "0")).alias("path"),
             F.lit(round_no).alias("discovered_round"),
-            "u_path",
+            "u_path", "redirect_src",
         )
         # in-batch first-discovery dedup: keep min (parent_rank, offset)
         w = Window.partitionBy("url").orderBy(
@@ -258,11 +383,11 @@ class CrawlEngine:
     def _sweep_mode(self) -> bool:
         """BFS throughput fast path: with no page budget, no politeness
         and no order tracking, round r's batch is EXACTLY the fresh links
-        discovered in round r-1 — the frontier degenerates to an
-        append-only log (each round touches only its delta) instead of a
-        remainder anti-join + full overwrite per round. At a 10^10-row
-        frontier the overwrite path rewrites the whole queue every round;
-        the sweep path writes only the per-round delta."""
+        discovered in round r-1 — no pending scan, no priority windows,
+        no url_seen materialization (the frontier log doubles as the
+        seen set). Ordered modes share the append-only frontier but must
+        scan it each round to select by priority; sweep touches only the
+        per-round delta end to end."""
         cfg = self.cfg
         return (
             not cfg.track_order
@@ -298,7 +423,7 @@ class CrawlEngine:
             # durable checkpoint — the interrupted round replays exactly.
             for name, tbl in (("frontier", self.frontier_tbl), ("url_seen", self.seen_tbl),
                               ("pages", self.pages_tbl), ("metrics", self.metrics_tbl),
-                              ("blooms", self.bloom_tbl)):
+                              ("blooms", self.bloom_tbl), ("redirects", self.redirects_tbl)):
                 if name in ck["versions"]:
                     tbl.rollback(ck["versions"][name])
             round_no, fetched = ck["round"] + 1, ck["fetched"]
@@ -338,10 +463,20 @@ class CrawlEngine:
                     break
                 selected = delta.withColumn("rank_in_round", F.lit(0))
             else:
-                frontier = self.frontier_tbl.read(spark)
-                if frontier is None:
+                # the frontier is an append-only log in ordered modes too:
+                # pending = discovered minus fetched (pages IS the tombstone
+                # set — url-only column-pruned scan). Per-round I/O is then
+                # O(delta) writes + O(frontier) scan; the old overwrite
+                # path rewrote the entire queue every round.
+                frontier_log = self.frontier_tbl.read(spark)
+                if frontier_log is None:
                     break
-                selected = self._select_batch(frontier, limit)
+                fetched_pages = self.pages_tbl.read(spark)
+                pending = (
+                    frontier_log if fetched_pages is None
+                    else frontier_log.join(fetched_pages.select("url"), "url", "left_anti")
+                )
+                selected = self._select_batch(pending, limit)
             obs = Observation()
             pages_batch = self._fetch(selected, round_no, fetched).observe(
                 obs, F.count(F.lit(1)).alias("n")
@@ -371,23 +506,19 @@ class CrawlEngine:
                 )
             else:
                 fresh = new_links.join(seen, "url", "left_anti")
+            if self.redirects is not None:
+                # record alias→final mappings whose target is newly seen
+                self._record_redirects(fresh, round_no)
+            fresh = fresh.drop("redirect_src")
             allowed, blocked = self._robots_split(fresh)
 
             par = self.spark.sparkContext.defaultParallelism
+            self.frontier_tbl.append(
+                allowed.select(*FRONTIER_COLS).repartition(par, "url_hash"))
             if sweep:
-                self.frontier_tbl.append(
-                    allowed.select(*FRONTIER_COLS).repartition(par, "url_hash"))
                 allowed = None  # seen rows derive from the frontier log
             else:
-                sel_urls = selected.select("url")
-                remainder = frontier.join(sel_urls, "url", "left_anti")
-                new_frontier = remainder.unionByName(allowed.select(*FRONTIER_COLS))
-                self.frontier_tbl.overwrite(new_frontier)
                 allowed = self._read_delta(self.frontier_tbl)
-                if allowed is not None:
-                    # overwrite wrote remainder+new links; recover the new
-                    # links as those discovered this round
-                    allowed = allowed.where(F.col("discovered_round") == round_no)
 
             seen_src = allowed
             if seen_src is not None:
@@ -455,6 +586,7 @@ class CrawlEngine:
                 "pages": self.pages_tbl.current_version(),
                 "metrics": self.metrics_tbl.current_version(),
                 "blooms": self.bloom_tbl.current_version(),
+                "redirects": self.redirects_tbl.current_version(),
             }, {"fetched": fetched})
             round_no += 1
 
@@ -510,3 +642,8 @@ class CrawlEngine:
 
     def metrics(self) -> DataFrame | None:
         return self.metrics_tbl.read(self.spark)
+
+    def redirects_resolved(self) -> DataFrame | None:
+        """F12: observed redirect mappings — redirects(src_url, src_hash,
+        dst_url, dst_hash, observed_round), seen-set keyed on dst."""
+        return self.redirects_tbl.read(self.spark)

@@ -19,7 +19,7 @@ import math
 from dataclasses import dataclass, field
 
 from .config import SOCIAL_DOMAINS, CrawlConfig, resolve_strategy
-from .functions.scoring import link_score_py
+from .functions.scoring import keyword_score_py, link_score_py
 from .functions.urls import canonicalize_py, url_host_py, url_path_py
 
 
@@ -35,8 +35,21 @@ def run_oracle(
     cfg: CrawlConfig,
     robots: dict[str, list[str]] | None = None,
     budgets: dict[str, int] | None = None,
+    redirects: dict[str, str] | None = None,
+    max_redirect_hops: int = 2,
 ) -> OracleResult:
     strategy = resolve_strategy(cfg)
+
+    def resolve(u: str) -> str:
+        """F12 twin of the engine's capped redirect-map walk."""
+        if redirects is None:
+            return u
+        for _ in range(max_redirect_hops):
+            nxt = redirects.get(u)
+            if nxt is None:
+                return u
+            u = nxt
+        return u
 
     def prio_key(n: dict):
         if strategy == "dfs":
@@ -48,7 +61,7 @@ def run_oracle(
     frontier: list[dict] = []
     seen: dict[str, str] = {}
     for i, raw in enumerate(cfg.seeds):
-        u = canonicalize_py(raw)
+        u = resolve(canonicalize_py(raw))
         if u in seen:
             continue
         seen[u] = "frontier"
@@ -112,7 +125,7 @@ def run_oracle(
             for s in spans:
                 if s["kind"] != "link":
                     continue
-                u = canonicalize_py(s["media_ref"])
+                u = resolve(canonicalize_py(s["media_ref"]))
                 h = url_host_py(u)
                 if not cfg.include_external and h != n["host"]:
                     continue
@@ -122,9 +135,13 @@ def run_oracle(
                     continue
                 if h in cfg.exclude_domains:
                     continue
+                if cfg.scorer == "keyword" and cfg.score_keywords:
+                    sc = keyword_score_py(u, cfg.score_keywords)  # F6
+                else:
+                    sc = link_score_py(u, s["text"], cfg.query)  # F5
                 cand_link = {
                     "url": u, "host": h, "depth": n["depth"] + 1,
-                    "score": link_score_py(u, s["text"], cfg.query),
+                    "score": sc,
                     "parent_rank": fetched, "parent_offset": s["offset"],
                     "path": n["path"] + "/" + str(s["offset"]).zfill(6),
                 }

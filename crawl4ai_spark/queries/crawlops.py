@@ -28,7 +28,12 @@ from pyspark.sql import functions as F
 
 from ..functions import hashing as H
 from ..functions import text as T
-from ..functions.scoring import link_score, link_score_sql
+from ..functions.scoring import (
+    keyword_score,
+    keyword_score_sql,
+    link_score,
+    link_score_sql,
+)
 from ..functions.urls import canonicalize, canonicalize_sql
 from .registry import query, table as _t
 
@@ -179,6 +184,44 @@ def q_link_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
+# F6: KeywordRelevanceScorer — keyword-in-URL hit ratio
+# (reference import crawl_agent.py:14; original-README.md:509-510)
+# --------------------------------------------------------------------------- #
+_F6_KEYWORDS = ["spark", "login", "data"]
+_F6_URL_SQL = (
+    "('https://host' || (doc_id % 7)::VARCHAR || '.example.com/' || "
+    "(CASE WHEN doc_id % 13 = 0 THEN 'login/' ELSE '' END) || "
+    "(CASE WHEN doc_id % 4 = 0 THEN 'spark-data/' WHEN doc_id % 4 = 1 THEN 'data/' ELSE '' END) "
+    "|| doc_id::VARCHAR)"
+)
+
+
+@query(
+    "keyword_score",
+    f"""
+    SELECT doc_id::BIGINT AS doc_id,
+           {_F6_URL_SQL} AS url,
+           {keyword_score_sql(_F6_URL_SQL, _F6_KEYWORDS)} AS kw_score
+    FROM documents
+    """,
+)
+def q_keyword_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    url = F.concat(
+        F.lit("https://host"), F.pmod(i, F.lit(N_HOSTS)).cast("string"), F.lit(".example.com/"),
+        F.when(F.pmod(i, F.lit(13)) == 0, F.lit("login/")).otherwise(F.lit("")),
+        F.when(F.pmod(i, F.lit(4)) == 0, F.lit("spark-data/"))
+        .when(F.pmod(i, F.lit(4)) == 1, F.lit("data/")).otherwise(F.lit("")),
+        i.cast("string"),
+    )
+    return d.select(
+        i.alias("doc_id"), url.alias("url"),
+        keyword_score(url, _F6_KEYWORDS).alias("kw_score"),
+    )
+
+
+# --------------------------------------------------------------------------- #
 # F1/F7/F10: BFS frontier expansion with URL-seen dedup over the arithmetic
 # link graph (doc d links to (d*31 + j*17 + 7) % N for j in 1..4).
 # Spark = the engine's round loop (anti-join dedup per round);
@@ -291,6 +334,77 @@ def q_robots_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.pmod(h, F.lit(5)) == 0) & path.startswith("/login"),
             F.lit("robots_blocked"),
         ).otherwise(F.lit("allowed")).alias("state"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# F12: redirect tracking — capped redirect-map walk, seen keyed on the
+# final canonical URL (reference records redirects, original-README.md:523).
+# Chain: rr/<d> → r/<d> → p/<d>; start depth varies by doc_id % 3.
+# --------------------------------------------------------------------------- #
+_RMAP_SQL = f"""
+    SELECT ('https://host' || (doc_id % 7)::VARCHAR || '.example.com/r/' || doc_id::VARCHAR) AS src,
+           {_graph_url_sql('doc_id')} AS dst
+    FROM documents
+    UNION ALL
+    SELECT ('https://host' || (doc_id % 7)::VARCHAR || '.example.com/rr/' || doc_id::VARCHAR),
+           ('https://host' || (doc_id % 7)::VARCHAR || '.example.com/r/' || doc_id::VARCHAR)
+    FROM documents
+"""
+
+
+@query(
+    "redirects_resolve",
+    f"""
+    WITH rmap AS ({_RMAP_SQL}),
+    starts AS (
+        SELECT doc_id::BIGINT AS doc_id,
+               (CASE WHEN doc_id % 3 = 0
+                     THEN 'https://host' || (doc_id % 7)::VARCHAR || '.example.com/rr/' || doc_id::VARCHAR
+                     WHEN doc_id % 3 = 1
+                     THEN 'https://host' || (doc_id % 7)::VARCHAR || '.example.com/r/' || doc_id::VARCHAR
+                     ELSE {_graph_url_sql('doc_id')} END) AS start_url
+        FROM documents
+    ),
+    hop1 AS (
+        SELECT s.doc_id, s.start_url,
+               coalesce(m.dst, s.start_url) AS u1,
+               (CASE WHEN m.dst IS NULL THEN 0 ELSE 1 END) AS h1
+        FROM starts s LEFT JOIN rmap m ON s.start_url = m.src
+    )
+    SELECT h.doc_id, h.start_url,
+           coalesce(m.dst, h.u1) AS final_url,
+           (h.h1 + CASE WHEN m.dst IS NULL THEN 0 ELSE 1 END)::INT AS hops
+    FROM hop1 h LEFT JOIN rmap m ON h.u1 = m.src
+    """,
+)
+def q_redirects_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(F.col("doc_id").cast("long").alias("doc_id"))
+    i = F.col("doc_id")
+    h = F.pmod(i, F.lit(N_HOSTS)).cast("string")
+    direct = _graph_url(i)
+    r_url = F.concat(F.lit("https://host"), h, F.lit(".example.com/r/"), i.cast("string"))
+    rr_url = F.concat(F.lit("https://host"), h, F.lit(".example.com/rr/"), i.cast("string"))
+    rmap = d.select(r_url.alias("src"), direct.alias("dst")).unionByName(
+        d.select(rr_url.alias("src"), r_url.alias("dst"))
+    )
+    starts = d.select(
+        "doc_id",
+        F.when(F.pmod(i, F.lit(3)) == 0, rr_url)
+        .when(F.pmod(i, F.lit(3)) == 1, r_url)
+        .otherwise(direct).alias("start_url"),
+    )
+    m1 = rmap.withColumnRenamed("src", "start_url").withColumnRenamed("dst", "_d1")
+    hop1 = starts.join(m1, "start_url", "left").select(
+        "doc_id", "start_url",
+        F.coalesce("_d1", "start_url").alias("u1"),
+        F.when(F.col("_d1").isNull(), 0).otherwise(1).alias("h1"),
+    )
+    m2 = rmap.withColumnRenamed("src", "u1").withColumnRenamed("dst", "_d2")
+    return hop1.join(m2, "u1", "left").select(
+        "doc_id", "start_url",
+        F.coalesce("_d2", "u1").alias("final_url"),
+        (F.col("h1") + F.when(F.col("_d2").isNull(), 0).otherwise(1)).cast("int").alias("hops"),
     )
 
 

@@ -1,0 +1,150 @@
+"""Multimodal pipeline queries under the oracle gate.
+
+The engine's media path (operators/multimodal.py) is real mapInPandas
+plumbing over synthetic blobs whose header/body arithmetic is pure
+md5 — so DuckDB can recompute every output from first principles:
+
+    blob = MAGIC | kind(1) | w(u16) | h(u16) | n(u16) | body[w*h]
+    digest = md5(media_ref) bytes; w = 16 + d0 % 240; h = 16 + d1 % 240
+    n = 1 (image) else 1 + d2 % 64; body[i] = digest[i % 16]
+
+The Spark side runs the REAL pipeline (build_media_blobs →
+extract_media_meta / media_features / sample_frames, Arrow-batched);
+the oracle re-derives the same numbers from the md5 hex string. Feature
+histograms are compared as integer counts (normalized float32 ratios
+are scaled back by the pixel count — exact for counts ≤ 2^16), so no
+cross-engine float noise enters the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import (
+    build_media_blobs,
+    extract_media_meta,
+    media_features,
+    sample_frames,
+)
+from .registry import query, table as _t
+
+# ext die matches S7's media_ext_filter shape; includes video/audio kinds
+_EXTS = ["jpg", "png", "mp4", "wav", "webp", "gif", "mp3", "webm"]
+
+_EXT_LIST_SQL = "['" + "', '".join(_EXTS) + "']"
+_REF_SQL = (
+    "('https://host' || (doc_id % 7)::VARCHAR || '.example.com/media/' || "
+    f"doc_id::VARCHAR || '.' || ({_EXT_LIST_SQL})[(doc_id % 8)::INT + 1])"
+)
+
+# digest byte k (0-based) of md5(ref) as an integer
+def _db(ref_expr: str, k: int) -> str:
+    return f"(('0x' || substr(md5({ref_expr}), {2 * k + 1}, 2))::INT)"
+
+
+_KIND_SQL = (
+    "(CASE WHEN ext IN ('jpg', 'jpeg', 'png', 'gif', 'webp') THEN 'image' "
+    "WHEN ext IN ('mp4', 'webm') THEN 'video' "
+    "WHEN ext IN ('mp3', 'wav') THEN 'audio' ELSE 'image' END)"
+)
+
+_BASE_SQL = f"""
+    refs AS (
+        SELECT DISTINCT {_REF_SQL} AS media_ref,
+               ({_EXT_LIST_SQL})[(doc_id % 8)::INT + 1] AS ext
+        FROM documents
+    ),
+    hdr AS (
+        SELECT media_ref, {_KIND_SQL} AS kind,
+               16 + {_db('media_ref', 0)} % 240 AS width,
+               16 + {_db('media_ref', 1)} % 240 AS height,
+               (CASE WHEN {_KIND_SQL} = 'image' THEN 1
+                     ELSE 1 + {_db('media_ref', 2)} % 64 END) AS n_frames
+        FROM refs
+    )
+"""
+
+
+def _refs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    exts = F.array(*[F.lit(e) for e in _EXTS])
+    ref = F.concat(
+        F.lit("https://host"), F.pmod(i, F.lit(7)).cast("string"),
+        F.lit(".example.com/media/"), i.cast("string"), F.lit("."),
+        F.element_at(exts, F.pmod(i, F.lit(8)).cast("int") + 1),
+    )
+    return d.select(ref.alias("media_ref"))
+
+
+@query(
+    "media_meta",
+    f"""
+    WITH {_BASE_SQL}
+    SELECT media_ref, kind, width::INT AS width, height::INT AS height,
+           n_frames::INT AS n_frames,
+           (11 + width * height)::BIGINT AS n_bytes
+    FROM hdr
+    """,
+)
+def q_media_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """build_media_blobs → extract_media_meta, the real Arrow pipeline."""
+    blobs = build_media_blobs(_refs(spark, sf_dir))
+    return extract_media_meta(blobs).select(
+        "media_ref", "kind", "width", "height", "n_frames", "n_bytes"
+    )
+
+
+@query(
+    "media_frames",
+    f"""
+    WITH {_BASE_SQL}
+    SELECT media_ref, (f.f * 10)::INT AS frame_idx,
+           width::INT AS width, height::INT AS height
+    FROM hdr, unnest(generate_series(0, (n_frames - 1) // 10)) AS f(f)
+    WHERE kind = 'video'
+    """,
+)
+def q_media_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    blobs = build_media_blobs(_refs(spark, sf_dir))
+    return sample_frames(blobs, every=10)
+
+
+# feature histogram, integer-recovered: body[i] = digest[i % 16], so
+# bucket b's count = Σ_j<16 [digest[j] % 16 == b] * (cycles + (j < rem))
+# with cycles = (w*h) // 16, rem = (w*h) % 16.
+_CNT_SQL = ", ".join(
+    f"""CAST(list_sum(list_transform(generate_series(0, 15),
+        j -> (CASE WHEN ('0x' || substr(md5(media_ref), 2 * j + 1, 2))::INT % 16 = {b}
+                   THEN (width * height) // 16 + (CASE WHEN j < (width * height) % 16 THEN 1 ELSE 0 END)
+                   ELSE 0 END))) AS BIGINT) AS c{b}"""
+    for b in range(4)
+)
+
+
+@query(
+    "media_features_hist",
+    f"""
+    WITH {_BASE_SQL}
+    SELECT media_ref, (width * height)::BIGINT AS n_px, {_CNT_SQL}
+    FROM hdr
+    """,
+)
+def q_media_features_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """media_features (L1-normalized float32 histogram) scaled back to
+    exact integer counts by the pixel total — float-noise-free compare."""
+    blobs = build_media_blobs(_refs(spark, sf_dir))
+    feats = media_features(blobs, dim=16)
+    meta = extract_media_meta(blobs).select(
+        "media_ref", (F.col("width") * F.col("height")).cast("long").alias("n_px")
+    )
+    j = feats.join(meta, "media_ref")
+    return j.select(
+        "media_ref", "n_px",
+        *[
+            F.round(F.get("features", b).cast("double") * F.col("n_px"), 0)
+            .cast("long").alias(f"c{b}")
+            for b in range(4)
+        ],
+    )

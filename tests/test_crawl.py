@@ -65,6 +65,21 @@ def test_order_and_seen_match_oracle(spark, corpus_dir, tmp_path, strategy):
     assert got_s == want_s
 
 
+def test_best_first_keyword_scorer_order(spark, corpus_dir, tmp_path):
+    """F6: Best-First with the KeywordRelevanceScorer must reproduce the
+    sequential oracle's order using the same keyword-in-URL ratio."""
+    cfg = CrawlConfig(seeds=[], strategy="best_first", max_depth=3, max_pages=40,
+                      scorer="keyword", score_keywords=["login", "a/b", "p"],
+                      use_ai_agent=True)
+    got_p, want_p, got_s, want_s = _run_both(spark, corpus_dir, tmp_path, cfg, "kwbf")
+    assert got_p == want_p
+    assert got_s == want_s
+    # the keyword scorer must actually differentiate (not all-equal scores)
+    from crawl4ai_spark.functions.scoring import keyword_score_py
+    scores = {keyword_score_py(u, cfg.score_keywords) for _, u, _, _, _ in got_p}
+    assert len(scores) > 1
+
+
 def test_politeness_budgets(spark, corpus_dir, tmp_path):
     cfg = CrawlConfig(seeds=[], strategy="bfs", max_depth=3, max_pages=60,
                       politeness=True)
@@ -114,6 +129,39 @@ def test_bfs_equals_textbook_fifo(spark, corpus_dir, tmp_path):
                 seen.add(c)
                 q.append((c, d + 1))
     assert got == order
+
+
+def test_redirect_alias_resolved_and_fetched_once(spark, corpus_dir, tmp_path):
+    """F12: alias links (/r/<t>, /rr/<t>) resolve through the redirects
+    map at discovery; dedup and the seen set key on the FINAL canonical
+    URL, so an aliased page is fetched exactly once; observed mappings
+    land in the redirects table. Order must match the sequential oracle
+    running the same capped redirect walk."""
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    rdf = spark.read.parquet(f"{corpus_dir}/redirects.parquet")
+    pydocs = load_docs_pandas(f"{corpus_dir}/documents.parquet")
+    pyredir = {r.src_url: r.dst_url for r in rdf.collect()}
+    cfg = CrawlConfig(seeds=get_seeds(spark, corpus_dir), strategy="bfs",
+                      max_depth=3, max_pages=60, respect_robots=False)
+    eng = CrawlEngine(spark, docs, cfg, str(tmp_path / "redir"), redirects=rdf)
+    eng.run()
+    got_pages = [(r.rank, r.url, r.depth, r.status)
+                 for r in eng.pages().orderBy("rank").collect()]
+    o = run_oracle(pydocs, cfg, redirects=pyredir)
+    want_pages = [(p["rank"], p["url"], p["depth"], p["status"]) for p in o.pages]
+    assert got_pages == want_pages
+    urls = [u for _, u, _, _ in got_pages]
+    assert len(urls) == len(set(urls)), "an aliased URL was fetched twice"
+    assert not any("/r/" in u or "/rr/" in u for u in urls), "alias leaked into pages"
+    got_seen = {(r.url, r.state) for r in eng.url_seen().collect()}
+    assert got_seen == set(o.seen.items())
+    red = eng.redirects_resolved()
+    assert red is not None and red.count() > 0, "no redirect mappings recorded"
+    for r in red.collect():
+        assert r.src_url in pyredir
+        d = pyredir[r.src_url]
+        d = pyredir.get(d, d)  # final target within 2 hops
+        assert r.dst_url == d
 
 
 def test_robots_blocked_in_seen_not_pages(spark, corpus_dir, tmp_path):

@@ -62,6 +62,38 @@ class TestHtmlToSpans:
         vid = next(s for s in spans if s["kind"] == "media")
         assert vid["media_ref"] == "/v.mp4"
 
+    def test_keep_attrs_whitelist(self):
+        """P10: with a keep_attrs whitelist, stripped attributes stop
+        feeding the extraction (img src gone, href kept)."""
+        spans = html_to_spans(HTML, keep_attrs=["href"])
+        links = [s for s in spans if s["kind"] == "link"]
+        assert {s["media_ref"] for s in links} == {"/a", "/b"}
+        img = next(s for s in spans if s["kind"] == "image")
+        assert img["media_ref"] is None  # src stripped
+        assert img["text"] == ""  # alt stripped too
+        # default (None) keeps everything
+        img2 = next(s for s in html_to_spans(HTML) if s["kind"] == "image")
+        assert img2["media_ref"] == "/i.png"
+
+    def test_keep_data_attributes(self):
+        h = '<div data-x="1" id="d"><a href="/z" data-k="v">z</a></div>'
+        from crawl4ai_spark.operators.extract import filter_attrs, parse_html
+
+        root = filter_attrs(parse_html(h), ["id"], keep_data_attributes=True)
+        d = next(n for n in root.walk() if n.tag == "div")
+        a = next(n for n in root.walk() if n.tag == "a")
+        assert d.attrs == {"data-x": "1", "id": "d"}
+        assert a.attrs == {"data-k": "v"}  # href stripped, data-* kept
+
+    def test_iframe_src_span(self):
+        """E8: src-only iframes surface as iframe spans when
+        process_iframes is on (resolved later by merge_iframes_by_src)."""
+        h = '<p>a</p><iframe src="https://x.com/child"></iframe><p>b</p>'
+        spans = html_to_spans(h, process_iframes=True)
+        fr = [s for s in spans if s["kind"] == "iframe"]
+        assert len(fr) == 1 and fr[0]["media_ref"] == "https://x.com/child"
+        assert not [s for s in html_to_spans(h) if s["kind"] == "iframe"]
+
 
 class TestCss:
     def test_selectors(self):
@@ -131,3 +163,29 @@ def test_extraction_udf_spark(spark):
     }
     out = df.select(extraction_udf(schema)(F.col("html")).alias("ex")).first().ex
     assert json.loads(out) == [{"label": "one"}, {"label": "two"}]
+
+
+def test_merge_iframes_by_src_spark(spark):
+    """E8: iframe spans resolve against the corpus — the child document's
+    spans are spliced at the iframe position with contiguous offsets;
+    unresolvable iframes keep their span."""
+    from crawl4ai_spark.operators.extract import merge_iframes_by_src
+
+    parent = "<p>before</p><iframe src='doc://child'></iframe><p>after</p>"
+    child = "<h1>Child Title</h1><p>child body</p>"
+    orphan = "<p>x</p><iframe src='doc://missing'></iframe>"
+    df = read_raw_html(spark, [parent, child, orphan], process_iframes=True)
+    from pyspark.sql import functions as F
+
+    df = df.withColumn(
+        "doc_id",
+        F.when(F.col("doc_id") == "raw://1", "doc://child").otherwise(F.col("doc_id")),
+    )
+    merged = {r.doc_id: [dict(kind=s.kind, text=s.text, offset=s.offset) for s in r.spans]
+              for r in merge_iframes_by_src(df).collect()}
+    p = merged["raw://0"]
+    assert [s["text"] for s in p] == ["before", "Child Title", "child body", "after"]
+    assert [s["offset"] for s in p] == [0, 1, 2, 3]
+    assert [s["kind"] for s in p] == ["text", "heading", "text", "text"]
+    o = merged["raw://2"]
+    assert any(s["kind"] == "iframe" for r in [o] for s in r), o

@@ -52,6 +52,65 @@ def test_crawl_engine_plan_has_no_python_udf(spark, corpus_dir):
     assert "xxhash64" in plan.lower()
 
 
+def test_select_batch_no_unbounded_single_partition_window(spark, corpus_dir):
+    """Rank assignment must never run a single-partition window over the
+    raw frontier: with a limit, the SinglePartition exchange may only see
+    the local-top-k survivors (a Filter on _lrk sits below it); with no
+    limit (BFS full order), no SinglePartition exchange exists at all
+    (depth-block offsets + per-depth windows)."""
+    from crawl4ai_spark.config import CrawlConfig
+    from crawl4ai_spark.operators.frontier import CrawlEngine
+
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    state = "/tmp/planchk_rank"
+    import shutil
+    shutil.rmtree(state, ignore_errors=True)
+
+    # a realistic materialized frontier (non-literal columns — a seed-only
+    # frontier is all constants and Catalyst folds the window keys away)
+    frontier_path = "/tmp/planchk_rank_frontier"
+    shutil.rmtree(frontier_path, ignore_errors=True)
+    spark.range(5000).selectExpr(
+        "concat('https://host', id % 9, '.example.com/p/', id) AS url",
+        "xxhash64(concat('u', id)) AS url_hash",
+        "concat('host', id % 9, '.example.com') AS host",
+        "cast(id % 4 AS int) AS host_salt",
+        "cast(id % 3 AS int) AS depth",
+        "cast(pmod(xxhash64(id), 100) / 100.0 AS double) AS score",
+        "cast(id % 40 AS long) AS parent_rank",
+        "cast(id % 7 AS int) AS parent_offset",
+        "lpad(cast(id AS string), 6, '0') AS path",
+        "0 AS discovered_round",
+    ).write.mode("overwrite").parquet(frontier_path)
+    frontier = spark.read.parquet(frontier_path)
+
+    # limited: local cut (_lrk) must exist below the global window
+    eng = CrawlEngine(spark, docs, CrawlConfig(seeds=["https://host9.example.com/p/1"],
+                                               max_pages=10), state)
+    plan = _plan(eng._select_batch(frontier, 10))
+    assert "_lrk" in plan, "local top-k pre-cut missing"
+    single = plan.find("SinglePartition")
+    # children print below their parent: the _lrk cut must sit BELOW the
+    # single-partition exchange (i.e. the exchange only sees survivors)
+    assert single == -1 or "_lrk" in plan[single:], plan
+
+    # unlimited BFS full-order: no SinglePartition exchange anywhere
+    cfg = CrawlConfig(seeds=["https://host9.example.com/p/1"],
+                      max_pages=None, track_order=True, strategy="bfs")
+    eng2 = CrawlEngine(spark, docs, cfg, state)
+    plan2 = _plan(eng2._select_batch(frontier, None))
+    assert "SinglePartition" not in plan2, plan2
+
+    # dfs/best_first with no budget must refuse (inherently serial sort)
+    import pytest
+
+    cfg3 = CrawlConfig(seeds=["https://host9.example.com/p/1"], strategy="dfs",
+                       max_pages=None, track_order=True)
+    eng3 = CrawlEngine(spark, docs, cfg3, state + "3")
+    with pytest.raises(ValueError, match="round_size or max_pages"):
+        eng3._select_batch(frontier, None)
+
+
 def test_politeness_select_single_window_pass(spark):
     """Per-host rank-and-limit = one window exec, no extra shuffle after."""
     from crawl4ai_spark.queries.crawlops import q_politeness_select

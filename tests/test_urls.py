@@ -66,10 +66,12 @@ def test_canonical_idempotent():
 @pytest.mark.parametrize("n", [500])
 def test_fixture_links_canonicalize_to_doc_urls(spark, n):
     """Duplicate link variants (frag/query-order/case/port) collapse to
-    real doc URLs — the property URL-seen dedup depends on."""
+    real doc URLs — the property URL-seen dedup depends on. Redirect
+    aliases (F12) are the one sanctioned exception: every non-doc link
+    must be a src in the redirects table (resolvable to a doc URL)."""
     from pyspark.sql import functions as F
 
-    from crawl4ai_spark.fixtures import build_documents
+    from crawl4ai_spark.fixtures import build_documents, build_redirects
 
     docs = build_documents(spark, n, 10)
     links = (
@@ -78,7 +80,10 @@ def test_fixture_links_canonicalize_to_doc_urls(spark, n):
         # externals + the intentional query-order dup variants miss by design
         .where(~F.col("c").rlike("other\\.net|facebook") & ~F.col("c").contains("?"))
     )
-    missing = links.join(docs.select(F.col("doc_id").alias("c")), "c", "left_anti").count()
+    resolvable = docs.select(F.col("doc_id").alias("c")).unionByName(
+        build_redirects(spark, n, 10).select(F.col("src_url").alias("c"))
+    )
+    missing = links.join(resolvable, "c", "left_anti").count()
     assert missing == 0
 
 
