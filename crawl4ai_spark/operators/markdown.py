@@ -181,9 +181,15 @@ def links_of(spans: Column | str, page_host: Column | str) -> Column:
     )
 
 
-def images_of(spans: Column | str, page_host: Column | str) -> Column:
-    """ARRAY<STRUCT<src,alt,is_external>> from image spans."""
-    return F.transform(
+def images_of(
+    spans: Column | str,
+    page_host: Column | str,
+    exclude_external: bool = False,
+) -> Column:
+    """ARRAY<STRUCT<src,alt,is_external>> from image spans.
+    ``exclude_external=True`` (P9, reference exclude_external_images —
+    crawl_agent.py:164) drops images hosted off the page's host."""
+    imgs = F.transform(
         F.filter(sorted_spans(spans), lambda sp: sp["kind"] == "image"),
         lambda sp: F.struct(
             sp["media_ref"].alias("src"),
@@ -194,6 +200,9 @@ def images_of(spans: Column | str, page_host: Column | str) -> Column:
             ).alias("is_external"),
         ),
     )
+    if exclude_external:
+        imgs = F.filter(imgs, lambda x: ~x["is_external"])
+    return imgs
 
 
 def page_stats(spans: Column | str) -> Column:

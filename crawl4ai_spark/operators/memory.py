@@ -13,7 +13,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .clustering import fake_encode
@@ -68,10 +68,11 @@ def retrieve_relevant(
     )
     qn = float(np.linalg.norm(qv)) or 1.0
     sim = dot / (nrm * F.lit(qn))
-    w = Window.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    # orderBy + limit plans as TakeOrderedAndProject — a distributed
+    # top-k (per-partition heads merged on the driver), NOT a
+    # single-partition window; safe to reuse as a bulk top-k template
     return (
         memory.withColumn("sim", sim)
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .drop("rank")
+        .orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+        .limit(k)
     )

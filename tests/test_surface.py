@@ -114,3 +114,27 @@ class TestSinks:
         assert n == 2
         files = sorted(p.name for p in (tmp_path / "md").iterdir())
         assert all(f.endswith(".md") for f in files) and len(files) == 2
+
+
+def test_exclude_external_images_filter(spark):
+    """P9: exclude_external=True drops off-host images from the inventory
+    (reference exclude_external_images, crawl_agent.py:164)."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.operators.markdown import images_of
+
+    df = spark.createDataFrame(
+        [(
+            "host1.example.com",
+            [
+                {"kind": "image", "text": "a", "media_ref": "https://host1.example.com/i/1.png", "offset": 0},
+                {"kind": "image", "text": "b", "media_ref": "https://cdn.other.net/i/2.png", "offset": 1},
+            ],
+        )],
+        "host string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+    all_imgs = df.select(images_of("spans", "host").alias("im")).first().im
+    kept = df.select(images_of("spans", "host", exclude_external=True).alias("im")).first().im
+    assert len(all_imgs) == 2 and len(kept) == 1
+    assert kept[0].src == "https://host1.example.com/i/1.png"
+    assert [i.is_external for i in all_imgs] == [False, True]
