@@ -90,6 +90,37 @@ def crawl_throughput(spark, work_dir: str, n_docs: int, n_hosts: int = 40) -> di
     }
 
 
+def crawl_ordered_throughput(spark, work_dir: str, n_docs: int, n_hosts: int = 40) -> dict:
+    """Ordered-mode (windowed-path) throughput: track_order=True with a
+    round budget exercises the append-only frontier + pending anti-join
+    + distributed top-k rank — the path real priority crawls take. Slower
+    than sweep by design (per-round frontier scan + rank); reported so
+    the ordered path's cost is measured, not assumed."""
+    from crawl4ai_spark.config import CrawlConfig
+    from crawl4ai_spark.fixtures import VirtualCorpus
+    from crawl4ai_spark.operators.frontier import CrawlEngine
+
+    vc = VirtualCorpus(n_docs=n_docs, n_hosts=n_hosts)
+    seeds = vc.seed_urls(n_hosts - 1, 4096)
+    cfg = CrawlConfig(
+        seeds=seeds, max_depth=6, max_pages=None, include_external=True,
+        politeness=False, respect_robots=False, track_order=True,
+        round_size=20_000, max_rounds=3,
+    )
+    state = os.path.join(work_dir, "state_ordered")
+    shutil.rmtree(state, ignore_errors=True)
+    eng = CrawlEngine(spark, vc, cfg, state)
+    t0 = time.monotonic()
+    res = eng.run()
+    elapsed = time.monotonic() - t0
+    return {
+        "fetched": res["fetched"],
+        "rounds": res["rounds"],
+        "crawl_sec": round(elapsed, 3),
+        "urls_per_sec": round(res["fetched"] / elapsed, 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -127,8 +158,19 @@ def main() -> None:
             shutil.rmtree(work, ignore_errors=True)
     crawl = max(crawl_runs, key=lambda c: c["urls_per_sec"])
 
+    # single run (secondary metric): the ordered path is ~2x the wall
+    # time of the sweep; best-of-k on it would dominate the bench
+    ordered_runs = []
+    work = f"/dev/shm/bench_ocrawl_{os.getpid()}"
+    try:
+        ordered_runs.append(crawl_ordered_throughput(spark, work, n_docs))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    ordered = ordered_runs[0]
+
     total = round(sum(sum(r) for r in qspread.values())
-                  + sum(c["crawl_sec"] for c in crawl_runs), 3)
+                  + sum(c["crawl_sec"] for c in crawl_runs)
+                  + sum(c["crawl_sec"] for c in ordered_runs), 3)
     print(json.dumps({
         "metric": "urls_fetched_deduped_per_sec",
         "value": crawl["urls_per_sec"],
@@ -136,6 +178,7 @@ def main() -> None:
         "queries": qtimes,
         "sf": sf,
         "crawl": crawl,
+        "crawl_ordered": ordered,
         "best_of": best_of,
         "query_runs": qspread,
         "crawl_runs": [c["urls_per_sec"] for c in crawl_runs],
