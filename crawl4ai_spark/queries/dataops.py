@@ -394,6 +394,183 @@ def q_ann_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
+# embedding-cosine near-dup: LSH sign-bucket join (same bucket key as
+# ann_lsh_bucket) → exact cosine verify ≥ threshold. The embedding-space
+# twin of MinHash/SimHash: candidates only within a bucket, never
+# all-pairs — the pair count is Σ_b n_b², not n². Like the text dedup
+# corpus, positives are planted deterministically: exact copies
+# (vec_id%11==0) and first-component +0.25 perturbations (vec_id%7==0,
+# cosine ≈ 0.97 on these unit vectors). A perturbation that flips the
+# first sign bit lands in another bucket and is honestly missed — LSH
+# recall < 1 by design, identically in both engines.
+# --------------------------------------------------------------------------- #
+COS_DUP_T = 0.9
+
+_ECORPUS_SQL = f"""
+    SELECT vec_id::BIGINT AS id, list_transform(embedding, x -> x::DOUBLE) AS v
+    FROM embeddings
+    UNION ALL
+    SELECT vec_id::BIGINT + 100000,
+           list_transform(generate_series(1, {DIM}),
+             i -> CASE WHEN i = 1 THEN embedding[1]::DOUBLE + 0.25
+                       ELSE embedding[i]::DOUBLE END)
+    FROM embeddings WHERE vec_id % 7 = 0
+    UNION ALL
+    SELECT vec_id::BIGINT + 200000, list_transform(embedding, x -> x::DOUBLE)
+    FROM embeddings WHERE vec_id % 11 = 0
+"""
+
+
+def _ecorpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    i = F.col("vec_id").cast("long")
+    dbl = F.transform("embedding", lambda x: x.cast("double"))
+    pert = F.zip_with(
+        "embedding",
+        F.sequence(F.lit(1), F.lit(DIM)),
+        lambda x, j: F.when(j == 1, x.cast("double") + 0.25).otherwise(x.cast("double")),
+    )
+    base = e.select(i.alias("id"), dbl.alias("v"))
+    near = e.where(F.pmod(i, F.lit(7)) == 0).select((i + 100000).alias("id"), pert.alias("v"))
+    exact = e.where(F.pmod(i, F.lit(11)) == 0).select((i + 200000).alias("id"), dbl.alias("v"))
+    return base.unionByName(near).unionByName(exact)
+
+
+@query(
+    "dedup_embedding",
+    f"""
+    WITH corpus AS ({_ECORPUS_SQL}),
+    b AS (
+        SELECT id, v, {_bucket_sql('v')} AS bucket FROM corpus
+    ),
+    pairs AS (
+        SELECT a.id AS a_id, e.id AS b_id,
+               {_cos_sql('a.v', 'e.v')} AS c
+        FROM b a JOIN b e ON a.bucket = e.bucket AND a.id < e.id
+    )
+    SELECT a_id, b_id, round(c, 6) AS cosine
+    FROM pairs WHERE c >= {COS_DUP_T}
+    """,
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _ecorpus(spark, sf_dir)
+    b = c.select("id", "v", _bucket(F.col("v")).alias("bucket")).repartition(F.col("id"))
+    a, e = b.alias("a"), b.alias("b")
+    pairs = a.join(
+        e,
+        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")),
+    ).select(
+        F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"),
+        _cos(F.col("a.v"), F.col("b.v")).alias("c"),
+    )
+    return pairs.where(F.col("c") >= COS_DUP_T).select(
+        "a_id", "b_id", F.round("c", 6).alias("cosine"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# IVF ANN: coarse quantizer with PINNED centroids (the first N_CELLS
+# vectors by vec_id — deterministic, no trained k-means state to ship
+# cross-engine), cell assignment by max cosine, query probes its
+# N_PROBE nearest cells, exact re-rank inside the probed cells. The
+# second scale path next to the sign-bit LSH bucket join: cells bound
+# the candidate set to ~n*nprobe/n_cells per query.
+# --------------------------------------------------------------------------- #
+N_CELLS = 8
+N_PROBE = 2
+
+_IVF_SIMS_SQL = (
+    f"list_transform(generate_series(0, {N_CELLS - 1}), "
+    f"ci -> {_cos_sql('c.cent[ci + 1]', 'e.embedding')})"
+)
+_IVF_MASKED_SQL = (
+    f"list_transform(generate_series(1, {N_CELLS}), "
+    "mi -> CASE WHEN mi = list_position(sims, list_max(sims)) "
+    "THEN -2.0 ELSE sims[mi] END)"
+)
+
+
+@query(
+    "ann_ivf_probe",
+    f"""
+    WITH cents AS (
+        SELECT list(list_transform(embedding, x -> x::DOUBLE) ORDER BY vec_id) AS cent
+        FROM embeddings WHERE vec_id < {N_CELLS}
+    ),
+    assigned AS (
+        SELECT e.vec_id, e.embedding, {_IVF_SIMS_SQL} AS sims
+        FROM embeddings e, cents c
+    ),
+    cells AS (
+        SELECT vec_id, embedding,
+               (list_position(sims, list_max(sims)) - 1)::INT AS cell
+        FROM assigned
+    ),
+    qprobe AS (
+        SELECT vec_id AS q_id, embedding AS qe, unnest([
+            (list_position(sims, list_max(sims)) - 1)::INT,
+            (list_position({_IVF_MASKED_SQL}, list_max({_IVF_MASKED_SQL})) - 1)::INT
+        ]) AS cell
+        FROM assigned WHERE vec_id < 10
+    ),
+    scored AS (
+        SELECT qp.q_id, c.vec_id AS n_id, {_cos_sql('qp.qe', 'c.embedding')} AS sim
+        FROM qprobe qp JOIN cells c ON c.cell = qp.cell AND c.vec_id <> qp.q_id
+    )
+    SELECT q_id::BIGINT AS q_id, n_id::BIGINT AS n_id,
+           row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, n_id ASC)::INT AS rank,
+           round(sim, 6) AS sim
+    FROM scored QUALIFY rank <= 3
+    """,
+)
+def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    cents = [
+        r.embedding
+        for r in e.where(F.col("vec_id") < N_CELLS).orderBy("vec_id").collect()
+    ]
+    # per-row cosine against each pinned centroid (broadcast as literals)
+    sims = F.array(*[
+        _cos(F.array(*[F.lit(float(x)) for x in cv]), F.col("embedding"))
+        for cv in cents
+    ])
+    assigned = e.select("vec_id", "embedding", sims.alias("sims")).repartition(
+        F.col("vec_id")
+    )
+    best = F.array_position(F.col("sims"), F.array_max("sims")) - 1
+    masked = F.transform(
+        F.sequence(F.lit(1), F.lit(N_CELLS)),
+        lambda i: F.when(
+            i == F.array_position(F.col("sims"), F.array_max("sims")), F.lit(-2.0)
+        ).otherwise(F.element_at("sims", i.cast("int"))),
+    )
+    second = F.array_position(masked, F.array_max(masked)) - 1
+    cells = assigned.select("vec_id", "embedding", best.cast("int").alias("cell"))
+    qprobe = (
+        assigned.where(F.col("vec_id") < 10)
+        .select(
+            F.col("vec_id").alias("q_id"), F.col("embedding").alias("qe"),
+            F.explode(F.array(best.cast("int"), second.cast("int"))).alias("cell"),
+        )
+    )
+    scored = (
+        F.broadcast(qprobe)
+        .join(cells, "cell")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("n_id"), _cos(F.col("qe"), F.col("embedding")).alias("sim"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("sim").desc(), F.col("n_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select(
+            F.col("q_id").cast("long"), F.col("n_id").cast("long"),
+            "rank", F.round("sim", 6).alias("sim"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
 # BM25 ranking (reference BM25ContentFilter parameterization: P2)
 # --------------------------------------------------------------------------- #
 BM25_TERMS = ["data", "spark", "table"]  # fixed order = summation order
