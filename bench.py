@@ -44,12 +44,19 @@ HEADLINE_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_embedding",
     "ann_cosine_topk",
     "ann_lsh_bucket",
+    "ann_ivf_probe",
     "bm25_rank",
     "keywords_topn",
+    "keyword_score",
+    "redirects_resolve",
     "chunk_fixed",
     "chunk_sliding",
+    "chunk_sentence",
+    "chunk_semantic",
+    "media_meta",
     "spans_markdown",
     "spans_fit_filter",
     "events_tumbling",

@@ -406,13 +406,6 @@ class CrawlEngine:
         if ck is None:
             self.frontier_tbl.overwrite(self._seed_frontier())
             seeds = self.frontier_tbl.read(spark)
-            if not sweep:
-                # sweep mode: the append-only frontier IS the seen set —
-                # url_seen() derives from it; no separate table writes
-                self.seen_tbl.overwrite(
-                    seeds.select("url", "url_hash", F.lit(0).alias("first_round"),
-                                 F.lit("frontier").alias("state"))
-                )
             if cfg.use_bloom:
                 self.bloom_tbl.overwrite(build_bloom_shards(
                     seeds, n_shards=cfg.bloom_shards,
@@ -435,11 +428,10 @@ class CrawlEngine:
                 src = self.seen_tbl.read(spark)
                 if src is not None:
                     src = src.select("url", "url_hash")
-                if sweep:
-                    fr = self.frontier_tbl.read(spark)
-                    if fr is not None:
-                        fr = fr.select("url", "url_hash")
-                        src = fr if src is None else src.unionByName(fr)
+                fr = self.frontier_tbl.read(spark)
+                if fr is not None:
+                    fr = fr.select("url", "url_hash")
+                    src = fr if src is None else src.unionByName(fr)
                 if src is not None:
                     self.bloom_tbl.overwrite(build_bloom_shards(
                         src, n_shards=cfg.bloom_shards,
@@ -489,13 +481,12 @@ class CrawlEngine:
             pages_batch = self._read_delta(self.pages_tbl)
 
             new_links = self._extract_links(pages_batch, round_no)
-            if sweep:
-                seen = self.frontier_tbl.read(spark).select("url")
-                blocked_seen = self.seen_tbl.read(spark)
-                if blocked_seen is not None:  # robots-blocked rows live here
-                    seen = seen.unionByName(blocked_seen.select("url"))
-            else:
-                seen = self.seen_tbl.read(spark).select("url")
+            # the append-only frontier log IS the seen set (every mode);
+            # robots-blocked URLs never enter the log and live in seen_tbl
+            seen = self.frontier_tbl.read(spark).select("url")
+            blocked_seen = self.seen_tbl.read(spark)
+            if blocked_seen is not None:
+                seen = seen.unionByName(blocked_seen.select("url"))
             if cfg.use_bloom:
                 # definitely-new links skip the anti-join shuffle; only
                 # maybe-seen ones get the exact confirmation (F10 stays exact)
@@ -515,44 +506,27 @@ class CrawlEngine:
             par = self.spark.sparkContext.defaultParallelism
             self.frontier_tbl.append(
                 allowed.select(*FRONTIER_COLS).repartition(par, "url_hash"))
-            if sweep:
-                allowed = None  # seen rows derive from the frontier log
-            else:
-                allowed = self._read_delta(self.frontier_tbl)
 
-            seen_src = allowed
-            if seen_src is not None:
-                seen_add = seen_src.select(
-                    "url", "url_hash", F.lit(round_no).alias("first_round"),
-                    F.lit("frontier").alias("state"))
-            else:
-                seen_add = None
             if blocked is not None:
-                b = blocked.select(
+                self.seen_tbl.append(blocked.select(
                     "url", "url_hash", F.lit(round_no).alias("first_round"),
-                    F.lit("robots_blocked").alias("state"))
-                seen_add = b if seen_add is None else seen_add.unionByName(b)
-            if seen_add is not None:
-                self.seen_tbl.append(seen_add)
+                    F.lit("robots_blocked").alias("state")))
             if cfg.use_bloom:
-                if sweep:
-                    seen_delta = self._read_delta(self.frontier_tbl)
-                    if seen_delta is not None:
-                        seen_delta = seen_delta.select("url", "url_hash")
-                    # robots-blocked rows live in seen_tbl, not the frontier
-                    # log — without them a rediscovered blocked URL would
-                    # test definitely-new, bypass the exact confirmation,
-                    # and be re-appended to seen_tbl every round
-                    if blocked is not None:
-                        b_delta = self._read_delta(self.seen_tbl)
-                        if b_delta is not None:
-                            b_delta = b_delta.select("url", "url_hash")
-                            seen_delta = (
-                                b_delta if seen_delta is None
-                                else seen_delta.unionByName(b_delta)
-                            )
-                else:
-                    seen_delta = self._read_delta(self.seen_tbl)
+                seen_delta = self._read_delta(self.frontier_tbl)
+                if seen_delta is not None:
+                    seen_delta = seen_delta.select("url", "url_hash")
+                # robots-blocked rows live in seen_tbl, not the frontier
+                # log — without them a rediscovered blocked URL would
+                # test definitely-new, bypass the exact confirmation,
+                # and be re-appended to seen_tbl every round
+                if blocked is not None:
+                    b_delta = self._read_delta(self.seen_tbl)
+                    if b_delta is not None:
+                        b_delta = b_delta.select("url", "url_hash")
+                        seen_delta = (
+                            b_delta if seen_delta is None
+                            else seen_delta.unionByName(b_delta)
+                        )
                 if seen_delta is not None:
                     bloom_delta = build_bloom_shards(
                         seen_delta, n_shards=cfg.bloom_shards,
@@ -622,12 +596,11 @@ class CrawlEngine:
         return self.pages_tbl.read(self.spark)
 
     def url_seen(self) -> DataFrame | None:
-        """The deduplicated URL-seen set. In sweep mode the append-only
-        frontier log IS the seen set (plus any robots-blocked rows in
-        seen_tbl); in windowed mode it is materialized directly."""
+        """The deduplicated URL-seen set, derived: the append-only
+        frontier log IS the seen set in every mode (state 'frontier'),
+        plus robots-blocked rows materialized in seen_tbl — one fewer
+        write job per round than materializing seen rows redundantly."""
         base = self.seen_tbl.read(self.spark)
-        if not self._sweep_mode():
-            return base
         fr = self.frontier_tbl.read(self.spark)
         derived = None
         if fr is not None:
