@@ -542,16 +542,14 @@ class CrawlEngine:
                 .select(F.lit(round_no).alias("round"), "partition_id", "fetched", "missing",
                         F.lit(float(elapsed)).alias("elapsed_s"))
             )
-            if sweep:
-                # buffered (lazy over immutable delta files); flushed in one
-                # append every METRICS_FLUSH_ROUNDS rounds BEFORE the round
-                # checkpoint (so a crash loses at most that many rounds of
-                # metrics, not the whole run's) and once after the loop
-                self._metrics_parts.append(metrics)
-                if len(self._metrics_parts) >= self.METRICS_FLUSH_ROUNDS:
-                    self._flush_metrics()
-            else:
-                self.metrics_tbl.append(metrics)
+            # buffered (lazy over immutable pages-delta files); flushed in
+            # one append every METRICS_FLUSH_ROUNDS rounds BEFORE the round
+            # checkpoint (a crash loses at most that many rounds of metrics
+            # — bounded, documented) and once after the loop. Saves one
+            # write job per round in every mode.
+            self._metrics_parts.append(metrics)
+            if len(self._metrics_parts) >= self.METRICS_FLUSH_ROUNDS:
+                self._flush_metrics()
 
             fetched += n_sel
             self.ckp.commit(round_no, {
