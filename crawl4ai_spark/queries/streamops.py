@@ -23,8 +23,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..streaming.windows import (
+    read_documents_stream,
     read_events_stream,
     run_stream_to_table,
+    stream_dedup_urls,
     stream_sessionize,
     stream_tumbling_agg,
     write_flush_sentinels,
@@ -71,6 +73,56 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name).select(
         "window_start", "event_type", "n_events", "sum_cents", "n_users"
     )
+
+
+from ..functions.urls import canonicalize_sql as _canon_sql
+
+_DEDUP_ORACLE = f"""
+    WITH variants AS (
+        SELECT u.url_raw
+        FROM documents d,
+             unnest([
+                'https://host' || (d.doc_id % 7)::VARCHAR || '.example.com/p/' || d.doc_id::VARCHAR,
+                'HTTPS://HOST' || (d.doc_id % 7)::VARCHAR || '.EXAMPLE.COM/p/' || d.doc_id::VARCHAR || '#sec',
+                'https://host' || (d.doc_id % 7)::VARCHAR || '.example.com:443/p/' || d.doc_id::VARCHAR || '?z=1&a=2'
+             ]) AS u(url_raw)
+    ),
+    canon AS (
+        SELECT {_canon_sql('url_raw', 'duckdb')} AS url FROM variants
+    )
+    SELECT regexp_extract(url, 'https://([^/]+)/', 1) AS host,
+           count(DISTINCT url)::BIGINT AS n_seen
+    FROM canon GROUP BY 1
+"""
+
+
+@query("stream_dedup_urls", _DEDUP_ORACLE)
+def q_stream_dedup_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming URL-seen dedup (north rule's seen set as a Structured
+    Streaming operator): stream the documents source, derive the three
+    messy URL variants per doc (same variants as the batch
+    ``url_seen_fold``), canonicalize, dropDuplicates on the canonical
+    url, count per host — a fully-drained availableNow run equals the
+    batch distinct."""
+    from ..functions.urls import canonicalize
+
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    ckp = os.path.join(tempfile.gettempdir(), f"ckp_{name}")
+    docs = read_documents_stream(spark, f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id").cast("long")
+    h = F.pmod(i, F.lit(7)).cast("string")
+    variants = docs.select(
+        F.explode(
+            F.array(
+                F.concat(F.lit("https://host"), h, F.lit(".example.com/p/"), i.cast("string")),
+                F.concat(F.lit("HTTPS://HOST"), h, F.lit(".EXAMPLE.COM/p/"), i.cast("string"), F.lit("#sec")),
+                F.concat(F.lit("https://host"), h, F.lit(".example.com:443/p/"), i.cast("string"), F.lit("?z=1&a=2")),
+            )
+        ).alias("url_raw")
+    )
+    deduped = stream_dedup_urls(variants.select(canonicalize("url_raw").alias("url")))
+    run_stream_to_table(spark, deduped, name, ckp)
+    return spark.table(name).select("host", "n_seen")
 
 
 @query("stream_sessionize", _SESSIONIZE_ORACLE)

@@ -49,6 +49,40 @@ def read_events_stream(spark: SparkSession, path: str) -> DataFrame:
     )
 
 
+def read_documents_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-stream source over the documents parquet (doc_id + counts
+    only — spans pruned at the source for the dedup twin)."""
+    import os
+    import tempfile
+
+    if os.path.isfile(path):
+        d = tempfile.mkdtemp(prefix="docs_stream_")
+        os.symlink(path, os.path.join(d, os.path.basename(path)))
+        path = d
+    return (
+        spark.readStream.schema("doc_id bigint, text string, lang string, source string, n_chars bigint")
+        .format("parquet")
+        .option("path", path)
+        .load()
+    )
+
+
+def stream_dedup_urls(urls: DataFrame, url_col: str = "url") -> DataFrame:
+    """Streaming URL-seen dedup — the north rule's seen set as a
+    Structured Streaming operator: canonical URLs deduped with
+    ``dropDuplicates`` (state keyed by url; a continuous deployment
+    bounds state with dropDuplicatesWithinWatermark + an event-time
+    column — the drain harness has no event time, so exact dedup state
+    is the honest shape here), then per-host counts."""
+    from ..functions.urls import url_host
+
+    return (
+        urls.dropDuplicates([url_col])
+        .groupBy(url_host(F.col(url_col)).alias("host"))
+        .agg(F.count("*").alias("n_seen"))
+    )
+
+
 def stream_tumbling_agg(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     """Hourly tumbling windows per event_type; late data beyond the
     watermark is dropped once the window closes. Column contract matches

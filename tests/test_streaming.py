@@ -102,3 +102,29 @@ def test_stream_incremental_state_across_batches(spark):
     assert streamed.where(F.col("n_events") <= 0).count() == 0
     dupes = streamed.groupBy("user_id", "session_idx").count().where("count > 1").count()
     assert dupes == 0
+
+
+def test_stream_dedup_urls_equals_batch_distinct(spark):
+    """Streaming URL-seen dedup (dropDuplicates over canonical urls)
+    drained with availableNow == batch countDistinct per host."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.functions.urls import canonicalize, url_host
+    from crawl4ai_spark.queries.streamops import q_stream_dedup_urls
+
+    got = {(r.host, r.n_seen) for r in q_stream_dedup_urls(spark, SF).collect()}
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    i = F.col("doc_id").cast("long")
+    h = F.pmod(i, F.lit(7)).cast("string")
+    variants = docs.select(F.explode(F.array(
+        F.concat(F.lit("https://host"), h, F.lit(".example.com/p/"), i.cast("string")),
+        F.concat(F.lit("HTTPS://HOST"), h, F.lit(".EXAMPLE.COM/p/"), i.cast("string"), F.lit("#sec")),
+        F.concat(F.lit("https://host"), h, F.lit(".example.com:443/p/"), i.cast("string"), F.lit("?z=1&a=2")),
+    )).alias("url_raw"))
+    want = {
+        (r.host, r.n_seen)
+        for r in variants.select(canonicalize("url_raw").alias("url"))
+        .groupBy(url_host(F.col("url")).alias("host"))
+        .agg(F.countDistinct("url").alias("n_seen")).collect()
+    }
+    assert got == want
