@@ -164,6 +164,31 @@ def test_redirect_alias_resolved_and_fetched_once(spark, corpus_dir, tmp_path):
         assert r.dst_url == d
 
 
+def test_redirects_resume_exact(spark, corpus_dir, tmp_path):
+    """F12 + resume: the redirects table participates in the round
+    checkpoint — a kill/resume run records the same mappings and pages
+    as an uninterrupted one."""
+    from dataclasses import replace
+
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    rdf = spark.read.parquet(f"{corpus_dir}/redirects.parquet")
+    cfg = CrawlConfig(seeds=get_seeds(spark, corpus_dir), strategy="bfs",
+                      max_depth=3, max_pages=50, respect_robots=False)
+    full = CrawlEngine(spark, docs, cfg, str(tmp_path / "rr_full"), redirects=rdf)
+    full.run()
+    part = CrawlEngine(spark, docs, replace(cfg, max_rounds=1),
+                       str(tmp_path / "rr_part"), redirects=rdf)
+    part.run()
+    resumed = CrawlEngine(spark, docs, cfg, str(tmp_path / "rr_part"), redirects=rdf)
+    resumed.run(resume=True)
+    a = [(r.rank, r.url) for r in full.pages().orderBy("rank").collect()]
+    b = [(r.rank, r.url) for r in resumed.pages().orderBy("rank").collect()]
+    assert a == b
+    ra = {(r.src_url, r.dst_url) for r in full.redirects_resolved().collect()}
+    rb = {(r.src_url, r.dst_url) for r in resumed.redirects_resolved().collect()}
+    assert ra and ra == rb
+
+
 def test_robots_blocked_in_seen_not_pages(spark, corpus_dir, tmp_path):
     cfg = CrawlConfig(seeds=[], strategy="bfs", max_depth=6, max_pages=None)
     got_p, want_p, got_s, want_s = _run_both(spark, corpus_dir, tmp_path, cfg, "rb")
