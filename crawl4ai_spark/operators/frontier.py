@@ -217,25 +217,29 @@ class CrawlEngine:
         return cand
 
     def _global_rank_topk(self, cand: DataFrame, pri: list, limit: int) -> DataFrame:
-        """Distributed exact top-k + rank. The classic two-level cut:
-        each input partition keeps its local top-``limit`` (parallel
-        windows keyed by partition id), so the single-partition global
-        window only ever sees ≤ P×limit survivors — bounded by the round
-        budget, NEVER by frontier size. The global top-k is a subset of
-        the union of per-partition top-k's, so the result is exact, and
-        the final total-order window makes ranks deterministic whatever
-        the physical partition assignment was."""
-        wl = Window.partitionBy("_pid").orderBy(*pri)
+        """Distributed exact top-k + rank. The classic two-level cut,
+        done SHUFFLE-FREE: sort each partition in place, then
+        ``monotonically_increasing_id`` (partition id in the high bits,
+        row position in the low 33 bits) gives the within-partition rank
+        without any exchange — each partition keeps its local
+        top-``limit``, so the single-partition global window only ever
+        sees ≤ P×limit survivors: bounded by the round budget, NEVER by
+        frontier size. The global top-k is a subset of the union of
+        per-partition top-k's, so the result is exact, and the final
+        total-order window makes ranks deterministic whatever the
+        physical partition assignment was."""
         cut = (
-            cand.withColumn("_pid", F.spark_partition_id())
-            .withColumn("_lrk", F.row_number().over(wl))
-            .where(F.col("_lrk") <= limit)
+            cand.sortWithinPartitions(*pri)
+            .withColumn(
+                "_lrk", F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
+            )
+            .where(F.col("_lrk") < limit)
         )
         wg = Window.orderBy(*pri)  # ≤ P×limit rows by construction
         return (
             cut.withColumn("rank_in_round", F.row_number().over(wg))
             .where(F.col("rank_in_round") <= limit)
-            .drop("_pid", "_lrk")
+            .drop("_lrk")
         )
 
     def _global_rank_full(self, cand: DataFrame, pri: list) -> DataFrame:
