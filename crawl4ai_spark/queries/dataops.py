@@ -639,6 +639,44 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
+# Gopher-style repetition quality signal: fraction of all word bigrams
+# taken by the most frequent bigram (high → boilerplate/spam). Shape:
+# explode bigrams → per-(doc,gram) counts → per-doc max / total — two
+# partial-aggregating groupBys, no per-row Python, no window.
+# --------------------------------------------------------------------------- #
+@query(
+    "repetition_score",
+    f"""
+    WITH grams AS (
+        SELECT doc_id::BIGINT AS doc_id, g.g AS gram
+        FROM documents,
+             unnest({H.shingles_sql(T.tokens_sql('text'), 2)}) AS g(g)
+    ),
+    counts AS (
+        SELECT doc_id, gram, count(*)::BIGINT AS n FROM grams GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           sum(n)::BIGINT AS n_bigrams,
+           max(n)::BIGINT AS top_bigram_n,
+           round(max(n)::DOUBLE / sum(n), 6) AS top_frac
+    FROM counts GROUP BY doc_id
+    """,
+)
+def q_repetition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(H.shingles(T.tokens("text"), 2)).alias("gram"),
+    )
+    counts = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("n"))
+    return counts.groupBy("doc_id").agg(
+        F.sum("n").alias("n_bigrams"),
+        F.max("n").alias("top_bigram_n"),
+        F.round(F.max("n").cast("double") / F.sum("n"), 6).alias("top_frac"),
+    )
+
+
+# --------------------------------------------------------------------------- #
 # K4: top-N keywords per group (stopword-filtered term counts)
 # --------------------------------------------------------------------------- #
 TOP_TERMS = 5

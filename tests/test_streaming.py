@@ -128,3 +128,39 @@ def test_stream_dedup_urls_equals_batch_distinct(spark):
         .agg(F.countDistinct("url").alias("n_seen")).collect()
     }
     assert got == want
+
+
+def test_stream_dedup_within_watermark_bounded_state(spark):
+    """The bounded-state streaming dedup (dropDuplicatesWithinWatermark):
+    the same events file fed twice dedups back to one row per event_id —
+    the production shape of the streaming URL-seen filter (state evicted
+    by watermark instead of growing forever)."""
+    import os
+    import tempfile
+    import uuid as _uuid
+
+    from crawl4ai_spark.streaming.windows import EVENTS_SCHEMA
+
+    d = tempfile.mkdtemp(prefix="evdup_")
+    for i in range(2):  # duplicate arrivals
+        os.symlink(f"{SF}/events.parquet", os.path.join(d, f"copy{i}.parquet"))
+    src = spark.readStream.schema(EVENTS_SCHEMA).format("parquet").load(d)
+    dedup = (
+        src.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy("event_type").agg(F.count("*").alias("n"))
+    )
+    name = f"dedup_wm_{_uuid.uuid4().hex[:6]}"
+    q = (
+        dedup.writeStream.format("memory").queryName(name).outputMode("complete")
+        .option("checkpointLocation", os.path.join(tempfile.mkdtemp(), "ckp"))
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = {(r.event_type, r.n) for r in spark.table(name).collect()}
+    want = {
+        (r.event_type, r.n)
+        for r in spark.read.parquet(f"{SF}/events.parquet")
+        .groupBy("event_type").agg(F.countDistinct("event_id").alias("n")).collect()
+    }
+    assert got == want
