@@ -243,14 +243,18 @@ class VirtualCorpus:
 
 
 def build_robots(spark: SparkSession, n_hosts: int = 20) -> DataFrame:
-    """robots(host, allow, disallow, crawl_delay): every 5th host blocks /login."""
+    """robots(host, allow, disallow, crawl_delay): every 5th host blocks
+    /login but carves out /login/p/1* via a longer allow rule (REP
+    longest-match: the more specific allow overrides the disallow)."""
     g = F.col("g")
+    blocks_login = (F.pmod(g, F.lit(5)) == 0) | (g == n_hosts - 1)
     return (
         spark.range(n_hosts).toDF("g")
         .select(
             F.concat(F.lit("host"), g.cast("string"), F.lit(".example.com")).alias("host"),
-            F.array().cast("array<string>").alias("allow"),
-            F.when((F.pmod(g, F.lit(5)) == 0) | (g == n_hosts - 1), F.array(F.lit("/login")))
+            F.when(blocks_login, F.array(F.lit("/login/p/1")))
+            .otherwise(F.array().cast("array<string>")).alias("allow"),
+            F.when(blocks_login, F.array(F.lit("/login")))
             .when(F.pmod(g, F.lit(7)) == 0, F.array(F.lit("/private")))
             .otherwise(F.array().cast("array<string>")).alias("disallow"),
             (F.lit(0.5) + F.pmod(g, F.lit(4)).cast("double") * 0.5).alias("crawl_delay"),

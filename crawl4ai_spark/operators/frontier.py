@@ -369,18 +369,32 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------ #
     def _robots_split(self, new_links: DataFrame):
-        """(allowed, blocked): disallow rules are prefix matches on path.
-        Broadcast join — the robots table is one row per host."""
+        """(allowed, blocked): REP longest-match evaluation — the most
+        specific (longest) matching rule among allow+disallow wins, and
+        allow wins length ties (RFC 9309 §2.2.2). Blocked iff the best
+        matching disallow is strictly longer than the best matching
+        allow. Broadcast join — the robots table is one row per host;
+        rule evaluation is pure column exprs (filter/transform/max)."""
         if not self.cfg.respect_robots or self.robots is None:
             return new_links.drop("u_path"), None
-        r = F.broadcast(self.robots.select("host", "disallow"))
+        cols = ["host", "disallow"]
+        has_allow = "allow" in self.robots.columns
+        if has_allow:
+            cols.append("allow")
+        r = F.broadcast(self.robots.select(*cols))
         j = new_links.join(r, "host", "left")
-        blocked_pred = F.exists(
-            F.coalesce(F.col("disallow"), F.array().cast("array<string>")),
-            lambda p: F.col("u_path").startswith(p),
-        )
-        allowed = j.where(~blocked_pred).drop("disallow", "u_path")
-        blocked = j.where(blocked_pred).drop("disallow", "u_path")
+
+        def best(rules: str) -> F.Column:
+            matched = F.filter(
+                F.coalesce(F.col(rules), F.array().cast("array<string>")),
+                lambda p: F.col("u_path").startswith(p),
+            )
+            return F.coalesce(F.array_max(F.transform(matched, F.length)), F.lit(0))
+
+        blocked_pred = best("disallow") > (best("allow") if has_allow else F.lit(0))
+        drop = ["disallow", "u_path"] + (["allow"] if has_allow else [])
+        allowed = j.where(~blocked_pred).drop(*drop)
+        blocked = j.where(blocked_pred).drop(*drop)
         return allowed, blocked
 
     # ------------------------------------------------------------------ #

@@ -155,8 +155,16 @@ def run_oracle(
             if u in seen:
                 continue
             if cfg.respect_robots and robots is not None:
-                dis = robots.get(n["host"], [])
-                if any(url_path_py(u).startswith(p) for p in dis):
+                rules = robots.get(n["host"], [])
+                if isinstance(rules, dict):
+                    allow, dis = rules.get("allow", []), rules.get("disallow", [])
+                else:  # plain list = disallow-only (back-compat)
+                    allow, dis = [], rules
+                path = url_path_py(u)
+                # REP longest-match: most specific rule wins, allow wins ties
+                best_dis = max((len(p) for p in dis if path.startswith(p)), default=0)
+                best_allow = max((len(p) for p in allow if path.startswith(p)), default=0)
+                if best_dis > best_allow:
                     seen[u] = "robots_blocked"
                     continue
             seen[u] = "frontier"

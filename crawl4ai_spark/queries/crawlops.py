@@ -310,12 +310,19 @@ def q_politeness_select(spark: SparkSession, sf_dir: str) -> DataFrame:
                '/' || (CASE WHEN doc_id % 13 = 0 THEN 'login/p' ELSE 'p' END)
                    || '/' || doc_id::VARCHAR AS path
         FROM documents
+    ),
+    -- REP longest-match: disallow '/login' (len 6) on h%5=0 hosts, allow
+    -- '/login/p/1' (len 10) carve-out; blocked iff best_dis > best_allow
+    scored AS (
+        SELECT doc_id, h, path,
+               (CASE WHEN h % 5 = 0 AND starts_with(path, '/login') THEN 6 ELSE 0 END) AS best_dis,
+               (CASE WHEN h % 5 = 0 AND starts_with(path, '/login/p/1') THEN 10 ELSE 0 END) AS best_allow
+        FROM urls
     )
     SELECT doc_id,
            'https://host' || h::VARCHAR || '.example.com' || path AS url,
-           (CASE WHEN h % 5 = 0 AND starts_with(path, '/login')
-                 THEN 'robots_blocked' ELSE 'allowed' END) AS state
-    FROM urls
+           (CASE WHEN best_dis > best_allow THEN 'robots_blocked' ELSE 'allowed' END) AS state
+    FROM scored
     """,
 )
 def q_robots_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -327,13 +334,16 @@ def q_robots_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.pmod(i, F.lit(13)) == 0, F.lit("login/p")).otherwise(F.lit("p")),
         F.lit("/"), i.cast("string"),
     )
+    # the engine's longest-match rule (frontier._robots_split) over the
+    # synthetic ruleset: disallow '/login', allow '/login/p/1'
+    on_host = F.pmod(h, F.lit(5)) == 0
+    best_dis = F.when(on_host & path.startswith("/login"), F.lit(6)).otherwise(F.lit(0))
+    best_allow = F.when(on_host & path.startswith("/login/p/1"), F.lit(10)).otherwise(F.lit(0))
     return d.select(
         i.alias("doc_id"),
         F.concat(F.lit("https://host"), h.cast("string"), F.lit(".example.com"), path).alias("url"),
-        F.when(
-            (F.pmod(h, F.lit(5)) == 0) & path.startswith("/login"),
-            F.lit("robots_blocked"),
-        ).otherwise(F.lit("allowed")).alias("state"),
+        F.when(best_dis > best_allow, F.lit("robots_blocked"))
+        .otherwise(F.lit("allowed")).alias("state"),
     )
 
 

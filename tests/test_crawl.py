@@ -15,7 +15,8 @@ def _load(spark, corpus_dir):
     budgets = spark.read.parquet(f"{corpus_dir}/hosts.parquet")
     pydocs = load_docs_pandas(f"{corpus_dir}/documents.parquet")
     pyrobots = {
-        r.host: list(r.disallow) for r in robots.collect()
+        r.host: {"allow": list(r.allow), "disallow": list(r.disallow)}
+        for r in robots.collect()
     }
     pybudgets = {r.host: r.budget for r in budgets.collect()}
     return docs, robots, budgets, pydocs, pyrobots, pybudgets
@@ -197,6 +198,28 @@ def test_robots_blocked_in_seen_not_pages(spark, corpus_dir, tmp_path):
     fetched_urls = {u for _, u, _, _, _ in got_p}
     assert not (blocked & fetched_urls)
     assert got_s == want_s
+    # REP longest-match: the more specific allow (/login/p/1) overrides
+    # the /login disallow — no blocked URL may match the allow prefix
+    assert not any("/login/p/1" in u for u in blocked)
+
+
+def test_robots_allow_override_fires(spark, corpus_dir, tmp_path):
+    """REP longest-match with a live carve-out: /login/p/1* on a
+    /login-disallowing host must land in the frontier (allow wins, it is
+    the longer rule) while sibling /login URLs stay blocked. External
+    discovery on so the carved ids on other blocking hosts are reachable."""
+    cfg = CrawlConfig(seeds=[], strategy="bfs", max_depth=6, max_pages=None,
+                      include_external=True, exclude_social=True)
+    got_p, want_p, got_s, want_s = _run_both(spark, corpus_dir, tmp_path, cfg, "rep")
+    assert got_s == want_s
+    blocking_hosts = {"host0.", "host5.", "host10.", "host11."}
+    carved = {
+        u for u, s in got_s
+        if s == "frontier" and "/login/p/1" in u and any(h in u for h in blocking_hosts)
+    }
+    assert carved, "allow carve-out never fired — fixture/reachability drift"
+    blocked = {u for u, s in got_s if s == "robots_blocked"}
+    assert blocked and not any("/login/p/1" in u for u in blocked)
 
 
 def test_resume_is_exact(spark, corpus_dir, tmp_path):
