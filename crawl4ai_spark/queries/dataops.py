@@ -639,6 +639,44 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
+# text normalization: the standard pre-dedup cleanup pass — lowercase,
+# strip control chars, collapse whitespace runs, trim. Input is the word
+# soup MADE messy deterministically (tabs/CRs/NBSP-ish injections keyed
+# on doc_id) so the normalizer has real work; output is hash-compared.
+# Pure column exprs — at 100 TB this runs inside the scan projection.
+# --------------------------------------------------------------------------- #
+_MESSY_TEXT_SQL = r"""
+    ('  ' || (CASE WHEN doc_id % 2 = 0 THEN upper(text) ELSE text END)
+          || (CASE WHEN doc_id % 3 = 0 THEN chr(9) || chr(13) || 'Tail  Words' ELSE '' END)
+          || (CASE WHEN doc_id % 5 = 0 THEN chr(11) || chr(12) ELSE '' END) || ' ')
+"""
+
+
+@query(
+    "text_normalize",
+    f"""
+    SELECT doc_id::BIGINT AS doc_id,
+           -- explicit class: RE2's \\s excludes \\x0B (vertical tab),
+           -- Java's includes it — spell the set out so engines agree
+           trim(regexp_replace(lower({_MESSY_TEXT_SQL}), '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS text_norm
+    FROM documents
+    """,
+)
+def q_text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    messy = F.concat(
+        F.lit("  "),
+        F.when(F.pmod(i, F.lit(2)) == 0, F.upper("text")).otherwise(F.col("text")),
+        F.when(F.pmod(i, F.lit(3)) == 0, F.concat(F.lit("\t\r"), F.lit("Tail  Words"))).otherwise(F.lit("")),
+        F.when(F.pmod(i, F.lit(5)) == 0, F.lit("\x0b\x0c")).otherwise(F.lit("")),
+        F.lit(" "),
+    )
+    norm = F.trim(F.regexp_replace(F.lower(messy), "[ \\t\\n\\r\\f\\x0B]+", " "))
+    return d.select(i.alias("doc_id"), norm.alias("text_norm"))
+
+
+# --------------------------------------------------------------------------- #
 # Gopher-style repetition quality signal: fraction of all word bigrams
 # taken by the most frequent bigram (high → boilerplate/spam). Shape:
 # explode bigrams → per-(doc,gram) counts → per-doc max / total — two
