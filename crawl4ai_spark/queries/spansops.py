@@ -251,3 +251,74 @@ def q_pages_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_spans_markdown_citations(spark: SparkSession, sf_dir: str) -> DataFrame:
     sd = _span_docs(spark, sf_dir)
     return sd.select("doc_id", M.spans_to_markdown_citations("spans").alias("md"))
+
+
+# --------------------------------------------------------------------------- #
+# E8: iframe-by-src merge under the oracle gate — a synthetic corpus where
+# every doc is [text a, iframe -> child, text b] (child = (d*13+7) % N);
+# the Spark side runs the REAL merge operator (explode -> corpus join ->
+# reassemble, operators/extract.py); DuckDB mirrors the splice: the child's
+# full span array (including ITS iframe span — the merge is single-level)
+# replaces the parent's iframe span, offsets re-indexed.
+# --------------------------------------------------------------------------- #
+@query(
+    "iframe_merge",
+    """
+    WITH n AS (SELECT count(*)::BIGINT AS n FROM documents),
+    ids AS (SELECT doc_id::BIGINT AS d FROM documents),
+    rows_ AS (
+        -- parent span 0
+        SELECT d, 0 AS pos, 0 AS cpos, 'text' AS kind,
+               'a' || d::VARCHAR AS text, NULL::VARCHAR AS media_ref
+        FROM ids
+        UNION ALL
+        -- spliced child spans (child c = (d*13+7) % n): the child's full
+        -- [text, iframe, text] array, iframe span included (single-level)
+        SELECT d, 1, 0, 'text', 'a' || c::VARCHAR, NULL
+        FROM (SELECT d, (d * 13 + 7) % (SELECT n FROM n) AS c FROM ids) ch0
+        UNION ALL
+        SELECT d, 1, 1, 'iframe', '',
+               'doc://' || ((c * 13 + 7) % (SELECT n FROM n))::VARCHAR
+        FROM (SELECT d, (d * 13 + 7) % (SELECT n FROM n) AS c FROM ids) ch1
+        UNION ALL
+        SELECT d, 1, 2, 'text', 'b' || c::VARCHAR, NULL
+        FROM (SELECT d, (d * 13 + 7) % (SELECT n FROM n) AS c FROM ids) ch2
+        UNION ALL
+        -- parent span 2
+        SELECT d, 2, 0, 'text', 'b' || d::VARCHAR, NULL FROM ids
+    )
+    SELECT ('doc://' || d::VARCHAR) AS doc_id,
+           (row_number() OVER (PARTITION BY d ORDER BY pos, cpos) - 1)::INT AS offset,
+           kind, text, media_ref
+    FROM rows_
+    """,
+)
+def q_iframe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.extract import merge_iframes_by_src
+
+    d = _t(spark, sf_dir, "documents")
+    n = d.count()
+    i = F.col("doc_id").cast("long")
+    child = F.pmod(i * 13 + 7, F.lit(n))
+    spans = F.array(
+        F.struct(F.lit("text").alias("kind"),
+                 F.concat(F.lit("a"), i.cast("string")).alias("text"),
+                 F.lit(None).cast("string").alias("media_ref"),
+                 F.lit(0).alias("offset")),
+        F.struct(F.lit("iframe").alias("kind"), F.lit("").alias("text"),
+                 F.concat(F.lit("doc://"), child.cast("string")).alias("media_ref"),
+                 F.lit(1).alias("offset")),
+        F.struct(F.lit("text").alias("kind"),
+                 F.concat(F.lit("b"), i.cast("string")).alias("text"),
+                 F.lit(None).cast("string").alias("media_ref"),
+                 F.lit(2).alias("offset")),
+    )
+    docs = d.select(F.concat(F.lit("doc://"), i.cast("string")).alias("doc_id"),
+                    spans.alias("spans"))
+    merged = merge_iframes_by_src(docs)
+    return merged.select(
+        "doc_id", F.posexplode("spans").alias("_o", "s")
+    ).select(
+        "doc_id", F.col("s.offset").alias("offset"), F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"), F.col("s.media_ref").alias("media_ref"),
+    )
