@@ -280,6 +280,22 @@ def build_redirects(spark: SparkSession, n_docs: int, n_hosts: int = 20) -> Data
     return one.unionByName(two)
 
 
+def budgets_from_crawl_delay(robots: DataFrame, round_period_s: float = 2.0) -> DataFrame:
+    """F8: derive per-round host budgets from robots crawl_delay (the
+    reference sleeps crawl_delay between same-host fetches,
+    crawl_agent.py:1035-1040; in the batch-round model that rate limit
+    becomes a per-round fetch budget): budget = max(1, round_period /
+    crawl_delay). Hosts without a delay get an effectively-unbounded
+    budget."""
+    return robots.select(
+        "host",
+        F.when(
+            F.col("crawl_delay").isNotNull() & (F.col("crawl_delay") > 0),
+            F.greatest(F.lit(1), F.floor(F.lit(round_period_s) / F.col("crawl_delay"))),
+        ).otherwise(F.lit(1_000_000_000)).cast("int").alias("budget"),
+    )
+
+
 def build_host_budgets(spark: SparkSession, n_hosts: int = 20, base_budget: int = 4) -> DataFrame:
     g = F.col("g")
     return (

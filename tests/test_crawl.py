@@ -381,6 +381,27 @@ def test_virtual_corpus_matches_stored(spark, corpus_dir, tmp_path):
     assert vc.seed_urls(11, 2) == sorted(vc.seed_urls(11, 2))
 
 
+def test_politeness_budgets_from_crawl_delay(spark, corpus_dir, tmp_path):
+    """F8: budgets derived from robots crawl_delay (rate limit → per-round
+    budget) drive the same politeness selection engine-vs-oracle."""
+    from crawl4ai_spark.fixtures import budgets_from_crawl_delay
+
+    docs, robots, _, pydocs, pyrobots, _ = _load(spark, corpus_dir)
+    budgets = budgets_from_crawl_delay(robots, round_period_s=2.0)
+    pybudgets = {r.host: r.budget for r in budgets.collect()}
+    # 2.0s period / delays 0.5..2.0 → budgets 1..4, all bounded
+    assert set(pybudgets.values()) <= set(range(1, 5))
+    cfg = CrawlConfig(seeds=get_seeds(spark, corpus_dir), strategy="bfs",
+                      max_depth=3, max_pages=40, politeness=True)
+    eng = CrawlEngine(spark, docs, cfg, str(tmp_path / "cd"),
+                      robots=robots, host_budgets=budgets)
+    eng.run()
+    got = [(r.rank, r.url) for r in eng.pages().orderBy("rank").collect()]
+    o = run_oracle(pydocs, cfg, robots=pyrobots, budgets=pybudgets)
+    want = [(p["rank"], p["url"]) for p in o.pages]
+    assert got == want
+
+
 def test_politeness_with_host_salting(spark, corpus_dir, tmp_path):
     """politeness_salts > 1 splits the per-host budget across salts
     (scale mode for hot domains) — engine must match the oracle, which
