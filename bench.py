@@ -77,9 +77,9 @@ def crawl_throughput(spark, work_dir: str, n_docs: int, n_hosts: int = 40) -> di
     vc = VirtualCorpus(n_docs=n_docs, n_hosts=n_hosts)
     seeds = vc.seed_urls(n_hosts - 1, 4096)
     cfg = CrawlConfig(
-        seeds=seeds, max_depth=6, max_pages=None, include_external=True,
+        seeds=seeds, max_depth=8, max_pages=None, include_external=True,
         politeness=False, respect_robots=False, track_order=False,
-        round_size=None, max_rounds=5,
+        round_size=None, max_rounds=6,
     )
     state = os.path.join(work_dir, "state")
     shutil.rmtree(state, ignore_errors=True)
