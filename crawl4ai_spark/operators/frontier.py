@@ -284,6 +284,15 @@ class CrawlEngine:
           join, not the scheduler)."""
         from ..fixtures import VirtualCorpus
 
+        # spread the write across executors: AQE coalesces this small-at-
+        # test-scale shuffle to 1-2 partitions, which would serialize the
+        # parquet write AND next round's scan; url_hash keeps it even.
+        # Repartition BEFORE fetch/synthesis so only the narrow frontier
+        # rows ride the shuffle — the wide span structs are produced
+        # map-side after the exchange (an exchange is a projection
+        # barrier: Catalyst won't hoist the synthesis above it).
+        par = self.spark.sparkContext.defaultParallelism
+        selected = selected.repartition(par, "url_hash")
         if isinstance(self.corpus, VirtualCorpus):
             joined = self.corpus.fetch(selected)
         else:
@@ -292,11 +301,6 @@ class CrawlEngine:
             )
             joined = selected.join(docs, "url", "left")
         heading = F.get(F.filter("spans", lambda s: s["kind"] == "heading"), 0)["text"]
-        # spread the write across executors: AQE coalesces this small-at-
-        # test-scale shuffle to 1-2 partitions, which would serialize the
-        # parquet write AND next round's scan; url_hash keeps it even
-        par = self.spark.sparkContext.defaultParallelism
-        joined = joined.repartition(par, "url_hash")
         return joined.select(
             "url", "url_hash", "host", "depth",
             (F.lit(fetched_so_far) + F.col("rank_in_round")).cast("long").alias("rank"),
