@@ -626,6 +626,37 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "events_sliding",
+    """
+    -- sliding windows: 1h length, 30min slide — every event belongs to
+    -- exactly two windows, starting at its 30-min bucket and 30min before
+    WITH w AS (
+        SELECT epoch(time_bucket(INTERVAL '30 minutes', ts))::BIGINT - u.k * 1800 AS window_start,
+               event_type, value
+        FROM events, unnest([0, 1]) AS u(k)
+    )
+    SELECT window_start, event_type,
+           count(*)::BIGINT AS n_events,
+           sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents
+    FROM w GROUP BY 1, 2
+    """,
+)
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type", "n_events", "sum_cents",
+        )
+    )
+
+
+@query(
     "events_sessionize",
     """
     WITH marked AS (

@@ -28,6 +28,7 @@ from ..streaming.windows import (
     run_stream_to_table,
     stream_dedup_urls,
     stream_sessionize,
+    stream_sliding_agg,
     stream_tumbling_agg,
     write_flush_sentinels,
 )
@@ -76,6 +77,30 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from ..functions.urls import canonicalize_sql as _canon_sql
+
+_SLIDING_ORACLE = """
+    WITH w AS (
+        SELECT epoch(time_bucket(INTERVAL '30 minutes', ts))::BIGINT - u.k * 1800 AS window_start,
+               event_type, value
+        FROM events, unnest([0, 1]) AS u(k)
+    )
+    SELECT window_start, event_type,
+           count(*)::BIGINT AS n_events,
+           sum(round(value * 100)::BIGINT)::BIGINT AS sum_cents
+    FROM w GROUP BY 1, 2
+"""
+
+
+@query("stream_sliding", _SLIDING_ORACLE)
+def q_stream_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window streaming agg drained availableNow == the batch
+    ``events_sliding`` oracle (fully-drained, no late data)."""
+    name = f"stream_sliding_{uuid.uuid4().hex[:8]}"
+    ckp = os.path.join(tempfile.gettempdir(), f"ckp_{name}")
+    events = read_events_stream(spark, f"{sf_dir}/events.parquet")
+    run_stream_to_table(spark, stream_sliding_agg(events), name, ckp)
+    return spark.table(name).select("window_start", "event_type", "n_events", "sum_cents")
+
 
 _DEDUP_ORACLE = f"""
     WITH variants AS (

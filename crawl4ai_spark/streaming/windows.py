@@ -105,6 +105,24 @@ def stream_tumbling_agg(events: DataFrame, watermark: str = "1 hour") -> DataFra
     )
 
 
+def stream_sliding_agg(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """1h windows sliding every 30min — each event lands in two windows;
+    watermark evicts closed window state. Column contract matches the
+    batch ``events_sliding`` query."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start"),
+            "event_type", "n_events", "sum_cents",
+        )
+    )
+
+
 def run_stream_to_table(spark: SparkSession, stream: DataFrame, name: str, checkpoint: str) -> None:
     """availableNow trigger → memory sink: drains everything currently
     in the source then stops (the batch-equivalence harness)."""
