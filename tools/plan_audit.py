@@ -28,7 +28,7 @@ sys.path.insert(0, ".")
 UDF_QUERIES = {
     "chunk_fixed", "chunk_overlapping", "chunk_sentence", "chunk_semantic",
     "media_meta", "media_frames", "media_features_hist",
-    "stream_tumbling", "stream_sessionize", "stream_dedup_urls",
+    "stream_tumbling", "stream_sessionize", "stream_dedup_urls", "stream_sliding",
 }
 # queries whose FINAL step is a global rank over an already-reduced set
 # (bounded candidates: top-k re-rank, per-group heads) — a terminal
@@ -39,7 +39,7 @@ FINAL_RANK_QUERIES = {
 }
 # streaming queries execute via writeStream; their batch-plan dump is
 # not meaningful here
-SKIP = {"stream_tumbling", "stream_sessionize", "stream_dedup_urls"}
+SKIP = {"stream_tumbling", "stream_sessionize", "stream_dedup_urls", "stream_sliding"}
 
 
 def main() -> int:
