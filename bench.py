@@ -110,9 +110,9 @@ def crawl_ordered_throughput(spark, work_dir: str, n_docs: int, n_hosts: int = 4
     vc = VirtualCorpus(n_docs=n_docs, n_hosts=n_hosts)
     seeds = vc.seed_urls(n_hosts - 1, 4096)
     cfg = CrawlConfig(
-        seeds=seeds, max_depth=6, max_pages=None, include_external=True,
+        seeds=seeds, max_depth=8, max_pages=None, include_external=True,
         politeness=False, respect_robots=False, track_order=True,
-        round_size=20_000, max_rounds=3,
+        round_size=150_000, max_rounds=4,
     )
     state = os.path.join(work_dir, "state_ordered")
     shutil.rmtree(state, ignore_errors=True)
