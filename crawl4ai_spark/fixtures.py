@@ -208,6 +208,12 @@ class VirtualCorpus:
         self.n_hosts = n_hosts
         self.min_spans = min_spans
         self.extra_spans = extra_spans
+        # Column-expression cache: the spans synthesis tree is ~5k nodes
+        # and costs ~0.8s of py4j round-trips to BUILD — per crawl round
+        # that was pure driver overhead. Column objects are unresolved
+        # expressions, reusable across DataFrames, so build once per
+        # (url column) and reattach every round.
+        self._expr_cache: dict[str, tuple[Column, Column]] = {}
 
     def seed_urls(self, host: int, n: int) -> list[str]:
         """First n doc URLs on a host block (driver-side arithmetic)."""
@@ -229,17 +235,36 @@ class VirtualCorpus:
         seg = "login/p" if i % 13 == 0 else ("a/b/c" if i % 13 == 1 else "p")
         return f"https://host{h}.example.com/{seg}/{i}"
 
-    def fetch(self, selected: DataFrame, url_col: str = "url") -> DataFrame:
-        """Append ``spans`` + ``_st`` (fetched/missing) columns by
-        synthesizing the document for valid doc URLs."""
-        u = F.col(url_col)
-        idx = F.regexp_extract(u, "/([0-9]+)$", 1)
-        i = F.when(idx == "", F.lit(-1)).otherwise(idx).cast("long")
-        valid = (i >= 0) & (i < self.n_docs) & (u == doc_url(i, self.n_docs, self.n_hosts))
-        spans = spans_for_index(i, self.n_docs, self.n_hosts, self.min_spans, self.extra_spans)
-        return selected.withColumn(
-            "spans", F.when(valid, spans).otherwise(F.lit(None))
-        ).withColumn("_st", F.when(valid, F.lit("fetched")).otherwise(F.lit(None)))
+    def fetch(self, selected: DataFrame, url_col: str = "url",
+              with_title: bool = False) -> DataFrame:
+        """Append ``spans`` + ``_st`` (fetched/missing) columns — plus
+        ``_title`` when asked — by synthesizing the document for valid doc
+        URLs. One ``select`` so the cached trees resolve in a single
+        analysis pass (each DataFrame op analyzes eagerly; the spans tree
+        costs ~0.3s per resolution).
+
+        ``_title`` is the first heading span's text, computed
+        arithmetically: span 0 is ALWAYS a heading by construction
+        (spans_for_index), so the first-heading lookup reduces to
+        ``_words(i, 0)`` — no second evaluation of the spans tree."""
+        if url_col not in self._expr_cache:
+            u = F.col(url_col)
+            idx = F.regexp_extract(u, "/([0-9]+)$", 1)
+            i = F.when(idx == "", F.lit(-1)).otherwise(idx).cast("long")
+            valid = (i >= 0) & (i < self.n_docs) & (u == doc_url(i, self.n_docs, self.n_hosts))
+            spans = spans_for_index(i, self.n_docs, self.n_hosts, self.min_spans, self.extra_spans)
+            title = (
+                F.when(valid, _words(i, F.lit(0), "t")) if self.min_spans >= 1
+                else F.lit(None).cast("string")
+            )
+            self._expr_cache[url_col] = (
+                F.when(valid, spans).otherwise(F.lit(None)).alias("spans"),
+                F.when(valid, F.lit("fetched")).otherwise(F.lit(None)).alias("_st"),
+                title.alias("_title"),
+            )
+        spans_c, st_c, title_c = self._expr_cache[url_col]
+        cols = [spans_c, st_c] + ([title_c] if with_title else [])
+        return selected.select("*", *cols)
 
 
 def build_robots(spark: SparkSession, n_hosts: int = 20) -> DataFrame:

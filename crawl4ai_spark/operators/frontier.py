@@ -48,6 +48,7 @@ Scale notes (10^10 frontier):
 
 from __future__ import annotations
 
+import os
 import time
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -88,6 +89,7 @@ class CrawlEngine:
         self.cfg = cfg
         self.strategy = resolve_strategy(cfg)
         self.frontier_tbl = SnapshotTable(state_dir, "frontier")
+        self.pending_tbl = SnapshotTable(state_dir, "pending")
         self.seen_tbl = SnapshotTable(state_dir, "url_seen")
         self.pages_tbl = SnapshotTable(state_dir, "pages")
         self.metrics_tbl = SnapshotTable(state_dir, "metrics")
@@ -175,8 +177,11 @@ class CrawlEngine:
         return out
 
     def _record_redirects(self, df: DataFrame, round_no: int) -> None:
-        """Append observed alias→final mappings to the redirects table
-        (src keyed like url_seen: canonical url + xxhash64)."""
+        """Record observed alias→final mappings in the redirects table
+        (src keyed like url_seen: canonical url + xxhash64). The seed-time
+        call (round 0) OVERWRITES, mirroring frontier_tbl.overwrite: it
+        runs before any round checkpoint exists, so an append there would
+        be re-done on resume and duplicate the seed alias rows."""
         m = (
             df.where(F.col("redirect_src").isNotNull())
             .select(
@@ -188,7 +193,10 @@ class CrawlEngine:
             )
             .dropDuplicates(["src_url"])
         )
-        self.redirects_tbl.append(m)
+        if round_no == 0:
+            self.redirects_tbl.overwrite(m)
+        else:
+            self.redirects_tbl.append(m)
 
     # ------------------------------------------------------------------ #
     def _select_batch(self, frontier: DataFrame, limit: int | None):
@@ -273,6 +281,18 @@ class CrawlEngine:
         )
 
     # ------------------------------------------------------------------ #
+    # rows-per-output-file targets: narrow frontier/pending rows vs wide
+    # span pages (which also want synthesis parallelism). Sizing writes to
+    # the data instead of a fixed 32 keeps small rounds from paying 32
+    # file creates + 32 footer reads every subsequent scan — measured
+    # ~0.45s per small write and ~0.6s per 100-file log scan on tmpfs.
+    FRONTIER_ROWS_PER_FILE = 150_000
+    PAGES_ROWS_PER_FILE = 2_000
+
+    def _parts_for(self, est_rows: int, rows_per_file: int) -> int:
+        par = self.spark.sparkContext.defaultParallelism
+        return max(1, min(par, -(-max(1, est_rows) // rows_per_file)))
+
     def _fetch(self, selected: DataFrame, round_no: int, fetched_so_far: int) -> DataFrame:
         """Fetch stage. Two stand-ins for the production mapInPandas HTTP
         fetcher (scheduling/dedup/ordering identical in all three):
@@ -291,16 +311,22 @@ class CrawlEngine:
         # rows ride the shuffle — the wide span structs are produced
         # map-side after the exchange (an exchange is a projection
         # barrier: Catalyst won't hoist the synthesis above it).
-        par = self.spark.sparkContext.defaultParallelism
-        selected = selected.repartition(par, "url_hash")
+        # Partition count scales with the batch-size estimate.
+        selected = selected.repartition(
+            self._parts_for(self._batch_est, self.PAGES_ROWS_PER_FILE), "url_hash")
         if isinstance(self.corpus, VirtualCorpus):
-            joined = self.corpus.fetch(selected)
+            # _title comes back arithmetically (span 0 is the heading by
+            # construction) — re-deriving it through a filter() over the
+            # synthesized spans column would resolve + evaluate the whole
+            # synthesis tree a second time every round
+            joined = self.corpus.fetch(selected, with_title=True)
+            heading = F.col("_title")
         else:
             docs = self.corpus.select(
                 F.col("doc_id").alias("url"), "spans", F.lit("fetched").alias("_st")
             )
             joined = selected.join(docs, "url", "left")
-        heading = F.get(F.filter("spans", lambda s: s["kind"] == "heading"), 0)["text"]
+            heading = F.get(F.filter("spans", lambda s: s["kind"] == "heading"), 0)["text"]
         return joined.select(
             "url", "url_hash", "host", "depth",
             (F.lit(fetched_so_far) + F.col("rank_in_round")).cast("long").alias("rank"),
@@ -424,10 +450,22 @@ class CrawlEngine:
         cfg, spark = self.cfg, self.spark
         sweep = self._sweep_mode()
         self._metrics_parts: list[DataFrame] = []
+        # size estimates for output partitioning (never for semantics):
+        # _batch_est = rows entering fetch; _pending_est = pending-table
+        # size; _link_ratio = observed fresh-links-per-fetched-page.
+        self._batch_est = max(1, len(cfg.seeds))
+        self._pending_est = max(1, len(cfg.seeds))
+        self._link_ratio = 4.0
         ck = self.ckp.latest() if resume else None
         if ck is None:
+            _ts = time.monotonic()
             self.frontier_tbl.overwrite(self._seed_frontier())
+            self._prof_mark(0, "seed_overwrite", _ts)
             seeds = self.frontier_tbl.read(spark)
+            if not sweep:
+                # ordered modes keep "pending" as its own snapshot so a
+                # round never re-derives it from the full log (see loop)
+                self.pending_tbl.overwrite(seeds.select(*FRONTIER_COLS))
             if cfg.use_bloom:
                 self.bloom_tbl.overwrite(build_bloom_shards(
                     seeds, n_shards=cfg.bloom_shards,
@@ -438,10 +476,29 @@ class CrawlEngine:
             # durable checkpoint — the interrupted round replays exactly.
             for name, tbl in (("frontier", self.frontier_tbl), ("url_seen", self.seen_tbl),
                               ("pages", self.pages_tbl), ("metrics", self.metrics_tbl),
-                              ("blooms", self.bloom_tbl), ("redirects", self.redirects_tbl)):
+                              ("blooms", self.bloom_tbl), ("redirects", self.redirects_tbl),
+                              ("pending", self.pending_tbl)):
                 if name in ck["versions"]:
                     tbl.rollback(ck["versions"][name])
             round_no, fetched = ck["round"] + 1, ck["fetched"]
+            if sweep:
+                d = self._read_delta(self.frontier_tbl)
+                self._batch_est = 1 if d is None else max(1, d.count())
+            if not sweep and (
+                "pending" not in ck["versions"] or self.pending_tbl.read(spark) is None
+            ):
+                # checkpoint predates the pending snapshot: re-derive it
+                # once from the log (discovered minus fetched) and carry
+                # on incrementally from there
+                log = self.frontier_tbl.read(spark)
+                pages = self.pages_tbl.read(spark)
+                if log is not None:
+                    pend = log if pages is None else log.join(
+                        pages.select("url"), "url", "left_anti")
+                    self.pending_tbl.overwrite(pend.select(*FRONTIER_COLS))
+            if not sweep:
+                p = self.pending_tbl.read(spark)
+                self._pending_est = 1 if p is None else max(1, p.count())
             if cfg.use_bloom and self.bloom_tbl.read(spark) is None:
                 # resuming a crawl whose checkpoint predates use_bloom:
                 # rebuild the sidecar from the full current seen set —
@@ -477,25 +534,26 @@ class CrawlEngine:
                     break
                 selected = delta.withColumn("rank_in_round", F.lit(0))
             else:
-                # the frontier is an append-only log in ordered modes too:
-                # pending = discovered minus fetched (pages IS the tombstone
-                # set — url-only column-pruned scan). Per-round I/O is then
-                # O(delta) writes + O(frontier) scan; the old overwrite
-                # path rewrote the entire queue every round.
-                frontier_log = self.frontier_tbl.read(spark)
-                if frontier_log is None:
-                    break
-                fetched_pages = self.pages_tbl.read(spark)
-                pending = (
-                    frontier_log if fetched_pages is None
-                    else frontier_log.join(fetched_pages.select("url"), "url", "left_anti")
+                self._batch_est = (
+                    self._pending_est if limit is None
+                    else min(limit, self._pending_est)
                 )
+                # ordered modes read the materialized pending snapshot —
+                # maintained incrementally below as (pending minus this
+                # round's batch) ∪ fresh links, so no round ever scans the
+                # full frontier log or shuffle-joins the ever-growing
+                # pages table to re-derive it. The log stays append-only
+                # and keeps serving the seen set + url_seen() view.
+                pending = self.pending_tbl.read(spark)
+                if pending is None:
+                    break
                 selected = self._select_batch(pending, limit)
             obs = Observation()
             pages_batch = self._fetch(selected, round_no, fetched).observe(
                 obs, F.count(F.lit(1)).alias("n")
             )
             self.pages_tbl.append(pages_batch)
+            self._prof_mark(round_no, "select+fetch+write_pages", t0)
             # row count from the write's own observation — no extra job
             n_sel = int(obs.get["n"])
             if n_sel == 0:
@@ -525,9 +583,39 @@ class CrawlEngine:
             fresh = fresh.drop("redirect_src")
             allowed, blocked = self._robots_split(fresh)
 
-            par = self.spark.sparkContext.defaultParallelism
+            t1 = time.monotonic()
+            fobs = Observation()
             self.frontier_tbl.append(
-                allowed.select(*FRONTIER_COLS).repartition(par, "url_hash"))
+                allowed.select(*FRONTIER_COLS)
+                .observe(fobs, F.count(F.lit(1)).alias("n"))
+                .repartition(
+                    self._parts_for(int(self._link_ratio * n_sel),
+                                    self.FRONTIER_ROWS_PER_FILE),
+                    "url_hash"))
+            n_fresh = int(fobs.get["n"])
+            self._link_ratio = max(0.5, n_fresh / max(1, n_sel))
+            self._batch_est = max(1, n_fresh)  # sweep: next round's batch
+            self._prof_mark(round_no, "extract+dedup+write_frontier", t1)
+
+            if not sweep:
+                # incremental pending maintenance: this round's batch IS
+                # the pages delta (≤ round budget → broadcastable), so the
+                # tombstone update is a broadcast anti-join over pending —
+                # no shuffle, no pages-table scan; fresh links come back
+                # from the frontier delta files just written (no recompute
+                # of the extract pipeline).
+                t2 = time.monotonic()
+                self._pending_est = max(1, self._pending_est - n_sel + n_fresh)
+                remainder = pending.join(
+                    F.broadcast(pages_batch.select("url")), "url", "left_anti"
+                ).select(*FRONTIER_COLS)
+                fresh_delta = self._read_delta(self.frontier_tbl)
+                nxt = remainder if fresh_delta is None else remainder.unionByName(
+                    fresh_delta.select(*FRONTIER_COLS))
+                self.pending_tbl.overwrite(
+                    nxt.coalesce(self._parts_for(self._pending_est,
+                                                 self.FRONTIER_ROWS_PER_FILE)))
+                self._prof_mark(round_no, "pending_overwrite", t2)
 
             if blocked is not None:
                 self.seen_tbl.append(blocked.select(
@@ -574,20 +662,40 @@ class CrawlEngine:
                 self._flush_metrics()
 
             fetched += n_sel
-            self.ckp.commit(round_no, {
-                "frontier": self.frontier_tbl.current_version(),
-                "url_seen": self.seen_tbl.current_version(),
-                "pages": self.pages_tbl.current_version(),
-                "metrics": self.metrics_tbl.current_version(),
-                "blooms": self.bloom_tbl.current_version(),
-                "redirects": self.redirects_tbl.current_version(),
-            }, {"fetched": fetched})
+            self.ckp.commit(round_no, self._versions(), {"fetched": fetched})
             round_no += 1
 
-        self._flush_metrics()
+        _tf = time.monotonic()
+        if self._metrics_parts and round_no > 1:
+            # the final flush appends AFTER the last round's checkpoint;
+            # re-commit that round's checkpoint with the flushed metrics
+            # version so a later resume(rollback) can never delete the
+            # durably-written metrics rows
+            self._flush_metrics()
+            self.ckp.commit(round_no - 1, self._versions(), {"fetched": fetched})
+        else:
+            self._flush_metrics()
+        self._prof_mark(round_no, "final_metrics_flush", _tf)
         return {"rounds": round_no - 1, "fetched": fetched}
 
+    def _versions(self) -> dict[str, int]:
+        return {
+            "frontier": self.frontier_tbl.current_version(),
+            "url_seen": self.seen_tbl.current_version(),
+            "pages": self.pages_tbl.current_version(),
+            "metrics": self.metrics_tbl.current_version(),
+            "blooms": self.bloom_tbl.current_version(),
+            "redirects": self.redirects_tbl.current_version(),
+            "pending": self.pending_tbl.current_version(),
+        }
+
     METRICS_FLUSH_ROUNDS = 8
+
+    def _prof_mark(self, round_no: int, stage: str, t0: float) -> None:
+        """Per-stage wall timings, printed when SPARK_GRAFT_PROFILE=1 —
+        the feedback loop for ordered-mode throughput work."""
+        if os.environ.get("SPARK_GRAFT_PROFILE"):
+            print(f"PROF r{round_no} {stage}: {time.monotonic() - t0:.3f}s", flush=True)
 
     def _flush_metrics(self) -> None:
         if not self._metrics_parts:
@@ -609,7 +717,7 @@ class CrawlEngine:
         delta = [f for f in tbl.files(v) if f not in prev]
         if not delta:
             return None
-        return self.spark.read.parquet(*delta)
+        return tbl.read_files(self.spark, delta, v)
 
     # ------------------------------------------------------------------ #
     def pages(self) -> DataFrame | None:
