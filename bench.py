@@ -165,15 +165,16 @@ def main() -> None:
             shutil.rmtree(work, ignore_errors=True)
     crawl = max(crawl_runs, key=lambda c: c["urls_per_sec"])
 
-    # single run (secondary metric): the ordered path is ~2x the wall
-    # time of the sweep; best-of-k on it would dominate the bench
+    # best-of-2 like every other measurement (run 1 pays one-time JIT/
+    # codegen warmup for the ordered plan shapes; the spread is recorded)
     ordered_runs = []
-    work = f"/dev/shm/bench_ocrawl_{os.getpid()}"
-    try:
-        ordered_runs.append(crawl_ordered_throughput(spark, work, n_docs))
-    finally:
-        shutil.rmtree(work, ignore_errors=True)
-    ordered = ordered_runs[0]
+    for i in range(best_of):
+        work = f"/dev/shm/bench_ocrawl_{os.getpid()}_{i}"
+        try:
+            ordered_runs.append(crawl_ordered_throughput(spark, work, n_docs))
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+    ordered = max(ordered_runs, key=lambda c: c["urls_per_sec"])
 
     total = round(sum(sum(r) for r in qspread.values())
                   + sum(c["crawl_sec"] for c in crawl_runs)
@@ -189,6 +190,7 @@ def main() -> None:
         "best_of": best_of,
         "query_runs": qspread,
         "crawl_runs": [c["urls_per_sec"] for c in crawl_runs],
+        "crawl_ordered_runs": [c["urls_per_sec"] for c in ordered_runs],
         "total_sec": total,
         "cpus": int(cpus),
     }))

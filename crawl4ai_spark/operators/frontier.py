@@ -337,15 +337,44 @@ class CrawlEngine:
         )
 
     # ------------------------------------------------------------------ #
+    def _extract_cols(self) -> dict:
+        """Config-static Column trees of the extract stage, built once per
+        engine (py4j tree construction is per-round driver overhead
+        otherwise; Columns are unresolved exprs, reusable across rounds)."""
+        if getattr(self, "_xc", None) is None:
+            cfg = self.cfg
+            if cfg.scorer == "keyword" and cfg.score_keywords:
+                sc = keyword_score("url", cfg.score_keywords)  # F6
+            else:
+                sc = link_score("url", "anchor", cfg.query)  # F5 (default)
+            u = F.col("url")
+            self._xc = {
+                "explode": F.posexplode(
+                    F.filter("spans", lambda s: s["kind"] == "link")).alias("_i", "s"),
+                "canon": canonicalize(F.col("href")),
+                "host": url_host(u).alias("host"),
+                "u_path": url_path(u).alias("u_path"),
+                "score": sc.alias("score"),
+                "url_hash": url_hash("url").alias("url_hash"),
+                "host_salt": F.pmod(
+                    F.xxhash64("url"), F.lit(max(1, cfg.politeness_salts))
+                ).cast("int").alias("host_salt"),
+                "path": F.concat(
+                    "p_path", F.lit("/"),
+                    F.lpad(F.col("offset").cast("string"), 6, "0")).alias("path"),
+            }
+        return self._xc
+
     def _extract_links(self, pages_batch: DataFrame, round_no: int) -> DataFrame:
         cfg = self.cfg
+        xc = self._extract_cols()
         links = (
             pages_batch.where(F.col("status") == "fetched")
             .select(
                 F.col("url").alias("p_url"), F.col("host").alias("p_host"),
                 F.col("depth").alias("p_depth"), F.col("rank").alias("p_rank"),
                 F.col("path").alias("p_path"),
-                F.posexplode(F.filter("spans", lambda s: s["kind"] == "link")).alias("_i", "s"),
+                xc["explode"],
             )
             .select(
                 "p_url", "p_host", "p_depth", "p_rank", "p_path",
@@ -354,17 +383,13 @@ class CrawlEngine:
                 F.col("s.offset").alias("offset"),
             )
         )
-        c = canonicalize(F.col("href"))
         links = links.select(
-            c.alias("url"), "anchor", "offset", "p_host", "p_depth", "p_rank", "p_path",
+            xc["canon"].alias("url"), "anchor", "offset", "p_host", "p_depth", "p_rank", "p_path",
         )
         # F12: filters, scoring, dedup and the seen set all key on the
         # FINAL url (the landed page), as the reference does
         links = self._resolve_redirects(links)
-        u = F.col("url")
-        links = links.select(
-            "*", url_host(u).alias("host"), url_path(u).alias("u_path"),
-        )
+        links = links.select("*", xc["host"], xc["u_path"])
         if not cfg.include_external:
             links = links.where(F.col("host") == F.col("p_host"))
         if cfg.exclude_social:
@@ -374,20 +399,16 @@ class CrawlEngine:
             links = links.where(~F.col("host").isin(cfg.exclude_domains))
         links = links.where(F.col("p_depth") < cfg.max_depth)
 
-        if cfg.scorer == "keyword" and cfg.score_keywords:
-            sc = keyword_score("url", cfg.score_keywords)  # F6
-        else:
-            sc = link_score("url", "anchor", cfg.query)  # F5 (default)
         scored = links.select(
             "url",
-            url_hash("url").alias("url_hash"),
+            xc["url_hash"],
             "host",
-            F.pmod(F.xxhash64("url"), F.lit(max(1, cfg.politeness_salts))).cast("int").alias("host_salt"),
+            xc["host_salt"],
             (F.col("p_depth") + 1).alias("depth"),
-            sc.alias("score"),
+            xc["score"],
             F.col("p_rank").cast("long").alias("parent_rank"),
             F.col("offset").alias("parent_offset"),
-            F.concat("p_path", F.lit("/"), F.lpad(F.col("offset").cast("string"), 6, "0")).alias("path"),
+            xc["path"],
             F.lit(round_no).alias("discovered_round"),
             "u_path", "redirect_src",
         )
