@@ -43,9 +43,20 @@ class CrawlConfig:
     exclude_social: bool = False
     exclude_domains: list[str] = field(default_factory=list)
     round_size: int | None = None     # fetches per round; 1 = sequential conformance
-    track_order: bool = True          # assign global crawl ranks (off = throughput mode)
+    # track_order=True assigns exact global crawl ranks (off = throughput
+    # mode). Scale guard: dfs/best_first with track_order and NO
+    # max_pages/round_size raises ValueError at run time — an unbounded
+    # global rank for those strategies is inherently a serial sort (BFS
+    # gets depth-block ranks instead); set round_size or max_pages.
+    track_order: bool = True
     max_rounds: int = 1000
     use_ai_agent: bool = False        # needed for best_first (see resolve_strategy)
+    # U5 fetch-simulation: the reference's enable_lazy_loading browser
+    # option (crawl_agent.py:699-781) has no Spark analog; over a
+    # VirtualCorpus it deterministically exposes extra trailing spans on
+    # lazy pages (see fixtures.spans_for_index(lazy=...)). Ignored for
+    # DataFrame corpora (stored spans are what they are).
+    enable_lazy_loading: bool = False
     use_bloom: bool = False           # Bloom-sidecar prefilter for the seen-set anti-join
     bloom_shards: int = 16
     bloom_bits: int = 1 << 23         # bits per shard (1 MiB)

@@ -135,12 +135,25 @@ def _link_href(i: Column, j: Column, n_docs: int, n_hosts: int) -> Column:
 
 
 def spans_for_index(i: Column, n_docs: int, n_hosts: int = 20,
-                    min_spans: int = 6, extra_spans: int = 14) -> Column:
+                    min_spans: int = 6, extra_spans: int = 14,
+                    lazy: bool = False) -> Column:
     """Span array of doc i as a pure column expression — the corpus is a
     deterministic function of the index, so a fetch can SYNTHESIZE the
     document from its URL (VirtualCorpus) instead of joining a stored
-    table; both paths produce byte-identical spans."""
+    table; both paths produce byte-identical spans.
+
+    ``lazy=True`` is the U5 fetch-simulation knob (the reference's
+    enable_lazy_loading browser option, crawl_agent.py:699-781 — no Spark
+    analog, modeled as a corpus parameter per SURVEY §2.8): every 4th doc
+    (die on _h("lz", i)) exposes 1-3 EXTRA trailing spans — the content a
+    scrolled/lazy-loaded render would reveal. The lazy array is a strict
+    prefix-extension of the base array, so enabling it only ever ADDS
+    discovered outlinks."""
     n_spans = F.lit(min_spans) + F.pmod(_h("ns", i), F.lit(extra_spans))
+    if lazy:
+        n_spans = n_spans + F.when(
+            F.pmod(_h("lz", i), F.lit(4)) == 0, F.lit(1) + F.pmod(_h("lzn", i), F.lit(3))
+        ).otherwise(F.lit(0))
     h_i = host_index(i, n_hosts, n_docs).cast("string")
 
     def span(j: Column) -> Column:
@@ -212,8 +225,8 @@ class VirtualCorpus:
         # and costs ~0.8s of py4j round-trips to BUILD — per crawl round
         # that was pure driver overhead. Column objects are unresolved
         # expressions, reusable across DataFrames, so build once per
-        # (url column) and reattach every round.
-        self._expr_cache: dict[str, tuple[Column, Column]] = {}
+        # (url column, lazy) and reattach every round.
+        self._expr_cache: dict[tuple[str, bool], tuple[Column, Column, Column]] = {}
 
     def seed_urls(self, host: int, n: int) -> list[str]:
         """First n doc URLs on a host block (driver-side arithmetic)."""
@@ -236,7 +249,7 @@ class VirtualCorpus:
         return f"https://host{h}.example.com/{seg}/{i}"
 
     def fetch(self, selected: DataFrame, url_col: str = "url",
-              with_title: bool = False) -> DataFrame:
+              with_title: bool = False, lazy: bool = False) -> DataFrame:
         """Append ``spans`` + ``_st`` (fetched/missing) columns — plus
         ``_title`` when asked — by synthesizing the document for valid doc
         URLs. One ``select`` so the cached trees resolve in a single
@@ -247,22 +260,24 @@ class VirtualCorpus:
         arithmetically: span 0 is ALWAYS a heading by construction
         (spans_for_index), so the first-heading lookup reduces to
         ``_words(i, 0)`` — no second evaluation of the spans tree."""
-        if url_col not in self._expr_cache:
+        key = (url_col, lazy)
+        if key not in self._expr_cache:
             u = F.col(url_col)
             idx = F.regexp_extract(u, "/([0-9]+)$", 1)
             i = F.when(idx == "", F.lit(-1)).otherwise(idx).cast("long")
             valid = (i >= 0) & (i < self.n_docs) & (u == doc_url(i, self.n_docs, self.n_hosts))
-            spans = spans_for_index(i, self.n_docs, self.n_hosts, self.min_spans, self.extra_spans)
+            spans = spans_for_index(i, self.n_docs, self.n_hosts, self.min_spans,
+                                    self.extra_spans, lazy=lazy)
             title = (
                 F.when(valid, _words(i, F.lit(0), "t")) if self.min_spans >= 1
                 else F.lit(None).cast("string")
             )
-            self._expr_cache[url_col] = (
+            self._expr_cache[key] = (
                 F.when(valid, spans).otherwise(F.lit(None)).alias("spans"),
                 F.when(valid, F.lit("fetched")).otherwise(F.lit(None)).alias("_st"),
                 title.alias("_title"),
             )
-        spans_c, st_c, title_c = self._expr_cache[url_col]
+        spans_c, st_c, title_c = self._expr_cache[key]
         cols = [spans_c, st_c] + ([title_c] if with_title else [])
         return selected.select("*", *cols)
 

@@ -120,6 +120,19 @@ def filter_attrs(root: Node, keep_attrs: list[str], keep_data_attributes: bool =
     return root
 
 
+def _srcset_urls(srcset: str | None) -> list[str]:
+    """Candidate URLs from a srcset value ('url 1x, url2 2x, url3 640w'):
+    comma-separated candidates, URL = first whitespace-token of each."""
+    if not srcset:
+        return []
+    out = []
+    for cand in srcset.split(","):
+        toks = cand.strip().split()
+        if toks:
+            out.append(toks[0])
+    return out
+
+
 def html_to_spans(
     html: str,
     excluded_tags: list[str] | None = None,
@@ -154,7 +167,33 @@ def html_to_spans(
             emit("link", node.text(), node.attrs.get("href"))
             return
         if t == "img":
-            emit("image", node.attrs.get("alt") or "", node.attrs.get("src"))
+            alt = node.attrs.get("alt") or ""
+            src = node.attrs.get("src")
+            emit("image", alt, src)
+            # responsive variants (original-README.md:139: srcset support):
+            # one image span per distinct srcset candidate URL
+            for variant in _srcset_urls(node.attrs.get("srcset")):
+                if variant != src:
+                    emit("image", alt, variant)
+            return
+        if t == "picture":
+            # <picture>: <source srcset/src> variants + the <img> fallback
+            # (original-README.md:139: picture support). Variants emit in
+            # document order before the fallback img, mirroring the DOM.
+            seen: set[str] = set()
+            img = None
+            for c in node.children:
+                if c.tag == "source":
+                    for variant in _srcset_urls(c.attrs.get("srcset")) or (
+                        [c.attrs["src"]] if c.attrs.get("src") else []
+                    ):
+                        if variant not in seen:
+                            seen.add(variant)
+                            emit("image", "", variant)
+                elif c.tag == "img" and img is None:
+                    img = c
+            if img is not None:
+                visit(img)
             return
         if t in _MEDIA_TAGS:
             src = node.attrs.get("src")
@@ -189,42 +228,78 @@ def html_to_spans(
 # --------------------------------------------------------------------------- #
 # CSS selector subset
 # --------------------------------------------------------------------------- #
-_SIMPLE_RX = re.compile(
-    r"^(?P<tag>[a-zA-Z][\w-]*|\*)?(?P<id>#[\w-]+)?(?P<cls>(?:\.[\w-]+)+)?(?P<attr>\[[\w-]+=[^\]]+\])?$"
+# components of a compound selector, in any order: tag/*, #id, .class,
+# [attr], [attr=v] — full tokenization instead of one fixed-order regex
+_PART_RX = re.compile(
+    r"(?P<tag>^[a-zA-Z][\w-]*|^\*)|(?P<id>#[\w-]+)|(?P<cls>\.[\w-]+)"
+    r"|\[(?P<ak>[\w-]+)(?:=(?P<av>[^\]]+))?\]"
 )
 
 
 def _match_simple(node: Node, sel: str) -> bool:
-    m = _SIMPLE_RX.match(sel)
-    if not m:
+    if not sel:
         return False
-    tag, id_, cls, attr = m.group("tag"), m.group("id"), m.group("cls"), m.group("attr")
-    if tag and tag != "*" and node.tag != tag.lower():
-        return False
-    if id_ and node.attrs.get("id") != id_[1:]:
-        return False
-    if cls and not all(c in node.classes() for c in cls[1:].split(".")):
-        return False
-    if attr:
-        k, v = attr[1:-1].split("=", 1)
-        if node.attrs.get(k) != v.strip("'\""):
-            return False
-    return True
+    pos = 0
+    for m in _PART_RX.finditer(sel):
+        if m.start() != pos:
+            return False  # unparsable gap → no match (safe default)
+        pos = m.end()
+        if m.group("tag"):
+            if m.group("tag") != "*" and node.tag != m.group("tag").lower():
+                return False
+        elif m.group("id"):
+            if node.attrs.get("id") != m.group("id")[1:]:
+                return False
+        elif m.group("cls"):
+            if m.group("cls")[1:] not in node.classes():
+                return False
+        elif m.group("ak"):
+            k, v = m.group("ak"), m.group("av")
+            if v is None:  # [attr] presence test
+                if k not in node.attrs:
+                    return False
+            elif node.attrs.get(k) != v.strip("'\""):
+                return False
+    return pos == len(sel)
+
+
+def _tokenize_selector(selector: str) -> list[tuple[str, str]]:
+    """→ [(combinator, simple_selector)]: combinator ' ' (descendant) or
+    '>' (child); the first entry's combinator is ' '."""
+    toks = selector.replace(">", " > ").split()
+    out: list[tuple[str, str]] = []
+    comb = " "
+    for t in toks:
+        if t == ">":
+            comb = ">"
+            continue
+        out.append((comb, t))
+        comb = " "
+    return out
 
 
 def css_select(root: Node, selector: str) -> list[Node]:
-    """Descendant-combinator CSS subset, document order."""
-    parts = selector.split()
-    matched = [n for n in root.walk() if n.tag != "[document]" and _match_simple(n, parts[0])]
-    for part in parts[1:]:
+    """CSS subset in document order: simple selectors (tag/#id/.cls/
+    [attr]/[attr=v], chained on one base), descendant chains, and the
+    child combinator '>' (reference schemas use full cssselect — e.g.
+    'section.x .y > div', original-README.md:357)."""
+    steps = _tokenize_selector(selector)
+    if not steps:
+        return []
+    matched = [n for n in root.walk() if n.tag != "[document]" and _match_simple(n, steps[0][1])]
+    for comb, part in steps[1:]:
         nxt = []
         seen = set()
         for m in matched:
-            for d in m.walk():
-                if d is not m and id(d) not in seen and _match_simple(d, part):
+            pool = m.children if comb == ">" else (d for d in m.walk() if d is not m)
+            for d in pool:
+                if id(d) not in seen and _match_simple(d, part):
                     nxt.append(d)
                     seen.add(id(d))
         matched = nxt
+    # re-sort to document order (child-combinator hops can interleave)
+    order = {id(n): i for i, n in enumerate(root.walk())}
+    matched.sort(key=lambda n: order.get(id(n), 1 << 30))
     return matched
 
 
@@ -268,32 +343,46 @@ def xpath_select(root: Node, expr: str) -> list:
 # --------------------------------------------------------------------------- #
 # E1/E2: schema extraction
 # --------------------------------------------------------------------------- #
+def _field_value(base: Node, f: dict, select) -> object:
+    """One field of a JsonCss/JsonXPath schema. Scalar types: text |
+    attribute | html. Structured types (nested-schema shapes, reference
+    original-README.md:353-387 / crawl4ai JsonCssExtractionStrategy):
+    ``nested`` → dict of sub-fields on the first hit; ``list`` /
+    ``nested_list`` → one dict of sub-fields per hit."""
+    ftype = f.get("type", "text")
+    hits = select(base, f["selector"]) if f.get("selector") else [base]
+    if ftype in ("nested", "list", "nested_list"):
+        subs = f.get("fields", [])
+
+        def row_of(node):
+            return {sf["name"]: _field_value(node, sf, select) for sf in subs}
+
+        nodes = [h for h in hits if isinstance(h, Node)]
+        if ftype == "nested":
+            return row_of(nodes[0]) if nodes else None
+        return [row_of(n) for n in nodes]
+    if not hits:
+        return None
+    h = hits[0]
+    if not isinstance(h, Node):
+        return h
+    if ftype == "attribute":
+        return h.attrs.get(f.get("attribute", ""))
+    return h.text()
+
+
 def extract_with_schema(html: str, schema: dict, mode: str = "css") -> list[dict]:
     """JsonCss/JsonXPath schema: {baseSelector, fields:[{name, selector,
-    type: text|attribute|html, attribute}]} → list of row dicts."""
+    type: text|attribute|html|nested|list|nested_list, ...}]} → list of
+    row dicts (nested types recurse with their own ``fields``)."""
     root = parse_html(html)
     select = css_select if mode == "css" else xpath_select
     bases = select(root, schema.get("baseSelector", "*")) or []
-    rows = []
-    for b in bases:
-        if not isinstance(b, Node):
-            continue
-        row = {}
-        for f in schema.get("fields", []):
-            hits = select(b, f["selector"])
-            val = None
-            if hits:
-                h = hits[0]
-                ftype = f.get("type", "text")
-                if not isinstance(h, Node):
-                    val = h
-                elif ftype == "attribute":
-                    val = h.attrs.get(f.get("attribute", ""))
-                else:
-                    val = h.text()
-            row[f["name"]] = val
-        rows.append(row)
-    return rows
+    return [
+        {f["name"]: _field_value(b, f, select) for f in schema.get("fields", [])}
+        for b in bases
+        if isinstance(b, Node)
+    ]
 
 
 def extraction_udf(schema: dict, mode: str = "css"):
@@ -332,8 +421,12 @@ def merge_iframes_by_src(docs: DataFrame) -> DataFrame:
     keep their span. Shape: explode → left join on media_ref=doc_id →
     re-assemble sorted by (parent position, child position) — all
     JVM-side, one join + one agg."""
+    # posexplode_outer twice: a document with an EMPTY spans array (or an
+    # empty resolved piece) must survive with empty spans, not vanish —
+    # the null placeholder rows are dropped inside collect_list (nulls
+    # are skipped), keeping the doc_id group alive.
     ex = docs.select(
-        "doc_id", F.posexplode("spans").alias("pos", "s")
+        "doc_id", F.posexplode_outer("spans").alias("pos", "s")
     )
     child = docs.select(
         F.col("doc_id").alias("_src"), F.col("spans").alias("_child_spans")
@@ -345,14 +438,18 @@ def merge_iframes_by_src(docs: DataFrame) -> DataFrame:
     )
     # resolved iframes expand to their child spans; everything else (and
     # unresolved iframes) passes through as a single-element array
+    empty = F.array().cast(docs.schema["spans"].dataType)
     pieces = joined.select(
         "doc_id", "pos",
-        F.when(F.col("_child_spans").isNotNull(), F.col("_child_spans"))
+        F.when(F.col("s").isNull(), empty)
+        .when(F.col("_child_spans").isNotNull(), F.col("_child_spans"))
         .otherwise(F.array("s")).alias("piece"),
-    ).select("doc_id", "pos", F.posexplode("piece").alias("cpos", "s"))
+    ).select("doc_id", "pos", F.posexplode_outer("piece").alias("cpos", "s"))
     assembled = pieces.groupBy("doc_id").agg(
         F.array_sort(
-            F.collect_list(F.struct("pos", "cpos", F.col("s").alias("s")))
+            F.collect_list(
+                F.when(F.col("s").isNotNull(), F.struct("pos", "cpos", F.col("s").alias("s")))
+            )
         ).alias("ordered")
     )
     reindexed = F.transform(

@@ -100,6 +100,11 @@ class CrawlEngine:
         self.host_budgets = host_budgets
         self.redirects = redirects
         self.max_redirect_hops = max_redirect_hops
+        # size estimates for output partitioning (never for semantics);
+        # reset + maintained by run() from per-round observations
+        self._batch_est = max(1, len(cfg.seeds))
+        self._pending_est = max(1, len(cfg.seeds))
+        self._link_ratio = 4.0
 
     # ------------------------------------------------------------------ #
     def _priority(self) -> list:
@@ -319,7 +324,8 @@ class CrawlEngine:
             # construction) — re-deriving it through a filter() over the
             # synthesized spans column would resolve + evaluate the whole
             # synthesis tree a second time every round
-            joined = self.corpus.fetch(selected, with_title=True)
+            joined = self.corpus.fetch(
+                selected, with_title=True, lazy=self.cfg.enable_lazy_loading)
             heading = F.col("_title")
         else:
             docs = self.corpus.select(
@@ -471,7 +477,6 @@ class CrawlEngine:
         cfg, spark = self.cfg, self.spark
         sweep = self._sweep_mode()
         self._metrics_parts: list[DataFrame] = []
-        # size estimates for output partitioning (never for semantics):
         # _batch_est = rows entering fetch; _pending_est = pending-table
         # size; _link_ratio = observed fresh-links-per-fetched-page.
         self._batch_est = max(1, len(cfg.seeds))

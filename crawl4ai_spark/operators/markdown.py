@@ -85,6 +85,68 @@ def fit_spans(
 
 
 # --------------------------------------------------------------------------- #
+# P2: BM25ContentFilter — span-level BM25 against the page's own blocks
+# --------------------------------------------------------------------------- #
+BM25_THRESHOLD = 0.1  # reference default, crawl_agent.py:48
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _span_tokens(sp: Column) -> Column:
+    return F.filter(
+        F.split(F.lower(F.coalesce(sp["text"], F.lit(""))), "\\s+"), lambda w: w != ""
+    )
+
+
+def bm25_span_score(spans: Column | str, query: str,
+                    k1: float = BM25_K1, b: float = BM25_B):
+    """Per-span BM25 scorer vs the page's own span blocks (the reference's
+    BM25ContentFilter treats each text chunk of the page as a document and
+    the page as the corpus — crawl_agent.py:535-540). Returns a function
+    sp -> score Column, plus nothing is shuffled: N, avgdl and per-term
+    document frequencies are aggregates over the SAME array, so the whole
+    thing stays a per-row column expression (codegen, 100 TB-safe)."""
+    s = _c(spans)
+    terms = [t for t in query.lower().split() if t]
+    n = F.size(s).cast("double")
+    total_dl = F.aggregate(
+        s, F.lit(0).cast("double"), lambda acc, sp: acc + F.size(_span_tokens(sp))
+    )
+    avgdl = F.greatest(total_dl / F.greatest(n, F.lit(1.0)), F.lit(1e-9))
+    dfs = [
+        F.size(F.filter(s, lambda sp: F.array_contains(_span_tokens(sp), t))).cast("double")
+        for t in terms
+    ]
+
+    def score(sp: Column) -> Column:
+        dl = F.size(_span_tokens(sp)).cast("double")
+        parts = None
+        for t, df in zip(terms, dfs):
+            tf = F.size(F.filter(_span_tokens(sp), lambda w: w == F.lit(t))).cast("double")
+            idf = F.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            p = idf * tf * (k1 + 1.0) / (tf + k1 * (1.0 - b + b * dl / avgdl))
+            parts = p if parts is None else parts + p
+        return parts if parts is not None else F.lit(0.0)
+
+    return score
+
+
+def bm25_fit_spans(spans: Column | str, query: str,
+                   threshold: float = BM25_THRESHOLD,
+                   k1: float = BM25_K1, b: float = BM25_B) -> Column:
+    """P2 fit filter: keep spans whose BM25 score vs ``query`` clears the
+    threshold (reference BM25ContentFilter(query, threshold=0.1)). Feeds
+    the same E5 fit ladder as the pruning filter."""
+    score = bm25_span_score(spans, query, k1=k1, b=b)
+    return F.filter(sorted_spans(spans), lambda sp: score(sp) >= F.lit(float(threshold)))
+
+
+def bm25_fit_markdown(spans: Column | str, query: str,
+                      threshold: float = BM25_THRESHOLD) -> Column:
+    return spans_to_markdown(bm25_fit_spans(spans, query, threshold))
+
+
+# --------------------------------------------------------------------------- #
 # E4: markdown renderer
 # --------------------------------------------------------------------------- #
 def _render_span(sp: Column) -> Column:
@@ -203,6 +265,67 @@ def images_of(
     if exclude_external:
         imgs = F.filter(imgs, lambda x: ~x["is_external"])
     return imgs
+
+
+def _ref_host(sp: Column) -> Column:
+    return F.regexp_extract(F.lower(F.coalesce(sp["media_ref"], F.lit(""))), "https?://([^/:]+)", 1)
+
+
+def page_stat_arrays(
+    spans: Column | str,
+    page_host: Column | str,
+    include_external: bool = False,
+    exclude_social: bool = False,
+    exclude_domains: list[str] | None = None,
+    exclude_external_images: bool = False,
+    download_exts: list[str] | None = None,
+) -> Column:
+    """A1 stat arrays (reference crawl_result stats —
+    crawl_agent.py:826-831,868-872): ``filtered_links`` = link URLs the
+    configured filters exclude, ``filtered_images`` = image srcs dropped
+    by exclude_external_images, ``downloaded_files`` = media refs the S7
+    download sink would take (extension die). Pure column exprs in
+    document order."""
+    from ..config import SOCIAL_DOMAINS
+
+    s = sorted_spans(spans)
+    host = F.lower(_c(page_host))
+
+    def link_excluded(sp: Column) -> Column:
+        h = _ref_host(sp)
+        pred = F.lit(False)
+        if not include_external:
+            pred = pred | (h != host)
+        if exclude_social:
+            soc = "|".join(d.replace(".", r"\.") for d in SOCIAL_DOMAINS)
+            pred = pred | h.rlike(f"(^|\\.)({soc})$")
+        if exclude_domains:
+            pred = pred | h.isin([d.lower() for d in exclude_domains])
+        return pred
+
+    filtered_links = F.transform(
+        F.filter(s, lambda sp: (sp["kind"] == "link") & link_excluded(sp)),
+        lambda sp: sp["media_ref"],
+    )
+    if exclude_external_images:
+        filtered_images = F.transform(
+            F.filter(s, lambda sp: (sp["kind"] == "image") & (_ref_host(sp) != host)),
+            lambda sp: sp["media_ref"],
+        )
+    else:
+        filtered_images = F.array().cast("array<string>")
+    exts = [e.lower() for e in (download_exts or [])]
+    ext_of = lambda sp: F.lower(  # noqa: E731
+        F.regexp_extract(F.coalesce(sp["media_ref"], F.lit("")), r"\.([a-zA-Z0-9]+)$", 1))
+    downloaded = F.transform(
+        F.filter(s, lambda sp: (sp["kind"] == "media") & ext_of(sp).isin(exts)),
+        lambda sp: sp["media_ref"],
+    ) if exts else F.array().cast("array<string>")
+    return F.struct(
+        filtered_links.alias("filtered_links"),
+        filtered_images.alias("filtered_images"),
+        downloaded.alias("downloaded_files"),
+    )
 
 
 def page_stats(spans: Column | str) -> Column:

@@ -36,6 +36,26 @@ def save_markdown(df: DataFrame, out_dir: str, url_col: str = "url", md_col: str
     return n
 
 
+def save_markdown_bulk(df: DataFrame, out_dir: str, url_col: str = "url",
+                       md_col: str = "raw_md", max_records_per_file: int = 10_000) -> None:
+    """Bulk S6 export: executor-parallel ``df.write.text`` of
+    "## Page: {url}" + markdown records — no driver iteration, no
+    collect. One text part per task (records_per_file bounded), so a 1M-
+    page export spreads across the cluster; per-page FILES (the reference
+    app's per-page .md downloads) remain ``save_markdown``'s small-export
+    job. Files land under ``out_dir`` as part-*.txt."""
+    rec = F.concat(
+        F.lit("## Page: "), F.col(url_col), F.lit("\n\n"),
+        F.coalesce(F.col(md_col), F.lit("")), F.lit("\n\x03\n"),  # ETX record sep
+    )
+    (
+        df.select(rec.alias("value"))
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", max_records_per_file)
+        .text(out_dir)
+    )
+
+
 def collect_downloads(
     docs: DataFrame,
     spans_col: str = "spans",

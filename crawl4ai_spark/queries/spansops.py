@@ -145,6 +145,66 @@ def q_spans_fit_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
+# P2 + E5: BM25ContentFilter as a span filter + fit ladder
+# --------------------------------------------------------------------------- #
+BM25_FIT_QUERY = "spark data"  # two vocab terms; reference BM25ContentFilter(query, 0.1)
+
+_BM25_TERMS = BM25_FIT_QUERY.split()
+_BM25_TF = ", ".join(
+    f"len(list_filter(list_filter(regexp_split_to_array(lower(gtext), '\\s+'), w -> w <> ''), "
+    f"w -> w = '{t}')) AS tf{i}"
+    for i, t in enumerate(_BM25_TERMS)
+)
+_BM25_SCORE = " + ".join(
+    f"(ln((n - df{i} + 0.5) / (df{i} + 0.5) + 1) * tf{i} * 2.2"
+    f" / (tf{i} + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))"
+    for i in range(len(_BM25_TERMS))
+)
+
+
+@query(
+    "spans_bm25_fit",
+    f"""
+    WITH {_SP_SQL},
+    scored AS (
+        SELECT doc_id, g, piece, wc::DOUBLE AS dl, {_BM25_TF},
+               count(*) OVER (PARTITION BY doc_id)::DOUBLE AS n,
+               greatest(sum(wc) OVER (PARTITION BY doc_id)::DOUBLE
+                        / greatest(count(*) OVER (PARTITION BY doc_id), 1), 1e-9) AS avgdl
+        FROM spans
+    ),
+    dfs AS (
+        SELECT *,
+               {', '.join(f'sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) OVER (PARTITION BY doc_id)::DOUBLE AS df{i}' for i in range(len(_BM25_TERMS)))}
+        FROM scored
+    ),
+    fit AS (
+        SELECT doc_id, g, piece, ({_BM25_SCORE}) >= 0.1 AS keep
+        FROM dfs
+    )
+    SELECT doc_id,
+           count(*)::BIGINT AS n_spans,
+           sum(CASE WHEN keep THEN 1 ELSE 0 END)::BIGINT AS n_fit,
+           coalesce(string_agg(CASE WHEN keep THEN piece END, '' ORDER BY g), '') AS fit_md
+    FROM fit GROUP BY doc_id
+    """,
+)
+def q_spans_bm25_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2: the REAL bm25_fit_spans operator (operators/markdown.py) under
+    the value-hash gate — per-span BM25 vs the page's own blocks, kept
+    spans rendered through the same markdown path as the pruning filter
+    (reference crawl_agent.py:535-540)."""
+    sd = _span_docs(spark, sf_dir)
+    fit = M.bm25_fit_spans("spans", BM25_FIT_QUERY)
+    return sd.select(
+        "doc_id",
+        F.size("spans").cast("long").alias("n_spans"),
+        F.size(fit).cast("long").alias("n_fit"),
+        M.spans_to_markdown(fit).alias("fit_md"),
+    )
+
+
+# --------------------------------------------------------------------------- #
 # E6 + E7 + A1: title, inventories, per-page stats
 # --------------------------------------------------------------------------- #
 @query(
@@ -181,6 +241,47 @@ def q_spans_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
         stats["heading_count"].cast("long").alias("heading_count"),
         stats["word_count"].cast("long").alias("word_count"),
         F.size(F.filter(links, lambda l: l["is_external"])).cast("long").alias("external_links"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# A1 stat arrays: filtered_links / filtered_images / downloaded_files
+# (reference crawl_agent.py:826-831,868-872). Page host = doc_id % 7;
+# link/image hosts are (doc_id+g) % 7, so externality is arithmetic.
+# Arrays compare as ','-joined strings (document order) — engine-stable.
+# --------------------------------------------------------------------------- #
+@query(
+    "spans_stat_arrays",
+    f"""
+    WITH {_SP_SQL}
+    SELECT doc_id,
+           coalesce(string_agg(CASE WHEN kind = 'link'
+                    AND (doc_id + g) % 7 <> doc_id % 7 THEN ref END, ',' ORDER BY g), '')
+               AS filtered_links,
+           coalesce(string_agg(CASE WHEN kind = 'image'
+                    AND (doc_id + g) % 7 <> doc_id % 7 THEN ref END, ',' ORDER BY g), '')
+               AS filtered_images,
+           coalesce(string_agg(CASE WHEN kind = 'media' THEN ref END, ',' ORDER BY g), '')
+               AS downloaded_files
+    FROM spans GROUP BY doc_id
+    """,
+)
+def q_spans_stat_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: the REAL page_stat_arrays operator under the hash gate —
+    filters configured as (include_external=False,
+    exclude_external_images=True, download pdf)."""
+    sd = _span_docs(spark, sf_dir)
+    host = F.concat(F.lit("host"), F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+                    F.lit(".example.com"))
+    arrs = M.page_stat_arrays(
+        "spans", host, include_external=False, exclude_external_images=True,
+        download_exts=["pdf"],
+    )
+    return sd.select(
+        "doc_id",
+        F.array_join(arrs["filtered_links"], ",").alias("filtered_links"),
+        F.array_join(arrs["filtered_images"], ",").alias("filtered_images"),
+        F.array_join(arrs["downloaded_files"], ",").alias("downloaded_files"),
     )
 
 

@@ -70,7 +70,10 @@ def q_stream_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
     ckp = os.path.join(tempfile.gettempdir(), f"ckp_{name}")
     events = read_events_stream(spark, f"{sf_dir}/events.parquet")
-    run_stream_to_table(spark, stream_tumbling_agg(events), name, ckp)
+    # exact_users: the drain-equality oracle compares against the batch
+    # twin's exact countDistinct; a continuous deployment uses the
+    # default bounded-state approx_count_distinct variant instead
+    run_stream_to_table(spark, stream_tumbling_agg(events, exact_users=True), name, ckp)
     return spark.table(name).select(
         "window_start", "event_type", "n_events", "sum_cents", "n_users"
     )

@@ -83,20 +83,31 @@ def stream_dedup_urls(urls: DataFrame, url_col: str = "url") -> DataFrame:
     )
 
 
-def stream_tumbling_agg(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+def stream_tumbling_agg(events: DataFrame, watermark: str = "1 hour",
+                        exact_users: bool = False) -> DataFrame:
     """Hourly tumbling windows per event_type; late data beyond the
     watermark is dropped once the window closes. Column contract matches
-    the batch ``events_tumbling`` query."""
+    the batch ``events_tumbling`` query.
+
+    ``n_users`` state: the DEFAULT is ``approx_count_distinct`` — its
+    per-group state is one fixed-size HyperLogLog sketch, bounded no
+    matter how many distinct users a window sees (the continuous-run
+    requirement at 100 TB). ``exact_users=True`` switches to a
+    ``collect_set`` fold whose state grows with distinct users — kept
+    ONLY for the drain-equality oracle harness, where the batch twin's
+    exact countDistinct must match row-for-row (exact countDistinct
+    itself is unsupported on streams)."""
+    n_users = (
+        F.size(F.collect_set("user_id")).cast("long") if exact_users
+        else F.approx_count_distinct("user_id").cast("long")
+    )
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
             F.sum(F.round(F.col("value") * 100).cast("long")).alias("sum_cents"),
-            # NB: approx/count-distinct over streams needs state; exact
-            # countDistinct is unsupported in update mode — collect_set
-            # keeps the semantics for bounded user cardinality
-            F.size(F.collect_set("user_id")).cast("long").alias("n_users"),
+            n_users.alias("n_users"),
         )
         .select(
             F.unix_timestamp(F.col("w.start")).alias("window_start"),

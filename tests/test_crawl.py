@@ -413,3 +413,90 @@ def test_politeness_with_host_salting(spark, corpus_dir, tmp_path):
     )
     assert got_pages == want_pages  # exact order now that the oracle mirrors salt caps
     assert got_seen == want_seen
+
+
+def test_lazy_loading_exposes_extra_outlinks(spark, tmp_path):
+    """U5 (SURVEY §2.8): enable_lazy_loading deterministically exposes
+    extra trailing spans on lazy pages — the lazy crawl's seen set is a
+    strict superset of the plain crawl's, and re-running either config
+    reproduces its set exactly."""
+    from crawl4ai_spark.fixtures import VirtualCorpus
+
+    vc = VirtualCorpus(n_docs=400, n_hosts=8)
+    seeds = vc.seed_urls(7, 2)
+
+    def crawl(lazy: bool, tag: str) -> set[str]:
+        cfg = CrawlConfig(seeds=seeds, strategy="bfs", max_depth=3, max_pages=80,
+                          round_size=20, respect_robots=False,
+                          enable_lazy_loading=lazy)
+        eng = CrawlEngine(spark, vc, cfg, str(tmp_path / tag))
+        eng.run()
+        return {r.url for r in eng.url_seen().collect()}
+
+    plain = crawl(False, "plain")
+    lazy = crawl(True, "lazy")
+    plain2 = crawl(False, "plain2")
+    assert plain == plain2  # deterministic
+    assert plain <= lazy    # lazy only ADDS spans (prefix extension)
+    assert len(lazy) > len(plain)  # and the fixture die guarantees some
+
+
+def test_global_rank_topk_exact_many_partitions(spark, tmp_path):
+    """ADVICE r2: the shuffle-free two-level top-k depends on
+    monotonically_increasing_id evaluating after sortWithinPartitions in
+    the same stage — pin that planner invariant: with many skewed input
+    partitions the selected set must equal the exact global top-k."""
+    from pyspark.sql import functions as F
+    from crawl4ai_spark.fixtures import VirtualCorpus
+
+    vc = VirtualCorpus(n_docs=5000, n_hosts=8)
+    cfg = CrawlConfig(seeds=vc.seed_urls(7, 1), strategy="bfs", max_depth=2,
+                      max_pages=None, round_size=None, respect_robots=False)
+    eng = CrawlEngine(spark, vc, cfg, str(tmp_path / "s"))
+
+    # skewed candidate set over MANY partitions: priority = (depth,
+    # parent_rank, parent_offset, url)
+    n = 3000
+    cand = (
+        spark.range(n).repartition(37)
+        .select(
+            F.concat(F.lit("https://host7.example.com/p/"), F.col("id").cast("string")).alias("url"),
+            F.xxhash64("id").alias("url_hash"),
+            F.lit("host7.example.com").alias("host"),
+            F.lit(0).alias("host_salt"),
+            F.pmod(F.col("id"), F.lit(3)).cast("int").alias("depth"),
+            F.lit(0.0).alias("score"),
+            F.pmod(F.xxhash64("id", F.lit(1)), F.lit(50)).alias("parent_rank"),
+            F.pmod(F.xxhash64("id", F.lit(2)), F.lit(1000)).cast("int").alias("parent_offset"),
+            F.lit("x").alias("path"),
+            F.lit(1).alias("discovered_round"),
+        )
+    )
+    limit = 173
+    pri = eng._priority()
+    got = eng._global_rank_topk(cand, pri, limit).select("url", "rank_in_round").collect()
+    exact = [r.url for r in cand.orderBy(*pri).limit(limit).collect()]
+    got_sorted = [r.url for r in sorted(got, key=lambda r: r.rank_in_round)]
+    assert got_sorted == exact
+    assert sorted(r.rank_in_round for r in got) == list(range(1, limit + 1))
+
+
+def test_resume_after_complete_keeps_metrics(spark, corpus_dir, tmp_path):
+    """ADVICE r2 (medium): the final metrics flush lands AFTER the last
+    round checkpoint; a resume on the finished state dir must not roll
+    back (delete) the flushed metrics rows."""
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    from test_crawl import get_seeds
+
+    seed = get_seeds(spark, corpus_dir)[0]
+    cfg = CrawlConfig(seeds=[seed], strategy="bfs", max_depth=3, max_pages=40,
+                      round_size=10, respect_robots=False)
+    eng = CrawlEngine(spark, docs, cfg, str(tmp_path / "m"))
+    eng.run()
+    before = eng.metrics().count()
+    assert before > 0
+    eng2 = CrawlEngine(spark, docs, cfg, str(tmp_path / "m"))
+    eng2.run(resume=True)  # crawl already complete — must be a no-op
+    assert eng2.metrics().count() == before
+    assert [r.rank for r in eng2.pages().orderBy("rank").collect()] == \
+           [r.rank for r in eng.pages().orderBy("rank").collect()]

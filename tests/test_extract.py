@@ -189,3 +189,146 @@ def test_merge_iframes_by_src_spark(spark):
     assert [s["kind"] for s in p] == ["text", "heading", "text", "text"]
     o = merged["raw://2"]
     assert any(s["kind"] == "iframe" for r in [o] for s in r), o
+
+
+# --------------------------------------------------------------------------- #
+# round 3: srcset/picture, selector breadth, nested schemas, empty-spans merge
+# --------------------------------------------------------------------------- #
+SRCSET_HTML = """
+<body>
+  <img src="/base.png" srcset="/small.png 1x, /big.png 2x" alt="hero">
+  <picture>
+    <source srcset="/p1.webp 640w, /p2.webp 1280w">
+    <source src="/p3.jpg">
+    <img src="/fallback.jpg" alt="pic">
+  </picture>
+</body>
+"""
+
+
+class TestSrcset:
+    def test_img_srcset_variants(self):
+        spans = html_to_spans(SRCSET_HTML)
+        imgs = [s for s in spans if s["kind"] == "image"]
+        refs = [s["media_ref"] for s in imgs]
+        assert "/base.png" in refs and "/small.png" in refs and "/big.png" in refs
+        hero = [s for s in imgs if s["media_ref"] in ("/small.png", "/big.png")]
+        assert all(s["text"] == "hero" for s in hero)  # variants carry the alt
+
+    def test_picture_sources_and_fallback(self):
+        spans = html_to_spans(SRCSET_HTML)
+        refs = [s["media_ref"] for s in spans if s["kind"] == "image"]
+        for r in ("/p1.webp", "/p2.webp", "/p3.jpg", "/fallback.jpg"):
+            assert r in refs, r
+        # document order: picture sources before the img fallback
+        assert refs.index("/p1.webp") < refs.index("/fallback.jpg")
+
+    def test_offsets_stay_dense(self):
+        spans = html_to_spans(SRCSET_HTML)
+        assert [s["offset"] for s in spans] == list(range(len(spans)))
+
+
+NESTED_HTML = """
+<body>
+  <section class="charge-methodology">
+    <div class="w-tab-content">
+      <div><h3 class="heading-50">Sec1</h3>
+        <div class="course"><span class="name">A</span><img class="icon" src="/a.png"></div>
+        <div class="course"><span class="name">B</span><img class="icon" src="/b.png"></div>
+      </div>
+      <div class="deep"><div><h3 class="heading-50">NotChild</h3></div></div>
+    </div>
+  </section>
+  <div data-role="x" class="tagged">has-attr</div>
+</body>
+"""
+
+
+class TestSelectorBreadth:
+    def test_child_combinator(self):
+        root = parse_html(NESTED_HTML)
+        # children of .w-tab-content only — not the h3 nested two deep
+        hits = css_select(root, ".w-tab-content > div")
+        assert len(hits) == 2
+        direct = css_select(root, ".w-tab-content > div > h3.heading-50")
+        assert [h.text() for h in direct] == ["Sec1"]
+
+    def test_attr_presence(self):
+        root = parse_html(NESTED_HTML)
+        hits = css_select(root, "div[data-role]")
+        assert len(hits) == 1 and hits[0].text() == "has-attr"
+        assert css_select(root, "div[data-role=x]")[0].text() == "has-attr"
+        assert css_select(root, "[data-role='x'].tagged")[0].text() == "has-attr"
+
+    def test_nested_schema(self):
+        schema = {
+            "baseSelector": "section.charge-methodology .w-tab-content > div",
+            "fields": [
+                {"name": "title", "selector": "h3.heading-50", "type": "text"},
+                {
+                    "name": "courses", "selector": ".course", "type": "list",
+                    "fields": [
+                        {"name": "name", "selector": ".name", "type": "text"},
+                        {"name": "icon", "selector": ".icon", "type": "attribute",
+                         "attribute": "src"},
+                    ],
+                },
+                {
+                    "name": "first_course", "selector": ".course", "type": "nested",
+                    "fields": [{"name": "name", "selector": ".name", "type": "text"}],
+                },
+            ],
+        }
+        rows = extract_with_schema(NESTED_HTML, schema)
+        assert len(rows) == 2
+        assert rows[0]["title"] == "Sec1"
+        assert rows[0]["courses"] == [
+            {"name": "A", "icon": "/a.png"}, {"name": "B", "icon": "/b.png"}]
+        assert rows[0]["first_course"] == {"name": "A"}
+        assert rows[1]["courses"] == [] and rows[1]["first_course"] is None
+
+
+def test_merge_iframes_empty_spans_survive(spark):
+    """ADVICE r2: a doc with an empty spans array must survive the merge
+    with empty spans, not be dropped by the explode."""
+    from pyspark.sql import functions as F
+    from crawl4ai_spark.operators.extract import merge_iframes_by_src
+
+    schema = "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    docs = spark.createDataFrame(
+        [("doc://a", [("text", "x", None, 0), ("iframe", "", "doc://b", 1)]),
+         ("doc://b", [("text", "y", None, 0)]),
+         ("doc://empty", [])],
+        schema,
+    )
+    merged = {r["doc_id"]: r["spans"] for r in merge_iframes_by_src(docs).collect()}
+    assert set(merged) == {"doc://a", "doc://b", "doc://empty"}
+    assert merged["doc://empty"] == []
+    assert [s["text"] for s in merged["doc://a"]] == ["x", "y"]
+
+
+def test_bm25_fit_ladder(spark):
+    """P2: BM25 span filter keeps query-bearing spans and feeds the E5
+    fit ladder (empty fit output falls back to raw markdown)."""
+    from pyspark.sql import functions as F
+    from crawl4ai_spark.operators import markdown as M
+
+    schema = "doc_id string, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>"
+    docs = spark.createDataFrame(
+        [("d1", [("text", "spark engine overview", None, 0),
+                 ("text", "unrelated words entirely", None, 1),
+                 ("heading", "spark data guide", None, 2)]),
+         ("d2", [("text", "nothing about the topic", None, 0)])],
+        schema,
+    )
+    fit = M.bm25_fit_spans("spans", "spark data", threshold=0.1)
+    out = docs.select(
+        "doc_id",
+        F.size(fit).alias("n_fit"),
+        M.fit_ladder(M.spans_to_markdown(fit), M.spans_to_markdown("spans")).alias("md"),
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows["d1"]["n_fit"] == 2  # both spark-bearing spans kept, filler dropped
+    assert "unrelated" not in rows["d1"]["md"]
+    assert rows["d2"]["n_fit"] == 0
+    assert "nothing about the topic" in rows["d2"]["md"]  # ladder fallback

@@ -138,3 +138,22 @@ def test_exclude_external_images_filter(spark):
     assert len(all_imgs) == 2 and len(kept) == 1
     assert kept[0].src == "https://host1.example.com/i/1.png"
     assert [i.is_external for i in all_imgs] == [False, True]
+
+
+def test_save_markdown_bulk_parallel(spark, tmp_path):
+    """S6 bulk path (VERDICT r2 #9): 1k pages exported via df.write.text
+    with no driver-side iteration; every page present exactly once."""
+    from pyspark.sql import functions as F
+    from crawl4ai_spark.operators.sinks import save_markdown_bulk
+
+    df = spark.range(1000).select(
+        F.concat(F.lit("https://h/p/"), F.col("id").cast("string")).alias("url"),
+        F.concat(F.lit("# doc "), F.col("id").cast("string")).alias("raw_md"),
+    )
+    out = tmp_path / "bulk"
+    save_markdown_bulk(df, str(out), max_records_per_file=200)
+    parts = [p for p in out.iterdir() if p.name.startswith("part-")]
+    assert len(parts) >= 5  # maxRecordsPerFile bounds file size
+    text = "".join(p.read_text() for p in parts)
+    assert text.count("## Page: ") == 1000
+    assert "## Page: https://h/p/999\n\n# doc 999" in text
