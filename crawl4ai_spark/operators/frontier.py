@@ -51,7 +51,7 @@ from __future__ import annotations
 import os
 import time
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import SOCIAL_DOMAINS, CrawlConfig, resolve_strategy
@@ -104,6 +104,7 @@ class CrawlEngine:
         # reset + maintained by run() from per-round observations
         self._batch_est = max(1, len(cfg.seeds))
         self._pending_est = max(1, len(cfg.seeds))
+        self._pending_mode = "table"
         self._link_ratio = 4.0
 
     # ------------------------------------------------------------------ #
@@ -222,7 +223,20 @@ class CrawlEngine:
                 .drop("_hr", "_budget")
             )
         if limit is not None:
-            cand = self._global_rank_topk(cand, pri, limit)
+            if self._pending_est <= limit:
+                # the whole pending set fits in the round budget — the
+                # two-level pre-cut's per-partition sort is pure waste
+                # (every row survives it); rank directly. The window
+                # input is bounded by pending itself, and the rank<=limit
+                # filter keeps semantics identical even if the estimate
+                # ever under-counted (it's a perf heuristic, not a gate).
+                wg = Window.orderBy(*pri)
+                cand = (
+                    cand.withColumn("rank_in_round", F.row_number().over(wg))
+                    .where(F.col("rank_in_round") <= limit)
+                )
+            else:
+                cand = self._global_rank_topk(cand, pri, limit)
         elif self.cfg.track_order:
             cand = self._global_rank_full(cand, pri)
         else:
@@ -485,13 +499,17 @@ class CrawlEngine:
         ck = self.ckp.latest() if resume else None
         if ck is None:
             _ts = time.monotonic()
-            self.frontier_tbl.overwrite(self._seed_frontier())
+            sobs = Observation()
+            self.frontier_tbl.overwrite(
+                self._seed_frontier().observe(sobs, F.count(F.lit(1)).alias("n")))
             self._prof_mark(0, "seed_overwrite", _ts)
             seeds = self.frontier_tbl.read(spark)
-            if not sweep:
-                # ordered modes keep "pending" as its own snapshot so a
-                # round never re-derives it from the full log (see loop)
-                self.pending_tbl.overwrite(seeds.select(*FRONTIER_COLS))
+            # ordered modes start in "delta" pending mode: the seed
+            # overwrite IS the frontier's latest commit, so round 1's
+            # pending set is exactly _read_delta(frontier) — no separate
+            # pending materialization until a round leaves a remainder
+            self._pending_mode = "delta"
+            self._pending_est = int(sobs.get["n"])
             if cfg.use_bloom:
                 self.bloom_tbl.overwrite(build_bloom_shards(
                     seeds, n_shards=cfg.bloom_shards,
@@ -510,9 +528,10 @@ class CrawlEngine:
             if sweep:
                 d = self._read_delta(self.frontier_tbl)
                 self._batch_est = 1 if d is None else max(1, d.count())
-            if not sweep and (
-                "pending" not in ck["versions"] or self.pending_tbl.read(spark) is None
-            ):
+            elif "pending_mode" in ck:
+                self._pending_mode = ck["pending_mode"]
+                self._pending_est = ck["pending_est"]
+            else:
                 # checkpoint predates the pending snapshot: re-derive it
                 # once from the log (discovered minus fetched) and carry
                 # on incrementally from there
@@ -522,9 +541,9 @@ class CrawlEngine:
                     pend = log if pages is None else log.join(
                         pages.select("url"), "url", "left_anti")
                     self.pending_tbl.overwrite(pend.select(*FRONTIER_COLS))
-            if not sweep:
+                self._pending_mode = "table"
                 p = self.pending_tbl.read(spark)
-                self._pending_est = 1 if p is None else max(1, p.count())
+                self._pending_est = 0 if p is None else p.count()
             if cfg.use_bloom and self.bloom_tbl.read(spark) is None:
                 # resuming a crawl whose checkpoint predates use_bloom:
                 # rebuild the sidecar from the full current seen set —
@@ -550,8 +569,6 @@ class CrawlEngine:
             if cfg.round_size is not None:
                 limit = cfg.round_size if limit is None else min(limit, cfg.round_size)
 
-            from pyspark.sql import Observation
-
             t0 = time.monotonic()
             if sweep:
                 # delta-only selection: last round's appended links
@@ -560,17 +577,21 @@ class CrawlEngine:
                     break
                 selected = delta.withColumn("rank_in_round", F.lit(0))
             else:
-                self._batch_est = (
+                self._batch_est = max(1, (
                     self._pending_est if limit is None
                     else min(limit, self._pending_est)
-                )
-                # ordered modes read the materialized pending snapshot —
-                # maintained incrementally below as (pending minus this
-                # round's batch) ∪ fresh links, so no round ever scans the
-                # full frontier log or shuffle-joins the ever-growing
-                # pages table to re-derive it. The log stays append-only
-                # and keeps serving the seen set + url_seen() view.
-                pending = self.pending_tbl.read(spark)
+                ))
+                # ordered modes never re-derive pending from a full
+                # frontier-log scan + pages anti-join. Two sources:
+                # * "delta" mode — the previous round drained pending
+                #   completely (the common keeping-up regime), so pending
+                #   IS the frontier's latest delta: zero extra I/O.
+                # * "table" mode — a remainder was left behind; pending
+                #   is its own snapshot, maintained incrementally below.
+                if self._pending_mode == "delta":
+                    pending = self._read_delta(self.frontier_tbl)
+                else:
+                    pending = self.pending_tbl.read(spark)
                 if pending is None:
                     break
                 selected = self._select_batch(pending, limit)
@@ -624,24 +645,33 @@ class CrawlEngine:
             self._prof_mark(round_no, "extract+dedup+write_frontier", t1)
 
             if not sweep:
-                # incremental pending maintenance: this round's batch IS
-                # the pages delta (≤ round budget → broadcastable), so the
-                # tombstone update is a broadcast anti-join over pending —
-                # no shuffle, no pages-table scan; fresh links come back
-                # from the frontier delta files just written (no recompute
-                # of the extract pipeline).
+                # incremental pending maintenance. leftover is EXACT:
+                # n_sel/n_fresh are observed counts, pending_est was exact
+                # (seed count observed; induction below). A fully-drained
+                # round needs NO write at all — next round's pending is
+                # the frontier delta just appended ("delta" mode). Only a
+                # remainder forces materialization: broadcast anti-join of
+                # pending vs this round's batch (≤ round budget) ∪ the
+                # fresh delta files — no shuffle, no pages-table scan, no
+                # recompute of the extract pipeline.
                 t2 = time.monotonic()
-                self._pending_est = max(1, self._pending_est - n_sel + n_fresh)
-                remainder = pending.join(
-                    F.broadcast(pages_batch.select("url")), "url", "left_anti"
-                ).select(*FRONTIER_COLS)
-                fresh_delta = self._read_delta(self.frontier_tbl)
-                nxt = remainder if fresh_delta is None else remainder.unionByName(
-                    fresh_delta.select(*FRONTIER_COLS))
-                self.pending_tbl.overwrite(
-                    nxt.coalesce(self._parts_for(self._pending_est,
-                                                 self.FRONTIER_ROWS_PER_FILE)))
-                self._prof_mark(round_no, "pending_overwrite", t2)
+                leftover = self._pending_est - n_sel
+                if leftover <= 0:
+                    self._pending_mode = "delta"
+                    self._pending_est = n_fresh
+                else:
+                    remainder = pending.join(
+                        F.broadcast(pages_batch.select("url")), "url", "left_anti"
+                    ).select(*FRONTIER_COLS)
+                    fresh_delta = self._read_delta(self.frontier_tbl)
+                    nxt = remainder if fresh_delta is None else remainder.unionByName(
+                        fresh_delta.select(*FRONTIER_COLS))
+                    self._pending_est = leftover + n_fresh
+                    self.pending_tbl.overwrite(
+                        nxt.coalesce(self._parts_for(self._pending_est,
+                                                     self.FRONTIER_ROWS_PER_FILE)))
+                    self._pending_mode = "table"
+                self._prof_mark(round_no, "pending_update", t2)
 
             if blocked is not None:
                 self.seen_tbl.append(blocked.select(
@@ -688,7 +718,11 @@ class CrawlEngine:
                 self._flush_metrics()
 
             fetched += n_sel
-            self.ckp.commit(round_no, self._versions(), {"fetched": fetched})
+            self.ckp.commit(round_no, self._versions(), {
+                "fetched": fetched,
+                "pending_mode": getattr(self, "_pending_mode", "table"),
+                "pending_est": self._pending_est,
+            })
             round_no += 1
 
         _tf = time.monotonic()
@@ -698,7 +732,11 @@ class CrawlEngine:
             # version so a later resume(rollback) can never delete the
             # durably-written metrics rows
             self._flush_metrics()
-            self.ckp.commit(round_no - 1, self._versions(), {"fetched": fetched})
+            self.ckp.commit(round_no - 1, self._versions(), {
+                "fetched": fetched,
+                "pending_mode": getattr(self, "_pending_mode", "table"),
+                "pending_est": self._pending_est,
+            })
         else:
             self._flush_metrics()
         self._prof_mark(round_no, "final_metrics_flush", _tf)
