@@ -432,11 +432,18 @@ class CrawlEngine:
             F.lit(round_no).alias("discovered_round"),
             "u_path", "redirect_src",
         )
-        # in-batch first-discovery dedup: keep min (parent_rank, offset)
-        w = Window.partitionBy("url").orderBy(
-            F.col("parent_rank").asc(), F.col("parent_offset").asc()
-        )
-        return scored.withColumn("_r", F.row_number().over(w)).where(F.col("_r") == 1).drop("_r")
+        # in-batch first-discovery dedup: keep min (parent_rank, offset).
+        # groupBy + min_by instead of a window: hash aggregation gets a
+        # map-side partial combine, so duplicate-heavy link batches (the
+        # norm — fixture rounds see ~1.6 raw links per distinct url)
+        # shrink BEFORE the exchange, and no per-partition sort runs.
+        # (parent_rank, parent_offset) is unique per url — one span, one
+        # link — so min_by ties cannot occur and the pick is deterministic.
+        rest = [c for c in scored.columns if c != "url"]
+        picked = scored.groupBy("url").agg(
+            F.min_by(F.struct(*rest),
+                     F.struct("parent_rank", "parent_offset")).alias("_s"))
+        return picked.select("url", *[F.col(f"_s.{c}").alias(c) for c in rest])
 
     # ------------------------------------------------------------------ #
     def _robots_split(self, new_links: DataFrame):

@@ -870,3 +870,116 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").cast("long").alias("label"), "n",
         *[F.round(F.get("s", i) / F.col("n"), 6).alias(f"c{i}") for i in range(4)],
     )
+
+
+# --------------------------------------------------------------------------- #
+# PII redaction: the standard pre-training scrub pass — emails, phone
+# numbers, IPv4s replaced with typed placeholder tokens. PII is INJECTED
+# deterministically (keyed on doc_id) so the redactor has real work and
+# both engines derive byte-identical inputs; counts + redacted text are
+# hash-compared. Pure regexp column exprs — runs inside the scan
+# projection at 100 TB, no shuffle.
+# --------------------------------------------------------------------------- #
+_EMAIL_RX = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RX = r"\+?[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_IP_RX = r"([0-9]{1,3}\.){3}[0-9]{1,3}"
+
+_PII_TEXT_SQL = """
+    (text
+     || (CASE WHEN doc_id % 3 = 0
+              THEN ' contact user' || doc_id::VARCHAR || '@mail' || (doc_id % 7)::VARCHAR || '.example.org now'
+              ELSE '' END)
+     || (CASE WHEN doc_id % 4 = 0
+              THEN ' call +' || (100 + doc_id % 900)::VARCHAR || '-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+              ELSE '' END)
+     || (CASE WHEN doc_id % 5 = 0
+              THEN ' from 10.' || (doc_id % 256)::VARCHAR || '.0.' || (doc_id % 250)::VARCHAR
+              ELSE '' END))
+"""
+
+
+@query(
+    "pii_redact",
+    f"""
+    WITH base AS (SELECT doc_id::BIGINT AS doc_id, {_PII_TEXT_SQL} AS t FROM documents)
+    SELECT doc_id,
+           len(regexp_extract_all(t, '{_EMAIL_RX}'))::BIGINT AS n_emails,
+           len(regexp_extract_all(t, '{_PHONE_RX}'))::BIGINT AS n_phones,
+           len(regexp_extract_all(t, '{_IP_RX}'))::BIGINT AS n_ips,
+           regexp_replace(regexp_replace(regexp_replace(t,
+               '{_EMAIL_RX}', '<EMAIL>', 'g'),
+               '{_PHONE_RX}', '<PHONE>', 'g'),
+               '{_IP_RX}', '<IP>', 'g') AS redacted
+    FROM base
+    """,
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    t = F.concat(
+        F.col("text"),
+        F.when(F.pmod(i, F.lit(3)) == 0, F.concat(
+            F.lit(" contact user"), i.cast("string"), F.lit("@mail"),
+            F.pmod(i, F.lit(7)).cast("string"), F.lit(".example.org now"))).otherwise(F.lit("")),
+        F.when(F.pmod(i, F.lit(4)) == 0, F.concat(
+            F.lit(" call +"), (F.lit(100) + F.pmod(i, F.lit(900))).cast("string"),
+            F.lit("-555-"), F.lpad(F.pmod(i, F.lit(10000)).cast("string"), 4, "0"))).otherwise(F.lit("")),
+        F.when(F.pmod(i, F.lit(5)) == 0, F.concat(
+            F.lit(" from 10."), F.pmod(i, F.lit(256)).cast("string"),
+            F.lit(".0."), F.pmod(i, F.lit(250)).cast("string"))).otherwise(F.lit("")),
+    )
+    red = F.regexp_replace(F.regexp_replace(F.regexp_replace(
+        t, _EMAIL_RX, "<EMAIL>"), _PHONE_RX, "<PHONE>"), _IP_RX, "<IP>")
+    return d.select(
+        i.alias("doc_id"),
+        F.regexp_count(t, F.lit(_EMAIL_RX)).cast("long").alias("n_emails"),
+        F.regexp_count(t, F.lit(_PHONE_RX)).cast("long").alias("n_phones"),
+        F.regexp_count(t, F.lit(_IP_RX)).cast("long").alias("n_ips"),
+        red.alias("redacted"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# sequence packing: pretraining-style document concatenation into fixed
+# token-budget packs, PER SOURCE SHARD (the scale-safe unit — a global
+# pack order would be one serial cumsum; per-source windows parallelize
+# across shards exactly like per-file packing in a real pipeline).
+# pack_id = exclusive-prefix-sum(tokens) / budget within (source, doc_id
+# order); offset_in_pack = that prefix sum mod budget.
+# --------------------------------------------------------------------------- #
+PACK_BUDGET = 64
+
+
+@query(
+    "seq_pack",
+    f"""
+    WITH toks AS (
+        SELECT doc_id::BIGINT AS doc_id, source,
+               len(list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> ''))::BIGINT AS n_tokens
+        FROM documents
+    )
+    SELECT doc_id, source, n_tokens,
+           (coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // {PACK_BUDGET})::BIGINT AS pack_id,
+           (coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) % {PACK_BUDGET})::BIGINT AS offset_in_pack
+    FROM toks
+    """,
+)
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    n_tok = T.token_count_ws("text").cast("long")
+    w = (
+        W.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    base = d.select(i.alias("doc_id"), "source", n_tok.alias("n_tokens"))
+    pre = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+    return base.select(
+        "doc_id", "source", "n_tokens",
+        F.floor(pre / PACK_BUDGET).cast("long").alias("pack_id"),
+        F.pmod(pre, F.lit(PACK_BUDGET)).cast("long").alias("offset_in_pack"),
+    )

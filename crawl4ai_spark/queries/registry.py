@@ -35,8 +35,11 @@ def query(name: str, oracle: str | None = None):
 # baseline vs the banded MinHash/SimHash twins) — they stay registered
 # and are verified locally by tools/check_oracle.py + pytest.
 _TAIL = [
+    "pii_redact",           # round-3 addition — local-oracle tier until driver budget allows
+    "seq_pack",             # round-3 addition — local-oracle tier until driver budget allows
     "dedup_ngram_jaccard",  # labeled verification-baseline-only; minhash/simhash green
     "ann_cosine_topk",      # brute-force baseline twin of ann_lsh_bucket/ann_ivf_probe
+    "embed_centroid",       # centroid fold; clustering path also pytest-covered (test_clustering)
 ]
 
 

@@ -84,9 +84,12 @@ def test_select_batch_no_unbounded_single_partition_window(spark, corpus_dir):
     ).write.mode("overwrite").parquet(frontier_path)
     frontier = spark.read.parquet(frontier_path)
 
-    # limited: local cut (_lrk) must exist below the global window
+    # limited with a big backlog: local cut (_lrk) must exist below the
+    # global window (pending_est <= limit would legitimately skip it —
+    # simulate a backlog far above the budget)
     eng = CrawlEngine(spark, docs, CrawlConfig(seeds=["https://host9.example.com/p/1"],
                                                max_pages=10), state)
+    eng._pending_est = 1_000_000
     plan = _plan(eng._select_batch(frontier, 10))
     assert "_lrk" in plan, "local top-k pre-cut missing"
     single = plan.find("SinglePartition")
