@@ -500,3 +500,31 @@ def test_resume_after_complete_keeps_metrics(spark, corpus_dir, tmp_path):
     assert eng2.metrics().count() == before
     assert [r.rank for r in eng2.pages().orderBy("rank").collect()] == \
            [r.rank for r in eng.pages().orderBy("rank").collect()]
+
+
+def test_resume_mid_crawl_delta_mode(spark, tmp_path):
+    """Pending delta-mode resume: with a round budget large enough that
+    every round drains pending (delta mode — no pending materialization),
+    stopping after round 1 and resuming must equal the uninterrupted
+    crawl exactly, ranks included."""
+    from crawl4ai_spark.fixtures import VirtualCorpus
+
+    vc = VirtualCorpus(n_docs=400, n_hosts=8)
+    seeds = vc.seed_urls(7, 2)
+    full_cfg = CrawlConfig(seeds=seeds, strategy="bfs", max_depth=3, max_pages=None,
+                           round_size=100_000, max_rounds=3, respect_robots=False,
+                           include_external=True)
+    full = CrawlEngine(spark, vc, full_cfg, str(tmp_path / "full"))
+    full.run()
+
+    part_cfg = CrawlConfig(**{**full_cfg.__dict__, "max_rounds": 1})
+    state = str(tmp_path / "part")
+    CrawlEngine(spark, vc, part_cfg, state).run()
+    resumed = CrawlEngine(spark, vc, full_cfg, state)
+    resumed.run(resume=True)
+
+    a = [(r.rank, r.url) for r in full.pages().orderBy("rank").collect()]
+    b = [(r.rank, r.url) for r in resumed.pages().orderBy("rank").collect()]
+    assert a == b
+    assert {r.url for r in full.url_seen().collect()} == \
+           {r.url for r in resumed.url_seen().collect()}
