@@ -260,6 +260,16 @@ class VirtualCorpus:
         arithmetically: span 0 is ALWAYS a heading by construction
         (spans_for_index), so the first-heading lookup reduces to
         ``_words(i, 0)`` — no second evaluation of the spans tree."""
+        spans_c, st_c, title_c = self.fetch_cols(url_col, lazy)
+        cols = [spans_c.alias("spans"), st_c.alias("_st")] + (
+            [title_c.alias("_title")] if with_title else [])
+        return selected.select("*", *cols)
+
+    def fetch_cols(self, url_col: str = "url", lazy: bool = False):
+        """The cached UNALIASED (spans, status, title) synthesis columns —
+        callers that already pay a projection (e.g. the crawl fetch stage)
+        splice these into their OWN single select, so the ~5k-node tree is
+        analyzed once per round instead of once per chained DataFrame op."""
         key = (url_col, lazy)
         if key not in self._expr_cache:
             u = F.col(url_col)
@@ -273,13 +283,11 @@ class VirtualCorpus:
                 else F.lit(None).cast("string")
             )
             self._expr_cache[key] = (
-                F.when(valid, spans).otherwise(F.lit(None)).alias("spans"),
-                F.when(valid, F.lit("fetched")).otherwise(F.lit(None)).alias("_st"),
-                title.alias("_title"),
+                F.when(valid, spans).otherwise(F.lit(None)),
+                F.when(valid, F.lit("fetched")).otherwise(F.lit(None)),
+                title,
             )
-        spans_c, st_c, title_c = self._expr_cache[key]
-        cols = [spans_c, st_c] + ([title_c] if with_title else [])
-        return selected.select("*", *cols)
+        return self._expr_cache[key]
 
 
 def build_robots(spark: SparkSession, n_hosts: int = 20) -> DataFrame:

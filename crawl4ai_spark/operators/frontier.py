@@ -334,26 +334,30 @@ class CrawlEngine:
         selected = selected.repartition(
             self._parts_for(self._batch_est, self.PAGES_ROWS_PER_FILE), "url_hash")
         if isinstance(self.corpus, VirtualCorpus):
-            # _title comes back arithmetically (span 0 is the heading by
-            # construction) — re-deriving it through a filter() over the
-            # synthesized spans column would resolve + evaluate the whole
-            # synthesis tree a second time every round
-            joined = self.corpus.fetch(
-                selected, with_title=True, lazy=self.cfg.enable_lazy_loading)
-            heading = F.col("_title")
+            # ONE select: the cached synthesis columns (spans/status and
+            # the arithmetic _title — span 0 is the heading by
+            # construction) splice straight into the output projection.
+            # Chaining corpus.fetch().select() would eagerly analyze the
+            # ~5k-node synthesis tree twice per round — pure driver cost.
+            spans_c, st_c, title_c = self.corpus.fetch_cols(
+                lazy=self.cfg.enable_lazy_loading)
+            joined, status, heading, spans_out = (
+                selected, st_c, title_c, spans_c.alias("spans"))
         else:
             docs = self.corpus.select(
                 F.col("doc_id").alias("url"), "spans", F.lit("fetched").alias("_st")
             )
             joined = selected.join(docs, "url", "left")
+            status = F.col("_st")
             heading = F.get(F.filter("spans", lambda s: s["kind"] == "heading"), 0)["text"]
+            spans_out = F.col("spans")
         return joined.select(
             "url", "url_hash", "host", "depth",
             (F.lit(fetched_so_far) + F.col("rank_in_round")).cast("long").alias("rank"),
             F.lit(round_no).alias("fetch_round"),
-            F.coalesce(F.col("_st"), F.lit("missing")).alias("status"),
+            F.coalesce(status, F.lit("missing")).alias("status"),
             F.coalesce(heading, F.col("url")).alias("title"),  # E6 ladder
-            "spans", "score", "parent_rank", "parent_offset", "path",
+            spans_out, "score", "parent_rank", "parent_offset", "path",
         )
 
     # ------------------------------------------------------------------ #
