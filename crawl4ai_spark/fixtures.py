@@ -44,6 +44,22 @@ def _h(tag: str, *cols: Column) -> Column:
     return F.pmod(F.xxhash64(F.lit(tag), *cols), F.lit(1_000_000_007))
 
 
+def _let(value: Column, body) -> Column:
+    """Expression-level let-binding: evaluate ``value`` once and reference
+    it any number of times inside ``body`` via a lambda variable.
+
+    Column composition in this file would otherwise INLINE a copy of the
+    ``value`` subtree at every use site — the doc-index regexp_extract
+    appeared 416 times in the synthesized-spans tree, putting the analyzed
+    plan at ~68 KB and costing ~0.65 s of driver-side analyze+optimize per
+    crawl round (batch-size-independent), plus repeated per-row evaluation
+    at runtime (codegen subexpression elimination does not reach inside
+    lambda bodies). Encoding the binding as
+    ``get(transform(array(value), body), 0)`` keeps one copy of the
+    subtree; the per-row cost is one 1-element array allocation."""
+    return F.get(F.transform(F.array(value), body), 0)
+
+
 def host_index(i: Column, n_hosts: int, n_docs: int) -> Column:
     """Zipf-ish host assignment via contiguous cube-sized blocks: host h
     owns doc indices [N*(h/H)^3, N*((h+1)/H)^3) — the LAST host is the
@@ -56,11 +72,13 @@ def host_index(i: Column, n_hosts: int, n_docs: int) -> Column:
 
 def _same_host_target(i: Column, j: Column, n_docs: int, n_hosts: int) -> Column:
     """A doc index in (approximately) the same host block as doc i."""
-    h = host_index(i, n_hosts, n_docs).cast("double")
-    lo = F.ceil(F.lit(float(n_docs)) * F.pow(h / n_hosts, F.lit(3.0))).cast("long")
-    hi = F.ceil(F.lit(float(n_docs)) * F.pow((h + 1) / n_hosts, F.lit(3.0))).cast("long")
-    size = F.greatest(F.lit(1).cast("long"), hi - lo)
-    return F.least(F.lit(n_docs - 1).cast("long"), lo + F.pmod(_h("st", i, j), size))
+    def body(h: Column) -> Column:
+        lo = F.ceil(F.lit(float(n_docs)) * F.pow(h / n_hosts, F.lit(3.0))).cast("long")
+        hi = F.ceil(F.lit(float(n_docs)) * F.pow((h + 1) / n_hosts, F.lit(3.0))).cast("long")
+        size = F.greatest(F.lit(1).cast("long"), hi - lo)
+        return F.least(F.lit(n_docs - 1).cast("long"), lo + F.pmod(_h("st", i, j), size))
+
+    return _let(host_index(i, n_hosts, n_docs).cast("double"), body)
 
 
 def _pathseg(i: Column) -> Column:
@@ -106,32 +124,50 @@ def _link_href(i: Column, j: Column, n_docs: int, n_hosts: int) -> Column:
     13 fragment dup, 14-15 query-order dups (canonicalize equal,
     fetch-miss), 16 uppercase dup, 17 default-port dup, 18 external
     host, 19 social."""
-    v = F.pmod(_h("lv", i, j), F.lit(20))
     t_any = F.pmod(_h("lt", i, j), F.lit(n_docs))
     t_same = _same_host_target(i, j, n_docs, n_hosts)
-    t = F.when(v <= 1, t_any).otherwise(t_same)
-    base = doc_url(t, n_docs, n_hosts)
-    h_t = host_index(t, n_hosts, n_docs).cast("string")
-    upper_variant = F.concat(
-        F.lit("HTTPS://HOST"), h_t, F.lit(".EXAMPLE.COM/"), _pathseg(t), F.lit("/"), t.cast("string")
-    )
-    port_variant = F.concat(
-        F.lit("https://host"), h_t, F.lit(".example.com:443/"), _pathseg(t), F.lit("/"), t.cast("string")
-    )
-    ext = F.concat(F.lit("https://ext"), F.pmod(_h("e", i, j), F.lit(20)).cast("string"),
-                   F.lit(".other.net/x/"), t.cast("string"))
-    social = F.concat(F.lit("https://facebook.com/share/"), t.cast("string"))
-    return (
-        F.when(v <= 11, base)
-        .when(v == 12, redirect_alias(t, n_docs, n_hosts))
-        .when(v == 13, F.concat(base, F.lit("#sec"), j.cast("string")))
-        .when(v == 14, F.concat(base, F.lit("?b=2&a=1")))
-        .when(v == 15, F.concat(base, F.lit("?a=1&b=2")))
-        .when(v == 16, upper_variant)
-        .when(v == 17, port_variant)
-        .when(v == 18, ext)
-        .otherwise(social)
-    )
+
+    def with_v(v: Column) -> Column:
+        def with_t(t: Column) -> Column:
+            t_s = t.cast("string")
+
+            def with_h(h_t: Column) -> Column:
+                def with_seg(seg: Column) -> Column:
+                    base = F.concat(
+                        F.lit("https://host"), h_t, F.lit(".example.com/"), seg,
+                        F.lit("/"), t_s)  # == doc_url(t) by construction
+                    upper_variant = F.concat(
+                        F.lit("HTTPS://HOST"), h_t, F.lit(".EXAMPLE.COM/"), seg,
+                        F.lit("/"), t_s)
+                    port_variant = F.concat(
+                        F.lit("https://host"), h_t, F.lit(".example.com:443/"), seg,
+                        F.lit("/"), t_s)
+                    redirect = F.concat(
+                        F.lit("https://host"), h_t, F.lit(".example.com/r/"), t_s
+                    )  # == redirect_alias(t)
+                    ext = F.concat(
+                        F.lit("https://ext"), F.pmod(_h("e", i, j), F.lit(20)).cast("string"),
+                        F.lit(".other.net/x/"), t_s)
+                    social = F.concat(F.lit("https://facebook.com/share/"), t_s)
+                    return (
+                        F.when(v <= 11, base)
+                        .when(v == 12, redirect)
+                        .when(v == 13, F.concat(base, F.lit("#sec"), j.cast("string")))
+                        .when(v == 14, F.concat(base, F.lit("?b=2&a=1")))
+                        .when(v == 15, F.concat(base, F.lit("?a=1&b=2")))
+                        .when(v == 16, upper_variant)
+                        .when(v == 17, port_variant)
+                        .when(v == 18, ext)
+                        .otherwise(social)
+                    )
+
+                return _let(_pathseg(t), with_seg)
+
+            return _let(host_index(t, n_hosts, n_docs).cast("string"), with_h)
+
+        return _let(F.when(v <= 1, t_any).otherwise(t_same), with_t)
+
+    return _let(F.pmod(_h("lv", i, j), F.lit(20)), with_v)
 
 
 def spans_for_index(i: Column, n_docs: int, n_hosts: int = 20,
@@ -154,40 +190,44 @@ def spans_for_index(i: Column, n_docs: int, n_hosts: int = 20,
         n_spans = n_spans + F.when(
             F.pmod(_h("lz", i), F.lit(4)) == 0, F.lit(1) + F.pmod(_h("lzn", i), F.lit(3))
         ).otherwise(F.lit(0))
-    h_i = host_index(i, n_hosts, n_docs).cast("string")
 
-    def span(j: Column) -> Column:
-        k = F.pmod(_h("k", i, j), F.lit(10))
-        kind = (
-            F.when(j == 0, F.lit("heading"))
-            .when(k <= 3, F.lit("text"))
-            .when(k == 4, F.lit("heading"))
-            .when(k <= 7, F.lit("link"))
-            .when(k == 8, F.lit("image"))
-            .otherwise(F.lit("media"))
-        )
-        img_ext = F.array(*[F.lit(e) for e in IMG_EXT])
-        med_ext = F.array(*[F.lit(e) for e in MEDIA_EXT])
-        img_ref = F.concat(F.lit("https://host"), h_i, F.lit(".example.com/img/"),
-                           i.cast("string"), F.lit("_"), j.cast("string"), F.lit("."),
-                           F.element_at(img_ext, (F.pmod(_h("x", i, j), F.lit(4)) + 1).cast("int")))
-        med_ref = F.concat(F.lit("https://host"), h_i, F.lit(".example.com/file/"),
-                           i.cast("string"), F.lit("_"), j.cast("string"), F.lit("."),
-                           F.element_at(med_ext, (F.pmod(_h("m", i, j), F.lit(5)) + 1).cast("int")))
-        media_ref = (
-            F.when(kind == "link", _link_href(i, j, n_docs, n_hosts))
-            .when(kind == "image", img_ref)
-            .when(kind == "media", med_ref)
-            .otherwise(F.lit(None).cast("string"))
-        )
-        return F.struct(
-            kind.alias("kind"),
-            _words(i, j, "t").alias("text"),
-            media_ref.alias("media_ref"),
-            j.cast("int").alias("offset"),
-        )
+    def with_host(h_i: Column) -> Column:
+        def span(j: Column) -> Column:
+            def with_k(k: Column) -> Column:
+                kind = (
+                    F.when(j == 0, F.lit("heading"))
+                    .when(k <= 3, F.lit("text"))
+                    .when(k == 4, F.lit("heading"))
+                    .when(k <= 7, F.lit("link"))
+                    .when(k == 8, F.lit("image"))
+                    .otherwise(F.lit("media"))
+                )
+                img_ext = F.array(*[F.lit(e) for e in IMG_EXT])
+                med_ext = F.array(*[F.lit(e) for e in MEDIA_EXT])
+                img_ref = F.concat(F.lit("https://host"), h_i, F.lit(".example.com/img/"),
+                                   i.cast("string"), F.lit("_"), j.cast("string"), F.lit("."),
+                                   F.element_at(img_ext, (F.pmod(_h("x", i, j), F.lit(4)) + 1).cast("int")))
+                med_ref = F.concat(F.lit("https://host"), h_i, F.lit(".example.com/file/"),
+                                   i.cast("string"), F.lit("_"), j.cast("string"), F.lit("."),
+                                   F.element_at(med_ext, (F.pmod(_h("m", i, j), F.lit(5)) + 1).cast("int")))
+                media_ref = (
+                    F.when(kind == "link", _link_href(i, j, n_docs, n_hosts))
+                    .when(kind == "image", img_ref)
+                    .when(kind == "media", med_ref)
+                    .otherwise(F.lit(None).cast("string"))
+                )
+                return F.struct(
+                    kind.alias("kind"),
+                    _words(i, j, "t").alias("text"),
+                    media_ref.alias("media_ref"),
+                    j.cast("int").alias("offset"),
+                )
 
-    return F.transform(F.sequence(F.lit(0), n_spans - 1), span)
+            return _let(F.pmod(_h("k", i, j), F.lit(10)), with_k)
+
+        return F.transform(F.sequence(F.lit(0), n_spans - 1), span)
+
+    return _let(host_index(i, n_hosts, n_docs).cast("string"), with_host)
 
 
 def build_documents(spark: SparkSession, n_docs: int, n_hosts: int = 20,
@@ -274,19 +314,28 @@ class VirtualCorpus:
         if key not in self._expr_cache:
             u = F.col(url_col)
             idx = F.regexp_extract(u, "/([0-9]+)$", 1)
-            i = F.when(idx == "", F.lit(-1)).otherwise(idx).cast("long")
-            valid = (i >= 0) & (i < self.n_docs) & (u == doc_url(i, self.n_docs, self.n_hosts))
-            spans = spans_for_index(i, self.n_docs, self.n_hosts, self.min_spans,
-                                    self.extra_spans, lazy=lazy)
-            title = (
-                F.when(valid, _words(i, F.lit(0), "t")) if self.min_spans >= 1
-                else F.lit(None).cast("string")
+            i_raw = F.when(idx == "", F.lit(-1)).otherwise(idx).cast("long")
+
+            def _valid(i: Column) -> Column:
+                return (i >= 0) & (i < self.n_docs) & (
+                    u == doc_url(i, self.n_docs, self.n_hosts))
+
+            # each output column binds the parsed doc index ONCE (_let):
+            # inlining it at every use site made the spans tree ~70 KB of
+            # duplicated regexp_extract/pow chains — ~0.65 s of driver
+            # analyze+optimize per crawl round, batch-size-independent
+            spans_c = _let(i_raw, lambda i: F.when(
+                _valid(i),
+                spans_for_index(i, self.n_docs, self.n_hosts, self.min_spans,
+                                self.extra_spans, lazy=lazy),
+            ).otherwise(F.lit(None)))
+            st_c = _let(i_raw, lambda i: F.when(
+                _valid(i), F.lit("fetched")).otherwise(F.lit(None)))
+            title_c = (
+                _let(i_raw, lambda i: F.when(_valid(i), _words(i, F.lit(0), "t")))
+                if self.min_spans >= 1 else F.lit(None).cast("string")
             )
-            self._expr_cache[key] = (
-                F.when(valid, spans).otherwise(F.lit(None)),
-                F.when(valid, F.lit("fetched")).otherwise(F.lit(None)),
-                title,
-            )
+            self._expr_cache[key] = (spans_c, st_c, title_c)
         return self._expr_cache[key]
 
 
