@@ -121,3 +121,27 @@ def test_politeness_select_single_window_pass(spark):
     plan = _plan(q_politeness_select(spark, "/root/testdata/sf0.01"))
     assert plan.count("Window") >= 1
     assert "rank" in plan.lower()
+
+
+def test_synthesis_tree_stays_deduplicated(spark):
+    """Regression guard for the fixtures._let let-bindings: naive Column
+    composition inlines the parsed doc-index expression at every use
+    site (416 regexp_extract copies, ~68 KB analyzed plan, ~0.65 s of
+    batch-size-independent driver analyze+optimize per crawl round). The
+    bound tree analyzes at ~9.4 KB; alarm well before the duplication
+    creeps back."""
+    from crawl4ai_spark.fixtures import VirtualCorpus
+
+    vc = VirtualCorpus(n_docs=10_000_000_000, n_hosts=40)
+    base = spark.range(5).select(
+        F.concat(F.lit("https://host39.example.com/p/"),
+                 F.col("id").cast("string")).alias("url"))
+    spans_c, st_c, title_c = vc.fetch_cols()
+    df = base.select("url", spans_c.alias("spans"), st_c.alias("_st"),
+                     title_c.alias("_title"))
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert len(analyzed) < 25_000, (
+        f"synthesis tree re-bloated to {len(analyzed)} chars — "
+        "a _let binding was probably lost (see fixtures._let)")
+    # the doc-index parse must appear once per output column, not per use
+    assert analyzed.count("regexp_extract") <= 6, analyzed.count("regexp_extract")
