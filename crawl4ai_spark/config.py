@@ -61,6 +61,14 @@ class CrawlConfig:
     bloom_shards: int = 16
     bloom_bits: int = 1 << 23         # bits per shard (1 MiB)
     bloom_k: int = 7
+    # Iceberg-style state maintenance: every N rounds (after the round's
+    # checkpoint) bin-pack small data files in the engine tables
+    # (SnapshotTable.compact). Long crawls accrue one small file group
+    # per round; the seen-set / pending scans then re-open every footer
+    # each round — file count, not bytes, dominates small-state I/O.
+    # Compaction preserves delta reads (the manifest carries the
+    # pre-compact delta) so resume and delta-mode pending stay exact.
+    auto_compact_every: int | None = None
 
 
 def resolve_strategy(cfg: CrawlConfig) -> str:

@@ -734,6 +734,14 @@ class CrawlEngine:
                 "pending_mode": getattr(self, "_pending_mode", "table"),
                 "pending_est": self._pending_est,
             })
+            if cfg.auto_compact_every and round_no % cfg.auto_compact_every == 0:
+                # after the checkpoint: a crash mid-compaction resumes from
+                # the just-committed round; the compact snapshots (if any
+                # landed) are simply rolled back past — data files are
+                # immutable, nothing is lost
+                t3 = time.monotonic()
+                self.compact_state()
+                self._prof_mark(round_no, "auto_compact", t3)
             round_no += 1
 
         _tf = time.monotonic()
@@ -766,6 +774,42 @@ class CrawlEngine:
 
     METRICS_FLUSH_ROUNDS = 8
 
+    def compact_state(self, target_bytes: int | None = None,
+                      min_files: int = 8) -> dict[str, int]:
+        """Bin-pack small files in the append-mode state tables (frontier
+        log, pages, url_seen, metrics, redirects). Overwrite-mode tables
+        (pending, blooms) are replaced wholesale each commit and are
+        already size-coalesced, so they are left alone. Safe at any point
+        between rounds: content is unchanged and each compact manifest
+        carries the pre-compact delta forward, so delta reads, delta-mode
+        pending, and checkpoint-rollback resume stay exact (tested)."""
+        out: dict[str, int] = {}
+        for name, tbl in (("frontier", self.frontier_tbl), ("pages", self.pages_tbl),
+                          ("url_seen", self.seen_tbl), ("metrics", self.metrics_tbl),
+                          ("redirects", self.redirects_tbl)):
+            v = tbl.compact(self.spark, target_bytes=target_bytes, min_files=min_files)
+            if v is not None:
+                out[name] = v
+        return out
+
+    def expire_state_snapshots(self) -> dict[str, dict]:
+        """Iceberg expire_snapshots over the engine tables, retaining
+        everything from the last durable checkpoint forward (resume rolls
+        back to it, never earlier). Reclaims the superseded pre-compaction
+        small files once a newer checkpoint no longer pins them."""
+        ck = self.ckp.latest()
+        if ck is None:
+            return {}
+        out: dict[str, dict] = {}
+        for name, tbl in (("frontier", self.frontier_tbl), ("url_seen", self.seen_tbl),
+                          ("pages", self.pages_tbl), ("metrics", self.metrics_tbl),
+                          ("blooms", self.bloom_tbl), ("redirects", self.redirects_tbl),
+                          ("pending", self.pending_tbl)):
+            keep = ck["versions"].get(name)
+            if keep:
+                out[name] = tbl.expire_snapshots(keep)
+        return out
+
     def _prof_mark(self, round_no: int, stage: str, t0: float) -> None:
         """Per-stage wall timings, printed when SPARK_GRAFT_PROFILE=1 —
         the feedback loop for ordered-mode throughput work."""
@@ -787,12 +831,10 @@ class CrawlEngine:
         keeps each round's lineage flat — the parquet round-trip IS the
         checkpoint, no .cache()/unpersist bookkeeping). None if the last
         commit added no files (e.g. an empty append)."""
-        v = tbl.current_version()
-        prev = set(tbl.files(v - 1)) if v > 1 else set()
-        delta = [f for f in tbl.files(v) if f not in prev]
+        delta = tbl.latest_delta_files()
         if not delta:
             return None
-        return tbl.read_files(self.spark, delta, v)
+        return tbl.read_files(self.spark, delta)
 
     # ------------------------------------------------------------------ #
     def pages(self) -> DataFrame | None:

@@ -27,6 +27,7 @@ atomic by the CHECKPOINT manifest one level up (see ``Checkpoint``).
 from __future__ import annotations
 
 import json
+import math
 import os
 import uuid
 
@@ -34,6 +35,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 class SnapshotTable:
+    # Bin-packing target for compaction rewrites. The sandbox default is
+    # sized for /dev/shm test state; a real deployment sets 128-512 MB
+    # (Iceberg's write.target-file-size-bytes analog).
+    COMPACT_TARGET_BYTES = 32 * 1024 * 1024
     def __init__(self, root: str, name: str):
         self.dir = os.path.join(root, name)
         self.meta = os.path.join(self.dir, "metadata")
@@ -80,13 +85,15 @@ class SnapshotTable:
             if f.endswith(".parquet") and not f.startswith(".")
         )
 
-    def _commit(self, files: list[str], operation: str, schema: str | None = None) -> int:
+    def _commit(self, files: list[str], operation: str, schema: str | None = None,
+                extra: dict | None = None) -> int:
         v = self.current_version() + 1
         manifest = {
             "snapshot_id": v,
             "parent_id": v - 1 if v > 1 else None,
             "operation": operation,
             "files": files,
+            **(extra or {}),
         }
         if schema is None and v > 1:  # appends inherit the table schema
             schema = self._manifest(v - 1).get("schema")
@@ -103,10 +110,14 @@ class SnapshotTable:
         return v
 
     def overwrite(self, df: DataFrame) -> int:
-        return self._commit(self._write_data(df), "overwrite", df.schema.json())
+        new = self._write_data(df)
+        return self._commit(new, "overwrite", df.schema.json(),
+                            {"delta_files": new})
 
     def append(self, df: DataFrame) -> int:
-        return self._commit(self.files() + self._write_data(df), "append", df.schema.json())
+        new = self._write_data(df)
+        return self._commit(self.files() + new, "append", df.schema.json(),
+                            {"delta_files": new})
 
     # -- read --------------------------------------------------------------
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame | None:
@@ -128,6 +139,83 @@ class SnapshotTable:
 
     def exists(self) -> bool:
         return self.current_version() > 0
+
+    def latest_delta_files(self) -> list[str]:
+        """Files added by the latest commit — exact across maintenance: a
+        compact commit rewrites the file list without adding rows, so its
+        manifest carries the prior delta forward (``delta_files``) and the
+        engine's per-round delta reads are unaffected by compaction."""
+        v = self.current_version()
+        if v == 0:
+            return []
+        m = self._manifest(v)
+        if "delta_files" in m:  # every commit records its own delta
+            return m["delta_files"]
+        # legacy manifests (pre-delta_files): derive from the parent
+        prev = set(self.files(v - 1)) if v > 1 else set()
+        return [f for f in m["files"] if f not in prev]
+
+    # -- maintenance -------------------------------------------------------
+    def compact(self, spark: SparkSession, target_bytes: int | None = None,
+                min_files: int = 8) -> int | None:
+        """Bin-pack small data files (Iceberg ``rewrite_data_files``
+        analog). An append-only engine table accrues one small file group
+        per crawl round; every round then re-opens every footer on the
+        seen-set/pending scans — on this sandbox file COUNT, not bytes,
+        dominates small-state I/O (BENCH.md). Only files under
+        ``target_bytes/2`` are rewritten (bin-packing, so a file is
+        rewritten O(log n) times over the table's life, never the whole
+        table per pass); content is byte-equal, and the committed
+        manifest carries the pre-compact delta so ``latest_delta_files``
+        (and crawl resume in delta-pending mode) stay exact. Returns the
+        new snapshot id, or None when there is nothing worth packing."""
+        files = self.files()
+        target = self.COMPACT_TARGET_BYTES if target_bytes is None else target_bytes
+        sizes = {f: os.path.getsize(f) for f in files}
+        small = [f for f in files if sizes[f] < target / 2]
+        if len(small) < max(2, min_files):
+            return None
+        delta = self.latest_delta_files()
+        big = [f for f in files if f not in set(small)]
+        packed_parts = max(1, math.ceil(sum(sizes[f] for f in small) / target))
+        new = self._write_data(self.read_files(spark, small).coalesce(packed_parts))
+        return self._commit(big + new, "compact", self.schema_json(),
+                            {"delta_files": delta, "rewrote": len(small)})
+
+    def expire_snapshots(self, keep_from: int) -> dict:
+        """Delete manifests older than snapshot ``keep_from`` and the data
+        files only they reference (Iceberg ``expire_snapshots`` analog).
+        The caller must pass a version no newer than the last durable
+        checkpoint for this table — resume rolls back to the checkpointed
+        version, and rolling back past an expired snapshot is an error by
+        design (the files are gone)."""
+        cur = self.current_version()
+        keep_from = max(1, min(keep_from, cur))
+        referenced: set[str] = set()
+        for v in range(keep_from, cur + 1):
+            p = os.path.join(self.meta, f"v{v}.json")
+            if not os.path.exists(p):
+                continue
+            m = self._manifest(v)
+            referenced.update(m["files"])
+            referenced.update(m.get("delta_files", []))
+        removed_files, removed_manifests = 0, 0
+        for v in range(1, keep_from):
+            p = os.path.join(self.meta, f"v{v}.json")
+            if not os.path.exists(p):
+                continue
+            for f in self._manifest(v)["files"]:
+                if f not in referenced and os.path.exists(f):
+                    os.remove(f)
+                    removed_files += 1
+            os.remove(p)
+            removed_manifests += 1
+        for d in os.listdir(self.data):
+            full = os.path.join(self.data, d)
+            if os.path.isdir(full) and not os.listdir(full):
+                os.rmdir(full)
+        return {"removed_files": removed_files,
+                "removed_manifests": removed_manifests}
 
     def rollback(self, version: int) -> None:
         """Point the table back at an older snapshot (data files are

@@ -40,15 +40,28 @@ spark = get_spark(app_name=f"scale{cores}", master=f"local[{cores}]",
 spark.sparkContext.setLogLevel("ERROR")
 vc = VirtualCorpus(n_docs=n_docs, n_hosts=40)
 seeds = vc.seed_urls(39, 4096)
-cfg = CrawlConfig(seeds=seeds, max_depth=6, max_pages=None, include_external=True,
-                  politeness=False, respect_robots=False, track_order=False,
-                  max_rounds=6)
-state = f"/dev/shm/scale_state_{cores}_{os.getpid()}"
-shutil.rmtree(state, ignore_errors=True)
-eng = CrawlEngine(spark, vc, cfg, state)
-t0 = time.monotonic()
-res = eng.run()
-dt = time.monotonic() - t0
+
+def crawl(tag, max_rounds):
+    cfg = CrawlConfig(seeds=seeds, max_depth=6, max_pages=None, include_external=True,
+                      politeness=False, respect_robots=False, track_order=False,
+                      max_rounds=max_rounds)
+    state = f"/dev/shm/scale_state_{cores}_{os.getpid()}_{tag}"
+    shutil.rmtree(state, ignore_errors=True)
+    eng = CrawlEngine(spark, vc, cfg, state)
+    t0 = time.monotonic()
+    res = eng.run()
+    dt = time.monotonic() - t0
+    return eng, res, dt, state
+
+# Warmup crawl (4 rounds, not measured), identically at BOTH levels:
+# JVM JIT + whole-stage-codegen compilation is a ~8 s single-threaded
+# constant that a fresh JVM pays once — a real cluster's executors are
+# long-running and amortize it to zero, so including it in a 4-core
+# measurement would measure HotSpot, not the engine's scaling.
+_, _, _, wstate = crawl("warm", 4)
+shutil.rmtree(wstate, ignore_errors=True)
+
+eng, res, dt, state = crawl("measured", 6)
 deduped = eng.url_seen().count()
 shutil.rmtree(state, ignore_errors=True)
 json.dump({"cores": cores, "fetched": res["fetched"], "rounds": res["rounds"],
