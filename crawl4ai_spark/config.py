@@ -39,6 +39,14 @@ class CrawlConfig:
     score_keywords: list[str] = field(default_factory=list)  # F6 keyword list
     politeness: bool = False          # per-host per-round budgets (hosts table)
     politeness_salts: int = 1         # >1: split hot-host budget across salts (scale mode)
+    # Adaptive salting (skew handling): when set, a host's budget is
+    # split across ceil(budget / salt_min_grants) salt queues, capped at
+    # politeness_salts — hot hosts keep their parallel queues (no
+    # single-queue sort straggler at 10^10-frontier scale) while
+    # long-tail hosts collapse to ONE queue and get their budget
+    # EXACTLY (fixed per-queue ceil(budget/salts) over-grants up to
+    # salts-1 extra fetches on small-budget hosts). None = fixed salts.
+    salt_min_grants: int | None = None
     respect_robots: bool = True
     exclude_social: bool = False
     exclude_domains: list[str] = field(default_factory=list)

@@ -210,18 +210,46 @@ class CrawlEngine:
         cand = frontier
         if self.cfg.politeness and self.host_budgets is not None:
             salts = max(1, self.cfg.politeness_salts)
-            budgets = F.broadcast(self.host_budgets.select(
-                "host",
-                F.greatest(F.lit(1), F.ceil(F.col("budget") / salts)).cast("int").alias("_budget"),
-            ))
-            w = Window.partitionBy("host", "host_salt").orderBy(*pri)
-            cand = (
-                cand.join(budgets, "host", "left")
-                .withColumn("_budget", F.coalesce("_budget", F.lit(1_000_000_000)))
-                .withColumn("_hr", F.row_number().over(w))
-                .where(F.col("_hr") <= F.col("_budget"))
-                .drop("_hr", "_budget")
-            )
+            mg = self.cfg.salt_min_grants
+            if mg:
+                # adaptive salting: queues scale with the host's budget —
+                # ns = clamp(ceil(budget/mg), 1, salts). Long-tail hosts
+                # fold to one queue (budget enforced EXACTLY); hot hosts
+                # keep up to `salts` queues so no single window partition
+                # sorts the whole hot-host candidate set. The stored
+                # host_salt (pmod(xxhash64(url), salts)) folds stably to
+                # the queue id via a second pmod, so the mapping is a pure
+                # function of (url, budget) — the python oracle mirrors it.
+                budgets = F.broadcast(self.host_budgets.select(
+                    "host", F.col("budget").cast("long").alias("_b")))
+                w = Window.partitionBy("host", "_q").orderBy(*pri)
+                cand = (
+                    cand.join(budgets, "host", "left")
+                    .withColumn("_b", F.coalesce("_b", F.lit(1_000_000_000)))
+                    .withColumn("_ns", F.least(
+                        F.lit(salts),
+                        F.greatest(F.lit(1), F.ceil(F.col("_b") / F.lit(mg)))
+                    ).cast("int"))
+                    .withColumn("_q", F.pmod("host_salt", F.col("_ns")))
+                    .withColumn("_budget", F.greatest(
+                        F.lit(1), F.ceil(F.col("_b") / F.col("_ns"))).cast("int"))
+                    .withColumn("_hr", F.row_number().over(w))
+                    .where(F.col("_hr") <= F.col("_budget"))
+                    .drop("_hr", "_budget", "_b", "_ns", "_q")
+                )
+            else:
+                budgets = F.broadcast(self.host_budgets.select(
+                    "host",
+                    F.greatest(F.lit(1), F.ceil(F.col("budget") / salts)).cast("int").alias("_budget"),
+                ))
+                w = Window.partitionBy("host", "host_salt").orderBy(*pri)
+                cand = (
+                    cand.join(budgets, "host", "left")
+                    .withColumn("_budget", F.coalesce("_budget", F.lit(1_000_000_000)))
+                    .withColumn("_hr", F.row_number().over(w))
+                    .where(F.col("_hr") <= F.col("_budget"))
+                    .drop("_hr", "_budget")
+                )
         if limit is not None:
             if self._pending_est <= limit:
                 # the whole pending set fits in the round budget — the

@@ -86,16 +86,25 @@ def run_oracle(
             from .functions.xxhash import xxhash64_str
 
             salts = max(1, cfg.politeness_salts)
+            mg = getattr(cfg, "salt_min_grants", None)
             by_key: dict[tuple[str, int], int] = {}
             kept = []
             for n in cand:
                 b = budgets.get(n["host"], 1_000_000_000)
-                b = max(1, math.ceil(b / salts))
-                # per-(host, salt) cap — mirrors the engine's window
-                # partition (host_salt = pmod(xxhash64(url), salts))
-                key = (n["host"], xxhash64_str(n["url"]) % salts)
+                salt = xxhash64_str(n["url"]) % salts
+                if mg:
+                    # adaptive salting — mirrors the engine exactly:
+                    # ns = clamp(ceil(budget/mg), 1, salts); queue id is
+                    # the stored salt folded by a second modulus; per-queue
+                    # budget = ceil(budget/ns)
+                    ns = min(salts, max(1, math.ceil(b / mg)))
+                    key = (n["host"], salt % ns)
+                    qb = max(1, math.ceil(b / ns))
+                else:
+                    key = (n["host"], salt)
+                    qb = max(1, math.ceil(b / salts))
                 c = by_key.get(key, 0)
-                if c < b:
+                if c < qb:
                     by_key[key] = c + 1
                     kept.append(n)
             cand = kept

@@ -415,6 +415,66 @@ def test_politeness_with_host_salting(spark, corpus_dir, tmp_path):
     assert got_seen == want_seen
 
 
+def test_politeness_adaptive_salting(spark, corpus_dir, tmp_path):
+    """salt_min_grants (adaptive skew salting): a host's budget is split
+    over ns = clamp(ceil(budget/mg), 1, salts) queues instead of a fixed
+    `salts` — long-tail hosts fold to one queue and get their budget
+    EXACTLY; hot hosts keep parallel queues. Engine must match the
+    oracle, and folded hosts (budget ≤ mg → ns = 1) must never exceed
+    their per-round budget (fixed salting over-grants up to salts-1)."""
+    mg = 4
+    cfg = CrawlConfig(strategy="bfs", max_depth=3, max_pages=30,
+                      politeness=True, politeness_salts=4, salt_min_grants=mg)
+    got_pages, want_pages, got_seen, want_seen = _run_both(
+        spark, corpus_dir, tmp_path, cfg, "adsalt"
+    )
+    assert got_pages == want_pages
+    assert got_seen == want_seen
+
+    # budget exactness for folded hosts: the crawl concentrates on the
+    # hot host (budget 7). Under mg=4 it keeps ns=2 queues and the
+    # documented ≤ns-1 over-grant is REAL (a round fetches 8 > 7); under
+    # mg=7 it folds to ns=1 and the budget binds exactly every round.
+    docs, robots, budgets, *_ = _load(spark, corpus_dir)
+    bmap = {r.host: r.budget for r in budgets.collect()}
+
+    def per_round_counts(tag, mg_val):
+        c = CrawlConfig(seeds=cfg.seeds, strategy="bfs", max_depth=3,
+                        max_pages=30, politeness=True, politeness_salts=4,
+                        salt_min_grants=mg_val)
+        eng = CrawlEngine(spark, docs, c, str(tmp_path / "adsalt" / tag),
+                          robots=robots, host_budgets=budgets)
+        eng.run()
+        return eng.pages().groupBy("host", "fetch_round").count().collect()
+
+    folded = [r for r in per_round_counts("exact", 7)
+              if bmap.get(r.host, 10**9) <= 7]
+    assert folded, "fixture must exercise at least one folded host"
+    for r in folded:
+        assert r["count"] <= bmap[r.host], (r.host, r.fetch_round, r["count"])
+
+
+def test_adaptive_salting_mg_inf_equals_unsalted(spark, corpus_dir, tmp_path):
+    """Semantics pin: with salt_min_grants ≥ every budget, ns folds to 1
+    for ALL hosts, so the crawl must be IDENTICAL to politeness_salts=1
+    (exact per-host budgets) even though host_salt is stored mod 4."""
+    cfg_ad = CrawlConfig(strategy="bfs", max_depth=3, max_pages=30,
+                         politeness=True, politeness_salts=4,
+                         salt_min_grants=1000)
+    cfg_un = CrawlConfig(strategy="bfs", max_depth=3, max_pages=30,
+                         politeness=True, politeness_salts=1)
+    docs, robots, budgets, *_ = _load(spark, corpus_dir)
+    seeds = get_seeds(spark, corpus_dir)
+    out = {}
+    for tag, cfg in (("ad", cfg_ad), ("un", cfg_un)):
+        cfg.seeds = seeds
+        eng = CrawlEngine(spark, docs, cfg, str(tmp_path / tag),
+                          robots=robots, host_budgets=budgets)
+        eng.run()
+        out[tag] = [(r.rank, r.url) for r in eng.pages().orderBy("rank").collect()]
+    assert out["ad"] == out["un"]
+
+
 def test_lazy_loading_exposes_extra_outlinks(spark, tmp_path):
     """U5 (SURVEY §2.8): enable_lazy_loading deterministically exposes
     extra trailing spans on lazy pages — the lazy crawl's seen set is a
