@@ -69,6 +69,14 @@ class CrawlConfig:
     bloom_shards: int = 16
     bloom_bits: int = 1 << 23         # bits per shard (1 MiB)
     bloom_k: int = 7
+    # Which maybe-seen sidecar fronts the exact anti-join (north rule:
+    # "partitioned Bloom/cuckoo URL-seen filter"): None → exact join
+    # only (or "bloom" when use_bloom=True, back-compat); "cuckoo" →
+    # 4-slot/16-bit-fingerprint cuckoo tables (operators/cuckoo.py) —
+    # supports deletion (recrawl/TTL) and lower fpp per byte. Both
+    # shard by pmod(url_hash, bloom_shards).
+    seen_sidecar: str | None = None
+    cuckoo_buckets: int = 1 << 15     # buckets/shard (× 4 slots × 2 B = 256 KiB)
     # Iceberg-style state maintenance: every N rounds (after the round's
     # checkpoint) bin-pack small data files in the engine tables
     # (SnapshotTable.compact). Long crawls accrue one small file group

@@ -58,6 +58,7 @@ from ..config import SOCIAL_DOMAINS, CrawlConfig, resolve_strategy
 from ..functions.scoring import keyword_score, link_score
 from ..functions.urls import canonicalize, url_hash, url_host, url_path
 from ..tables import Checkpoint, SnapshotTable
+from .cuckoo import build_cuckoo_shards, cuckoo_anti_join, merge_cuckoo_shards
 from .seen_filter import bloom_anti_join, build_bloom_shards, merge_bloom_shards
 
 FRONTIER_COLS = [
@@ -340,6 +341,44 @@ class CrawlEngine:
         par = self.spark.sparkContext.defaultParallelism
         return max(1, min(par, -(-max(1, est_rows) // rows_per_file)))
 
+    # ------------------------------------------------------------------ #
+    # maybe-seen sidecar dispatch (north rule: "partitioned Bloom/cuckoo
+    # URL-seen filter"). Both kinds share the blooms SnapshotTable slot
+    # and the exact-join confirmation; only the shard format differs.
+    def _sidecar_kind(self) -> str | None:
+        if self.cfg.seen_sidecar:
+            return self.cfg.seen_sidecar
+        return "bloom" if self.cfg.use_bloom else None
+
+    def _sidecar_build(self, rows: DataFrame) -> DataFrame:
+        cfg = self.cfg
+        if self._sidecar_kind() == "cuckoo":
+            return build_cuckoo_shards(
+                rows, n_shards=cfg.bloom_shards, n_buckets=cfg.cuckoo_buckets)
+        return build_bloom_shards(
+            rows, n_shards=cfg.bloom_shards, n_bits=cfg.bloom_bits, k=cfg.bloom_k)
+
+    def _sidecar_merge(self, existing: DataFrame | None, delta_rows: DataFrame) -> DataFrame:
+        cfg = self.cfg
+        if self._sidecar_kind() == "cuckoo":
+            # cuckoo inserts the delta's hashes into the existing tables
+            # (cogrouped) — bitset OR has no cuckoo analog
+            return merge_cuckoo_shards(
+                existing, delta_rows,
+                n_shards=cfg.bloom_shards, n_buckets=cfg.cuckoo_buckets)
+        return merge_bloom_shards(existing, self._sidecar_build(delta_rows))
+
+    def _sidecar_anti_join(self, new_links: DataFrame, seen: DataFrame) -> DataFrame:
+        cfg = self.cfg
+        shards = self.bloom_tbl.read(self.spark)
+        if self._sidecar_kind() == "cuckoo":
+            return cuckoo_anti_join(
+                new_links, seen, shards, url_col="url", hash_col="url_hash",
+                n_shards=cfg.bloom_shards, n_buckets=cfg.cuckoo_buckets)
+        return bloom_anti_join(
+            new_links, seen, shards, url_col="url", hash_col="url_hash",
+            n_shards=cfg.bloom_shards, n_bits=cfg.bloom_bits, k=cfg.bloom_k)
+
     def _fetch(self, selected: DataFrame, round_no: int, fetched_so_far: int) -> DataFrame:
         """Fetch stage. Two stand-ins for the production mapInPandas HTTP
         fetcher (scheduling/dedup/ordering identical in all three):
@@ -549,10 +588,8 @@ class CrawlEngine:
             # pending materialization until a round leaves a remainder
             self._pending_mode = "delta"
             self._pending_est = int(sobs.get["n"])
-            if cfg.use_bloom:
-                self.bloom_tbl.overwrite(build_bloom_shards(
-                    seeds, n_shards=cfg.bloom_shards,
-                    n_bits=cfg.bloom_bits, k=cfg.bloom_k))
+            if self._sidecar_kind():
+                self.bloom_tbl.overwrite(self._sidecar_build(seeds))
             round_no, fetched = 1, 0
         else:
             # Roll back any table commits that happened after the last
@@ -583,8 +620,8 @@ class CrawlEngine:
                 self._pending_mode = "table"
                 p = self.pending_tbl.read(spark)
                 self._pending_est = 0 if p is None else p.count()
-            if cfg.use_bloom and self.bloom_tbl.read(spark) is None:
-                # resuming a crawl whose checkpoint predates use_bloom:
+            if self._sidecar_kind() and self.bloom_tbl.read(spark) is None:
+                # resuming a crawl whose checkpoint predates the sidecar:
                 # rebuild the sidecar from the full current seen set —
                 # a partial (delta-only) bloom would let already-seen
                 # URLs test definitely-new and re-enter the frontier
@@ -596,9 +633,7 @@ class CrawlEngine:
                     fr = fr.select("url", "url_hash")
                     src = fr if src is None else src.unionByName(fr)
                 if src is not None:
-                    self.bloom_tbl.overwrite(build_bloom_shards(
-                        src, n_shards=cfg.bloom_shards,
-                        n_bits=cfg.bloom_bits, k=cfg.bloom_k))
+                    self.bloom_tbl.overwrite(self._sidecar_build(src))
 
         while round_no <= cfg.max_rounds:
             remaining = None if cfg.max_pages is None else cfg.max_pages - fetched
@@ -653,14 +688,10 @@ class CrawlEngine:
             blocked_seen = self.seen_tbl.read(spark)
             if blocked_seen is not None:
                 seen = seen.unionByName(blocked_seen.select("url"))
-            if cfg.use_bloom:
+            if self._sidecar_kind():
                 # definitely-new links skip the anti-join shuffle; only
                 # maybe-seen ones get the exact confirmation (F10 stays exact)
-                fresh = bloom_anti_join(
-                    new_links, seen, self.bloom_tbl.read(spark),
-                    url_col="url", hash_col="url_hash",
-                    n_shards=cfg.bloom_shards, n_bits=cfg.bloom_bits, k=cfg.bloom_k,
-                )
+                fresh = self._sidecar_anti_join(new_links, seen)
             else:
                 fresh = new_links.join(seen, "url", "left_anti")
             if self.redirects is not None:
@@ -716,7 +747,7 @@ class CrawlEngine:
                 self.seen_tbl.append(blocked.select(
                     "url", "url_hash", F.lit(round_no).alias("first_round"),
                     F.lit("robots_blocked").alias("state")))
-            if cfg.use_bloom:
+            if self._sidecar_kind():
                 seen_delta = self._read_delta(self.frontier_tbl)
                 if seen_delta is not None:
                     seen_delta = seen_delta.select("url", "url_hash")
@@ -733,11 +764,8 @@ class CrawlEngine:
                             else seen_delta.unionByName(b_delta)
                         )
                 if seen_delta is not None:
-                    bloom_delta = build_bloom_shards(
-                        seen_delta, n_shards=cfg.bloom_shards,
-                        n_bits=cfg.bloom_bits, k=cfg.bloom_k)
-                    self.bloom_tbl.overwrite(
-                        merge_bloom_shards(self.bloom_tbl.read(spark), bloom_delta))
+                    self.bloom_tbl.overwrite(self._sidecar_merge(
+                        self.bloom_tbl.read(spark), seen_delta))
 
             elapsed = time.monotonic() - t0
             metrics = (

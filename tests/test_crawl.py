@@ -246,18 +246,26 @@ def test_resume_is_exact(spark, corpus_dir, tmp_path):
     assert sa == sb
 
 
-def test_bloom_engine_matches_exact(spark, corpus_dir, tmp_path):
-    """use_bloom=True must produce identical pages + seen set (F10 exact)."""
+@pytest.mark.parametrize("sidecar", ["bloom", "cuckoo"])
+def test_sidecar_engine_matches_exact(spark, corpus_dir, tmp_path, sidecar):
+    """Either maybe-seen sidecar (Bloom via use_bloom back-compat, or
+    seen_sidecar='cuckoo') must produce identical pages + seen set (F10
+    exact) — the sidecar only skips shuffles, never changes results."""
     from dataclasses import replace
 
     base = CrawlConfig(strategy="bfs", max_depth=3, max_pages=40, round_size=None)
     base.seeds = get_seeds(spark, corpus_dir)
-    bloom_cfg = replace(base, use_bloom=True, bloom_shards=4, bloom_bits=1 << 16, bloom_k=5)
+    if sidecar == "bloom":
+        side_cfg = replace(base, use_bloom=True, bloom_shards=4,
+                           bloom_bits=1 << 16, bloom_k=5)
+    else:
+        side_cfg = replace(base, seen_sidecar="cuckoo", bloom_shards=4,
+                           cuckoo_buckets=1 << 8)
 
     docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
     e1 = CrawlEngine(spark, docs, base, str(tmp_path / "exact"))
     e1.run()
-    e2 = CrawlEngine(spark, docs, bloom_cfg, str(tmp_path / "bloom"))
+    e2 = CrawlEngine(spark, docs, side_cfg, str(tmp_path / "side"))
     e2.run()
     p1 = [(r.rank, r.url) for r in e1.pages().orderBy("rank").collect()]
     p2 = [(r.rank, r.url) for r in e2.pages().orderBy("rank").collect()]
@@ -267,20 +275,25 @@ def test_bloom_engine_matches_exact(spark, corpus_dir, tmp_path):
     assert s1 == s2
 
 
-def test_sweep_bloom_robots_no_duplicate_seen(spark, corpus_dir, tmp_path):
-    """Sweep + bloom + robots: blocked URLs live in seen_tbl (not the
-    frontier log), so the bloom delta must include them — otherwise a
-    blocked URL rediscovered in a later round tests definitely-new,
-    bypasses the exact confirmation, and is re-appended to seen_tbl with
-    a different first_round every round it reappears."""
+@pytest.mark.parametrize("sidecar", ["bloom", "cuckoo"])
+def test_sweep_sidecar_robots_no_duplicate_seen(spark, corpus_dir, tmp_path, sidecar):
+    """Sweep + sidecar + robots: blocked URLs live in seen_tbl (not the
+    frontier log), so the sidecar's merge delta must include them —
+    otherwise a blocked URL rediscovered in a later round tests
+    definitely-new, bypasses the exact confirmation, and is re-appended
+    to seen_tbl with a different first_round every round it reappears."""
     docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
     robots = spark.read.parquet(f"{corpus_dir}/robots.parquet")
     seeds = get_seeds(spark, corpus_dir)
     base = CrawlConfig(seeds=seeds, strategy="bfs", max_depth=6, max_pages=None,
                        track_order=False, respect_robots=True)
     from dataclasses import replace
-    bloom_cfg = replace(base, use_bloom=True, bloom_shards=4,
-                        bloom_bits=1 << 16, bloom_k=5)
+    if sidecar == "bloom":
+        bloom_cfg = replace(base, use_bloom=True, bloom_shards=4,
+                            bloom_bits=1 << 16, bloom_k=5)
+    else:
+        bloom_cfg = replace(base, seen_sidecar="cuckoo", bloom_shards=4,
+                            cuckoo_buckets=1 << 8)
     e1 = CrawlEngine(spark, docs, base, str(tmp_path / "sw_exact"), robots=robots)
     assert e1._sweep_mode()
     e1.run()
