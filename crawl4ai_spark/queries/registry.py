@@ -37,6 +37,11 @@ def query(name: str, oracle: str | None = None):
 _TAIL = [
     "pii_redact",           # round-3 addition — local-oracle tier until driver budget allows
     "seq_pack",             # round-3 addition — local-oracle tier until driver budget allows
+    "quality_gopher",       # round-3 curation tier (pipelineops.py) — local-oracle
+    "dedup_lines",          # round-3 curation tier — local-oracle
+    "decontaminate_ngram",  # round-3 curation tier — local-oracle
+    "dedup_minhash_cc",     # round-3 curation tier — local-oracle
+    "sample_stratified",    # round-3 curation tier — local-oracle
     "dedup_ngram_jaccard",  # labeled verification-baseline-only; minhash/simhash green
     "ann_cosine_topk",      # brute-force baseline twin of ann_lsh_bucket/ann_ivf_probe
     "embed_centroid",       # centroid fold; clustering path also pytest-covered (test_clustering)

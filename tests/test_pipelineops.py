@@ -1,0 +1,117 @@
+"""Semantic invariants for the corpus-curation tier (queries/pipelineops.py).
+
+The DuckDB oracles prove cross-engine equality; these tests pin the
+*meaning*: CC equals a union-find ground truth, line dedup kills verbatim
+copies, decontamination flags the planted eval leaks, sampling is a pure
+deterministic filter.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from crawl4ai_spark.queries import pipelineops as P
+from crawl4ai_spark.queries.dataops import q_dedup_minhash_lsh
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_cc_matches_union_find(spark):
+    pairs = [
+        (r.a_id, r.b_id)
+        for r in q_dedup_minhash_lsh(spark, SF).select("a_id", "b_id").collect()
+    ]
+    assert pairs, "minhash corpus must produce near-dup edges"
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    truth_comp = {x: find(x) for x in parent}
+    truth_sizes: dict[int, int] = {}
+    for x, c in truth_comp.items():
+        truth_sizes[c] = truth_sizes.get(c, 0) + 1
+
+    got = {
+        r.id: (r.component_id, r.component_size)
+        for r in P.q_dedup_minhash_cc(spark, SF).collect()
+    }
+    assert set(got) == set(truth_comp)
+    for x, (cid, size) in got.items():
+        assert cid == truth_comp[x], f"node {x}: component {cid} != {truth_comp[x]}"
+        assert size == truth_sizes[truth_comp[x]]
+    # canonical id is the min of its component
+    for x, (cid, _) in got.items():
+        assert cid <= x
+
+
+def test_dedup_lines_kills_verbatim_copies(spark):
+    rows = {r.id: r for r in P.q_dedup_lines(spark, SF).collect()}
+    # doc_id % 7 == 0 docs have a verbatim copy at id+2000000: every full
+    # line occurs in ≥2 docs, so both lose all their (full) lines.
+    victims = [i for i in rows if i >= 2000000]
+    assert victims
+    for c in victims:
+        base = c - 2000000
+        assert rows[c].n_dropped == rows[base].n_dropped
+        # all lines shared between the two copies are dropped
+        assert rows[c].n_dropped >= rows[c].n_lines - 1  # tail short-line slack
+    # docs with no duplicate lines keep their text intact
+    clean = [r for r in rows.values() if r.n_dropped == 0]
+    assert clean
+    for r in clean[:5]:
+        assert r.kept_text.count("\n") == r.n_lines - 1
+
+
+def test_decontaminate_flags_planted_leaks(spark):
+    hits = {r.id: r.n_hits for r in P.q_decontaminate_ngram(spark, SF).collect()}
+    # doc 0 is eval (0 % 97 == 0); its verbatim copy (2000000) and
+    # appended-tail near-dup (1000000) are training docs sharing 8-grams.
+    assert 2000000 in hits and hits[2000000] > 0
+    assert 1000000 in hits and hits[1000000] > 0
+    # eval docs themselves are never reported
+    assert all(not (i < 1000000 and i % 97 == 0) for i in hits)
+
+
+def test_sample_stratified_deterministic_and_bounded(spark):
+    df = P.q_sample_stratified(spark, SF)
+    a = sorted((r.doc_id, r.lang, r.bucket) for r in df.collect())
+    b = sorted((r.doc_id, r.lang, r.bucket) for r in df.collect())
+    assert a == b
+    rates = dict(P.SAMPLE_PERMILLE)
+    for doc_id, lang, bucket in a:
+        assert 0 <= bucket < rates.get(lang, P.SAMPLE_DEFAULT)
+    langs = {lang for _, lang, _ in a}
+    assert "en" in langs
+    # en keeps ~2x the rate of de on the same hash — weak sanity on mix
+    n = {lg: sum(1 for _, l2, _ in a if l2 == lg) for lg in langs}
+    assert n["en"] > n["de"]
+
+
+def test_quality_gopher_rule_columns(spark):
+    rows = P.q_quality_gopher(spark, SF).collect()
+    assert len(rows) == 500
+    for r in rows[:20]:
+        assert 0.0 <= r.alpha_ratio <= 1.0
+        assert r.mean_word_len > 0
+        assert r.symbol_ratio == 0.0  # corpus has no # or ellipsis
+        expected = (
+            P.GOPHER_MIN_WORDS <= r.n_words <= P.GOPHER_MAX_WORDS
+            and P.GOPHER_MWL_LO <= r.mean_word_len <= P.GOPHER_MWL_HI
+            and r.symbol_ratio < P.GOPHER_SYMBOL_MAX
+            and r.bullet_ratio <= P.GOPHER_BULLET_MAX
+            and r.ellipsis_ratio <= P.GOPHER_ELLIPSIS_MAX
+            and r.alpha_ratio >= P.GOPHER_ALPHA_MIN
+            and r.n_stop_hits >= P.GOPHER_STOP_MIN
+        )
+        assert r.passes == expected
+    # both outcomes occur (short docs fail the word-count bound)
+    outcomes = {r.passes for r in rows}
+    assert outcomes == {True, False}, f"degenerate gate: {outcomes}"
