@@ -191,3 +191,62 @@ def media_refs_of_spans(docs: DataFrame, spans_col: str = "spans") -> DataFrame:
         .where(F.col("media_ref").isNotNull())
         .distinct()
     )
+
+
+def caption_pairs(spans) -> "F.Column":
+    """Interleaved media→text alignment: for every image/media span pick
+    the nearest text span of the SAME document as its caption candidate —
+    the nearest preceding text span by offset, else the nearest following
+    one (the OBELICS-style pairing an interleaved text+media pretraining
+    corpus extracts before CLIP-filtering; reference media inventories
+    stop at counts — original-README.md:139 lists images/videos with
+    surrounding metadata, this op materializes the pairs).
+
+    Pure array higher-order functions over the spans column: two
+    ``aggregate`` folds per media span, all JVM-side inside the scan
+    projection — no explode before pairing, no shuffle, no UDF. At
+    100 TB this runs map-side at whatever parallelism the scan has.
+
+    Returns array<struct<offset,media_ref,caption_offset,caption,side>>;
+    ``side`` is 'prev' | 'next' | 'none' (document has no text spans).
+    """
+    sp = F.col(spans) if isinstance(spans, str) else spans
+    texts = F.filter(sp, lambda s: s["kind"] == "text")
+
+    def pair(m):
+        prev = F.aggregate(
+            texts,
+            F.struct(F.lit(-1).alias("o"), F.lit(None).cast("string").alias("t")),
+            lambda acc, s: F.when(
+                (s["offset"] < m["offset"]) & (s["offset"] > acc["o"]),
+                F.struct(s["offset"].cast("int").alias("o"), s["text"].alias("t")),
+            ).otherwise(acc),
+        )
+        nxt = F.aggregate(
+            texts,
+            F.struct(F.lit(2**31 - 1).alias("o"), F.lit(None).cast("string").alias("t")),
+            lambda acc, s: F.when(
+                (s["offset"] > m["offset"]) & (s["offset"] < acc["o"]),
+                F.struct(s["offset"].cast("int").alias("o"), s["text"].alias("t")),
+            ).otherwise(acc),
+        )
+        cap_off = (
+            F.when(prev["t"].isNotNull(), prev["o"])
+            .when(nxt["t"].isNotNull(), nxt["o"])
+            .otherwise(F.lit(None).cast("int"))
+        )
+        side = (
+            F.when(prev["t"].isNotNull(), F.lit("prev"))
+            .when(nxt["t"].isNotNull(), F.lit("next"))
+            .otherwise(F.lit("none"))
+        )
+        return F.struct(
+            m["offset"].cast("int").alias("offset"),
+            m["media_ref"].alias("media_ref"),
+            cap_off.alias("caption_offset"),
+            F.coalesce(prev["t"], nxt["t"]).alias("caption"),
+            side.alias("side"),
+        )
+
+    media = F.filter(sp, lambda s: (s["kind"] == "image") | (s["kind"] == "media"))
+    return F.transform(media, pair)

@@ -400,3 +400,162 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("bucket") < F.col("rate"))
         .drop("rate")
     )
+
+
+# --------------------------------------------------------------------------- #
+# dedup_substring — overlapping k-gram duplicate-passage detection
+# --------------------------------------------------------------------------- #
+SUB_K = 8          # window length in tokens
+SUB_RATIO = 0.5    # drop a doc when >= half its windows are shared
+
+
+@query(
+    "dedup_substring",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    tok AS (SELECT id, {T.tokens_sql('text')} AS t FROM corpus),
+    win AS (
+        SELECT id, md5(array_to_string(t[(u.i + 1):(u.i + {SUB_K})], ' ')) AS h
+        FROM tok, unnest(generate_series(0, len(t) - {SUB_K})) AS u(i)
+        WHERE len(t) >= {SUB_K}
+    ),
+    dup AS (SELECT h FROM win GROUP BY h HAVING count(DISTINCT id) > 1),
+    flagged AS (SELECT id, h IN (SELECT h FROM dup) AS is_dup FROM win)
+    SELECT id,
+           count(*)::BIGINT AS n_windows,
+           sum(CASE WHEN is_dup THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+           round(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6) AS dup_ratio,
+           (round(sum(CASE WHEN is_dup THEN 1 ELSE 0 END) / count(*)::DOUBLE, 6) < {SUB_RATIO})
+               AS keep
+    FROM flagged GROUP BY id
+    """,
+)
+def q_dedup_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-passage detection at EVERY token alignment: overlapping
+    SUB_K-token windows (vs dedup_lines' disjoint cuts, which miss
+    duplicates that straddle a line boundary) — the Spark-shaped stand-in
+    for suffix-array exact-substring dedup (Lee et al. 2022): a doc is
+    dropped when >= SUB_RATIO of its windows appear verbatim in another
+    doc. Scale shape: window hashes only (text never leaves the map
+    side), one hash-groupBy + one join back, both keyed on the window
+    hash; ~n_tokens rows per doc, linear in corpus size."""
+    c = _corpus(spark, sf_dir)
+    t = T.tokens("text")
+    wins = F.transform(
+        F.sequence(F.lit(0), F.size(t) - SUB_K),
+        lambda i: F.md5(F.array_join(F.slice(t, i + 1, SUB_K), " ")),
+    )
+    w = c.where(F.size(t) >= SUB_K).select("id", F.explode(wins).alias("h"))
+    dup = (
+        w.groupBy("h")
+        .agg(F.count_distinct("id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("h", F.lit(True).alias("is_dup"))
+    )
+    flagged = w.join(dup, "h", "left").withColumn(
+        "is_dup", F.coalesce(F.col("is_dup"), F.lit(False))
+    )
+    ratio = F.round(
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0))
+        / F.count("*").cast("double"),
+        6,
+    )
+    return flagged.groupBy("id").agg(
+        F.count("*").alias("n_windows"),
+        F.sum(F.when(F.col("is_dup"), 1).otherwise(0)).alias("n_dup"),
+        ratio.alias("dup_ratio"),
+        (ratio < SUB_RATIO).alias("keep"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# mix_weights — temperature-based language rebalancing (alpha = 0.5)
+# --------------------------------------------------------------------------- #
+MIX_BUDGET = 2000  # target docs in the mixed corpus
+
+
+@query(
+    "mix_weights",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    per AS (
+        SELECT lang, count(*)::BIGINT AS n_docs,
+               sum(len({T.tokens_sql('text')}))::BIGINT AS n_tokens
+        FROM corpus GROUP BY lang
+    ),
+    tot AS (
+        SELECT list_reduce(list_prepend(0.0::DOUBLE,
+                   list_transform(list(n_docs ORDER BY lang), n -> sqrt(n::DOUBLE))),
+               (a, b) -> a + b) AS tot
+        FROM per
+    )
+    SELECT lang, n_docs, n_tokens,
+           round(sqrt(n_docs::DOUBLE) / tot, 6) AS weight,
+           round(least(1.0, {MIX_BUDGET} * (sqrt(n_docs::DOUBLE) / tot) / n_docs), 6)
+               AS sample_rate
+    FROM per, tot
+    """,
+)
+def q_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based corpus mixing (the multilingual-pretraining
+    rebalance: weight ∝ n_docs^0.5, alpha=0.5 upsamples the tail): per
+    language, the normalized mixing weight and the per-doc sample rate
+    that realizes a MIX_BUDGET-doc mixture. The normalizer is an
+    order-pinned fold over the per-language sqrt terms (sorted by lang)
+    so both engines sum identical doubles in the same sequence. One
+    groupBy over the corpus; output is O(languages) rows."""
+    c = _corpus(spark, sf_dir)
+    per = c.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(T.tokens("text"))).alias("n_tokens"),
+    )
+    tot = per.agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("lang", "n_docs"))),
+            F.lit(0.0),
+            lambda acc, x: acc + F.sqrt(x["n_docs"].cast("double")),
+        ).alias("tot")
+    )
+    w = F.sqrt(F.col("n_docs").cast("double")) / F.col("tot")
+    return per.crossJoin(F.broadcast(tot)).select(
+        "lang", "n_docs", "n_tokens",
+        F.round(w, 6).alias("weight"),
+        F.round(F.least(F.lit(1.0), F.lit(MIX_BUDGET) * w / F.col("n_docs")), 6)
+            .alias("sample_rate"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# token_hist — log2-binned sequence-length histogram
+# --------------------------------------------------------------------------- #
+@query(
+    "token_hist",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    n AS (SELECT id, len({T.tokens_sql('text')})::BIGINT AS n_tokens FROM corpus)
+    SELECT length(bin(n_tokens))::BIGINT AS bin,
+           count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS n_tokens,
+           min(n_tokens)::BIGINT AS min_tokens,
+           max(n_tokens)::BIGINT AS max_tokens
+    FROM n GROUP BY 1
+    """,
+)
+def q_token_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length histogram in power-of-two bins (bin = bit length
+    of the whitespace token count — integer arithmetic, no float log2
+    edge cases at exact powers of two): the doc/token mass per length
+    class that sizes seq_pack budgets and shuffle partitioning. Single
+    map-side projection + one tiny groupBy."""
+    c = _corpus(spark, sf_dir)
+    n = c.select(F.size(T.tokens("text")).cast("long").alias("n_tokens"))
+    return (
+        n.withColumn("bin", F.length(F.conv(F.col("n_tokens"), 10, 2)).cast("long"))
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+        )
+    )

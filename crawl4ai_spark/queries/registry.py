@@ -42,6 +42,10 @@ _TAIL = [
     "decontaminate_ngram",  # round-3 curation tier — local-oracle
     "dedup_minhash_cc",     # round-3 curation tier — local-oracle
     "sample_stratified",    # round-3 curation tier — local-oracle
+    "media_captions",       # round-3 interleaved tier — local-oracle
+    "dedup_substring",      # round-3 curation tier — local-oracle
+    "mix_weights",          # round-3 curation tier — local-oracle
+    "token_hist",           # round-3 curation tier — local-oracle
     "dedup_ngram_jaccard",  # labeled verification-baseline-only; minhash/simhash green
     "ann_cosine_topk",      # brute-force baseline twin of ann_lsh_bucket/ann_ivf_probe
     "embed_centroid",       # centroid fold; clustering path also pytest-covered (test_clustering)

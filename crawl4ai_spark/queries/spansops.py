@@ -423,3 +423,51 @@ def q_iframe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("s.offset").alias("offset"), F.col("s.kind").alias("kind"),
         F.col("s.text").alias("text"), F.col("s.media_ref").alias("media_ref"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# interleaved media→text caption pairing (OBELICS-style alignment)
+# --------------------------------------------------------------------------- #
+@query(
+    "media_captions",
+    f"""
+    WITH {_SP_SQL},
+    win AS (
+        SELECT doc_id, g, kind, ref,
+               last_value(CASE WHEN kind = 'text' THEN gtext END IGNORE NULLS) OVER w_prev AS prev_text,
+               last_value(CASE WHEN kind = 'text' THEN g END IGNORE NULLS) OVER w_prev AS prev_off,
+               first_value(CASE WHEN kind = 'text' THEN gtext END IGNORE NULLS) OVER w_next AS next_text,
+               first_value(CASE WHEN kind = 'text' THEN g END IGNORE NULLS) OVER w_next AS next_off
+        FROM spans
+        WINDOW w_prev AS (PARTITION BY doc_id ORDER BY g
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               w_next AS (PARTITION BY doc_id ORDER BY g
+                          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT doc_id, g::BIGINT AS offset, ref AS media_ref,
+           (CASE WHEN prev_text IS NOT NULL THEN prev_off
+                 WHEN next_text IS NOT NULL THEN next_off END)::BIGINT AS caption_offset,
+           coalesce(prev_text, next_text) AS caption,
+           (CASE WHEN prev_text IS NOT NULL THEN 'prev'
+                 WHEN next_text IS NOT NULL THEN 'next' ELSE 'none' END) AS side
+    FROM win WHERE kind IN ('image', 'media')
+    """,
+)
+def q_media_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Every image/media span paired with its nearest text span (caption
+    candidate) — the real ``caption_pairs`` array operator (pure HOFs,
+    map-side) vs a DuckDB window-function mirror."""
+    from ..operators.multimodal import caption_pairs
+
+    sd = _span_docs(spark, sf_dir)
+    return (
+        sd.select("doc_id", F.explode(caption_pairs("spans")).alias("p"))
+        .select(
+            "doc_id",
+            F.col("p.offset").cast("long").alias("offset"),
+            F.col("p.media_ref").alias("media_ref"),
+            F.col("p.caption_offset").cast("long").alias("caption_offset"),
+            F.col("p.caption").alias("caption"),
+            F.col("p.side").alias("side"),
+        )
+    )

@@ -115,3 +115,79 @@ def test_quality_gopher_rule_columns(spark):
     # both outcomes occur (short docs fail the word-count bound)
     outcomes = {r.passes for r in rows}
     assert outcomes == {True, False}, f"degenerate gate: {outcomes}"
+
+
+# --------------------------------------------------------------------------- #
+# round-3 additions: caption pairing, substring dedup, mixing, histogram
+# --------------------------------------------------------------------------- #
+def _spans_df(spark, rows):
+    """rows: list of (doc_id, [(kind, text, ref, offset), ...])"""
+    data = [
+        (d, [{"kind": k, "text": t, "media_ref": r, "offset": o} for k, t, r, o in sp])
+        for d, sp in rows
+    ]
+    return spark.createDataFrame(
+        data,
+        "doc_id long, spans array<struct<kind:string,text:string,media_ref:string,offset:int>>",
+    )
+
+
+def test_caption_pairs_prefers_preceding_text(spark):
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.operators.multimodal import caption_pairs
+
+    df = _spans_df(spark, [
+        # media first (no preceding text) -> 'next'
+        (1, [("image", "alt", "a.png", 0), ("text", "after", None, 1)]),
+        # text both sides -> nearest preceding wins
+        (2, [("text", "far", None, 0), ("text", "near", None, 2),
+             ("media", "m", "b.pdf", 3), ("text", "post", None, 4)]),
+        # no text spans at all -> side 'none', null caption
+        (3, [("image", "x", "c.png", 0), ("link", "l", "u", 1)]),
+    ])
+    got = {
+        (r.doc_id, r.p.media_ref): (r.p.caption, r.p.side, r.p.caption_offset)
+        for r in df.select("doc_id", F.explode(caption_pairs("spans")).alias("p")).collect()
+    }
+    assert got[(1, "a.png")] == ("after", "next", 1)
+    assert got[(2, "b.pdf")] == ("near", "prev", 2)
+    assert got[(3, "c.png")] == (None, "none", None)
+
+
+def test_dedup_substring_boundary_and_short_docs(spark):
+    """A duplicate passage that straddles dedup_lines' disjoint cut is
+    caught by the overlapping windows; docs shorter than SUB_K tokens are
+    excluded entirely (no zero-window rows)."""
+    out = {r.id: r for r in P.q_dedup_substring(spark, SF).collect()}
+    # exact copies (id+2000000 rows) share every window with their base
+    exact_ids = [i for i in out if i >= 2000000]
+    assert exact_ids, "exact-copy shard must be present"
+    for i in exact_ids[:20]:
+        assert out[i].dup_ratio == 1.0 and not out[i].keep
+    # every row has at least one window
+    assert all(r.n_windows >= 1 for r in out.values())
+
+
+def test_mix_weights_sum_to_one(spark):
+    rows = P.q_mix_weights(spark, SF).collect()
+    assert len(rows) >= 2
+    s = sum(r.weight for r in rows)
+    assert abs(s - 1.0) < 1e-4
+    for r in rows:
+        assert 0 < r.sample_rate <= 1.0
+        # alpha=0.5 upsamples the tail: rate decreases as n_docs grows
+    by_n = sorted(rows, key=lambda r: r.n_docs)
+    rates = [r.sample_rate for r in by_n]
+    assert rates == sorted(rates, reverse=True) or rates[0] == 1.0
+
+
+def test_token_hist_covers_corpus(spark):
+    from crawl4ai_spark.queries.dataops import _corpus
+
+    rows = P.q_token_hist(spark, SF).collect()
+    assert sum(r.n_docs for r in rows) == _corpus(spark, SF).count()
+    for r in rows:
+        # bin b holds counts in [2^(b-1), 2^b)
+        assert r.min_tokens >= 2 ** (r.bin - 1)
+        assert r.max_tokens < 2 ** r.bin

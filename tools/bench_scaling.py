@@ -14,7 +14,16 @@ and documented in BENCH.md:
 * best-of-k per level to de-noise the shared box (2x run-to-run swings
   measured with identical configs).
 
-Usage: python tools/bench_scaling.py [n_docs] [runs_per_level]
+Usage: python tools/bench_scaling.py [n_docs] [runs_per_level] [max_rounds]
+
+max_rounds defaults to 6. Measured (r3): adding a 7th round — the
+whole depth-6 layer, 1.6M URLs in one round — LOWERS efficiency
+(0.809 → 0.665 single-run): the mega-round's page-write + frontier
+anti-join saturate this box's memory bandwidth at 4 threads, so its
+extra work scales at well under 4x while the small rounds' driver
+floor stays constant. The 6-round shape measures the scheduler;
+the 7-round shape measures the host's DRAM. Kept parametric for
+experiments.
 """
 
 from __future__ import annotations
@@ -29,6 +38,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 CHILD = r"""
 import json, os, shutil, sys, time
 repo, cores, n_docs, out = sys.argv[1], int(sys.argv[2]), int(sys.argv[3]), sys.argv[4]
+max_rounds = int(sys.argv[5])
 sys.path.insert(0, repo)
 from crawl4ai_spark.session import get_spark
 from crawl4ai_spark.config import CrawlConfig
@@ -61,7 +71,7 @@ def crawl(tag, max_rounds):
 _, _, _, wstate = crawl("warm", 4)
 shutil.rmtree(wstate, ignore_errors=True)
 
-eng, res, dt, state = crawl("measured", 6)
+eng, res, dt, state = crawl("measured", max_rounds)
 deduped = eng.url_seen().count()
 shutil.rmtree(state, ignore_errors=True)
 json.dump({"cores": cores, "fetched": res["fetched"], "rounds": res["rounds"],
@@ -71,12 +81,12 @@ spark.stop()
 """
 
 
-def run_level(cores: int, n_docs: int, runs: int) -> dict:
+def run_level(cores: int, n_docs: int, runs: int, max_rounds: int) -> dict:
     best = None
     for i in range(runs):
         out = f"/tmp/scale_out_{cores}_{i}.json"
         subprocess.run(
-            [sys.executable, "-c", CHILD, REPO, str(cores), str(n_docs), out],
+            [sys.executable, "-c", CHILD, REPO, str(cores), str(n_docs), out, str(max_rounds)],
             check=True, cwd=REPO,
             env={**os.environ, "SPARK_DRIVER_MEM": "16g"},
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
@@ -90,13 +100,15 @@ def run_level(cores: int, n_docs: int, runs: int) -> dict:
 def main() -> None:
     n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000_000
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    max_rounds = int(sys.argv[3]) if len(sys.argv) > 3 else 6
 
-    lo = run_level(1, n_docs, runs)
-    hi = run_level(4, n_docs, runs)
+    lo = run_level(1, n_docs, runs, max_rounds)
+    hi = run_level(4, n_docs, runs, max_rounds)
     speedup = hi["urls_per_sec"] / lo["urls_per_sec"]
     efficiency = speedup / 4.0
     result = {
         "n_docs": n_docs,
+        "max_rounds": max_rounds,
         "low": lo,
         "high": hi,
         "speedup_n_to_4n": round(speedup, 3),
