@@ -46,6 +46,7 @@ _TAIL = [
     "dedup_substring",      # round-3 curation tier — local-oracle
     "mix_weights",          # round-3 curation tier — local-oracle
     "token_hist",           # round-3 curation tier — local-oracle
+    "stream_url_ingest",    # round-3 streaming tier — local-oracle
     "dedup_ngram_jaccard",  # labeled verification-baseline-only; minhash/simhash green
     "ann_cosine_topk",      # brute-force baseline twin of ann_lsh_bucket/ann_ivf_probe
     "embed_centroid",       # centroid fold; clustering path also pytest-covered (test_clustering)

@@ -174,3 +174,62 @@ def q_stream_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.table(name).orderBy("user_id", "session_idx")
+
+
+# --------------------------------------------------------------------------- #
+# stream-static frontier ingest: continuous URL discovery vs the seen store
+# --------------------------------------------------------------------------- #
+_INGEST_ORACLE = """
+    WITH cand AS (
+        SELECT DISTINCT 'https://host' || (x.id % 7)::VARCHAR || '.example.com/p/' || x.id::VARCHAR AS url
+        FROM (
+            SELECT doc_id::BIGINT AS id FROM documents
+            UNION ALL
+            SELECT (doc_id % 1000)::BIGINT FROM documents
+        ) x
+    ),
+    hist AS (
+        SELECT 'https://host' || (doc_id % 7)::VARCHAR || '.example.com/p/' || doc_id::VARCHAR AS url
+        FROM documents WHERE doc_id % 3 = 0
+    )
+    SELECT url, regexp_extract(url, 'https://([^/]+)/', 1) AS host
+    FROM cand WHERE url NOT IN (SELECT url FROM hist)
+"""
+
+
+def _ingest_url(i):
+    return F.concat(
+        F.lit("https://host"), F.pmod(i, F.lit(7)).cast("string"),
+        F.lit(".example.com/p/"), i.cast("string"),
+    )
+
+
+@query("stream_url_ingest", _INGEST_ORACLE)
+def q_stream_url_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl engine's URL-seen anti-join as a CONTINUOUS stage
+    (streaming/ingest.py): discovered URLs stream in (each doc yields
+    its own URL + a hot-set URL, so batches carry heavy duplicates), a
+    foreachBatch anti-join against the durable seen store — pre-seeded
+    with crawl history (doc_id % 3 == 0) — emits each genuinely new URL
+    exactly once and appends it to the store. The drained feed equals
+    the one-shot batch anti-join regardless of micro-batch boundaries
+    (boundary invariance is pinned in tests/test_streaming.py)."""
+    from ..functions.urls import url_host
+    from ..streaming.ingest import stream_frontier_ingest
+
+    run = f"ingest_{uuid.uuid4().hex[:8]}"
+    base = os.path.join(tempfile.gettempdir(), run)
+    seen_dir, out_dir = os.path.join(base, "seen"), os.path.join(base, "out")
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id").cast("long")
+    history = d.where(F.pmod(i, F.lit(3)) == 0).select(_ingest_url(i).alias("url"))
+    history = history.select("url", url_host(F.col("url")).alias("host"))
+    history.write.parquet(seen_dir)
+
+    docs = read_documents_stream(spark, f"{sf_dir}/documents.parquet")
+    si = F.col("doc_id").cast("long")
+    cand = docs.select(
+        F.explode(F.array(_ingest_url(si), _ingest_url(F.pmod(si, F.lit(1000))))).alias("url")
+    ).select("url", url_host(F.col("url")).alias("host"))
+    stream_frontier_ingest(spark, cand, seen_dir, out_dir, os.path.join(base, "ckp"))
+    return spark.read.parquet(out_dir)

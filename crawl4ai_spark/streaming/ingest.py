@@ -1,0 +1,71 @@
+"""Stream-static URL-frontier ingest: the crawl engine's URL-seen
+anti-join as a continuous Structured Streaming stage.
+
+The batch engine discovers links in rounds and anti-joins them against
+the append-only seen set (operators/frontier.py). A continuous
+deployment receives discovered URLs as a stream; the equivalent shape is
+``foreachBatch``: per micro-batch, dedup within the batch, anti-join
+against the durable seen store, append the survivors to BOTH the store
+and the output feed. The store read inside the batch function sees every
+previous batch's append, so a URL is emitted exactly once no matter how
+the source splits into micro-batches — the result is batch-boundary
+invariant (proved in tests by forcing maxFilesPerTrigger=1) and equals
+the one-shot batch anti-join, which is how the oracle checks it.
+
+Scale: the seen store is the same hash-partitioned parquet layout the
+batch engine uses; each micro-batch's anti-join shuffles only the batch
+(small) against the store scan, and a production deployment fronts it
+with the Bloom/cuckoo sidecar exactly like the batch path. State in the
+streaming engine itself is ZERO — dedup durability lives in the store,
+so the query restarts from its checkpoint with no state file growth.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def stream_frontier_ingest(
+    spark: SparkSession,
+    urls_stream: DataFrame,
+    seen_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    url_col: str = "url",
+) -> None:
+    """Drain ``urls_stream`` (availableNow) through the seen-store
+    anti-join; newly-seen URLs land in ``out_dir`` and are appended to
+    ``seen_dir``. ``seen_dir`` may be pre-seeded with crawl history."""
+
+    schema = urls_stream.schema
+
+    def ingest(batch_df: DataFrame, batch_id: int) -> None:
+        fresh = batch_df.dropDuplicates([url_col])
+        try:
+            seen = spark.read.schema(schema).parquet(seen_dir).select(url_col)
+        except Exception:
+            seen = None
+        if seen is not None:
+            fresh = fresh.join(seen, url_col, "left_anti")
+        # ONE action (the feed write), then file-level links into the
+        # store: running the anti-join twice would recompute a
+        # non-deterministically partitioned batch, and parquet part
+        # files are immutable + uniquely named, so linking is exact.
+        # The store thus holds history + every emitted file; the feed
+        # holds only the emitted files.
+        fresh.write.mode("append").parquet(out_dir)
+        os.makedirs(seen_dir, exist_ok=True)
+        for f in os.listdir(out_dir):
+            if f.endswith(".parquet") and not os.path.exists(os.path.join(seen_dir, f)):
+                os.link(os.path.join(out_dir, f), os.path.join(seen_dir, f))
+
+    q = (
+        urls_stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

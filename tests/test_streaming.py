@@ -194,3 +194,53 @@ def test_stream_tumbling_bounded_state_default(spark):
     for k, ex in exact.items():
         ap = approx[k]
         assert abs(ap - ex) <= max(2, 0.15 * ex), (k, ap, ex)
+
+
+def test_stream_url_ingest_batch_boundary_invariant(spark, tmp_path):
+    """The foreachBatch seen-store anti-join emits each new URL exactly
+    once REGARDLESS of micro-batch boundaries: the documents source is
+    split into 4 files drained one file per trigger (4 micro-batches,
+    duplicates crossing every boundary via the %1000 hot set), and the
+    feed must equal the one-shot batch anti-join."""
+    import os
+
+    from crawl4ai_spark.functions.urls import url_host
+    from crawl4ai_spark.queries.streamops import _ingest_url
+    from crawl4ai_spark.streaming.ingest import stream_frontier_ingest
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    src = str(tmp_path / "src")
+    d.repartition(4).write.parquet(src)
+
+    i = F.col("doc_id").cast("long")
+    history = d.where(F.pmod(i, F.lit(3)) == 0).select(
+        _ingest_url(i).alias("url"))
+    history = history.select("url", url_host(F.col("url")).alias("host"))
+    seen_dir, out_dir = str(tmp_path / "seen"), str(tmp_path / "out")
+    history.write.parquet(seen_dir)
+
+    docs = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    si = F.col("doc_id").cast("long")
+    cand = docs.select(
+        F.explode(F.array(_ingest_url(si), _ingest_url(F.pmod(si, F.lit(1000))))).alias("url")
+    ).select("url", url_host(F.col("url")).alias("host"))
+    stream_frontier_ingest(spark, cand, seen_dir, out_dir, str(tmp_path / "ckp"))
+
+    # >1 micro-batch actually ran (one commit file per drained trigger)
+    batches = [f for f in os.listdir(str(tmp_path / "ckp") + "/commits") if f.isdigit()]
+    assert len(batches) > 1, f"expected multiple micro-batches, got {batches}"
+    got = [r.url for r in spark.read.parquet(out_dir).collect()]
+    assert len(got) == len(set(got)), "a URL was emitted twice across batches"
+
+    batch_cand = d.select(
+        F.explode(F.array(_ingest_url(i), _ingest_url(F.pmod(i, F.lit(1000))))).alias("url"))
+    want = {r.url for r in batch_cand.distinct()
+            .join(history.select("url"), "url", "left_anti").collect()}
+    assert set(got) == want
+    # the seen store ends as history + feed exactly
+    n_store = spark.read.parquet(seen_dir).count()
+    assert n_store == history.count() + len(got)
