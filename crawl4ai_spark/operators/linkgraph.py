@@ -1,0 +1,125 @@
+"""Link-graph operators: anchor-text aggregation + PageRank authority.
+
+The reference's deep-crawl scorers rank URLs from the URL string and
+keyword hits alone (/root/reference/crawl_agent.py:239-257 — composite
+of keyword relevance, freshness and path-depth; no use of the link
+GRAPH the crawl itself discovers). At web scale the frontier's own link
+structure is the strongest free prioritization signal, so this module
+adds the two classic graph reductions a 100 TB crawl/curation pipeline
+runs over its accumulated outlink table:
+
+- ``anchor_aggregate`` — per target URL, the aggregated anchor texts of
+  every link pointing at it (the "anchor file" of classic web search /
+  the label source for link-text retrieval corpora). One hash groupBy on
+  the target; anchors are deduped + order-pinned (sorted) so output is
+  deterministic on any cluster.
+- ``pagerank`` — fixed-iteration damped PageRank over the (src, dst)
+  edge list. Each iteration is one shuffle join (edges ⋈ ranks on src)
+  plus one hash aggregation on dst — the standard distributed PR shape;
+  ranks are localCheckpointed per iteration so the loop's lineage stays
+  O(1) (same pattern as pipelineops' connected components). Per-node
+  contribution sums are order-pinned folds (sorted by source id) so two
+  engines — and two cluster topologies — sum identical doubles in an
+  identical sequence; each iteration rounds to 9 decimals, pinning the
+  trajectory itself.
+
+Scale: nodes/edges never leave DataFrames, no driver-side graph. The
+only ``.collect()`` is the O(1) node count (the 1/N normalizer). At
+10^10 nodes each iteration shuffles the edge list once on src and once
+on dst — bucketBy(src) on the stored edge table removes the first
+(operators/bucketing.py pattern).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+PR_DAMPING = 0.85
+PR_ITERS = 5
+
+
+def anchor_aggregate(links: DataFrame, src: str = "src_url", dst: str = "dst_url",
+                     text: str = "anchor") -> DataFrame:
+    """links(src, dst, anchor) → one row per dst with deduped sorted
+    anchor texts, link count, and distinct-source count."""
+    return (
+        links.groupBy(F.col(dst).alias("url"))
+        .agg(
+            F.count("*").alias("n_links"),
+            F.count_distinct(F.col(src)).alias("n_src_docs"),
+            F.array_join(
+                F.array_sort(F.array_distinct(F.collect_list(F.col(text)))), " | "
+            ).alias("anchors"),
+            F.min(F.col(text)).alias("top_anchor"),
+        )
+    )
+
+
+def pagerank(edges: DataFrame, iters: int = PR_ITERS, damping: float = PR_DAMPING,
+             src: str = "src_url", dst: str = "dst_url") -> DataFrame:
+    """Damped PageRank, ``iters`` fixed iterations, over a distinct
+    (src, dst) edge list; nodes are the union of both endpoints.
+
+    rank_0 = 1/N; rank_{k+1}(n) = round((1-d)/N + d·Σ_{(s,n)∈E}
+    rank_k(s)/outdeg(s), 9), the Σ an order-pinned fold over
+    contributions sorted by source id. Dangling mass is dropped (the
+    common simplification — documented, mirrored by the oracle).
+
+    Returns nodes(url, rank, indeg, outdeg), rank rounded to 6.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+    )
+    e = e.persist()
+    nodes = (
+        e.select(F.col("src").alias("url"))
+        .unionByName(e.select(F.col("dst").alias("url")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()  # O(1) driver value: the 1/N normalizer
+    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
+    eo = e.join(outdeg, "src")  # (src, dst, outdeg)
+
+    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
+    ranks = ranks.localCheckpoint()
+    for _ in range(iters):
+        contrib = eo.join(ranks, eo["src"] == ranks["url"]).select(
+            eo["dst"].alias("dst"),
+            eo["src"].alias("csrc"),
+            (F.col("rank") / F.col("outdeg")).alias("c"),
+        )
+        summed = contrib.groupBy("dst").agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct("csrc", "c"))),
+                F.lit(0.0),
+                lambda acc, x: acc + x["c"],
+            ).alias("s")
+        )
+        ranks = nodes.join(summed, nodes["url"] == summed["dst"], "left").select(
+            "url",
+            F.round(
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)),
+                9,
+            ).alias("rank"),
+        )
+        ranks = ranks.localCheckpoint()
+
+    indeg = e.groupBy(F.col("dst").alias("url")).agg(F.count("*").alias("indeg"))
+    out = (
+        ranks.join(indeg, "url", "left")
+        .join(outdeg.withColumnRenamed("src", "url"), "url", "left")
+        .select(
+            "url",
+            F.round("rank", 6).alias("rank"),
+            F.coalesce("indeg", F.lit(0)).cast("long").alias("indeg"),
+            F.coalesce("outdeg", F.lit(0)).cast("long").alias("outdeg"),
+        )
+    )
+    e.unpersist()
+    nodes.unpersist()
+    return out

@@ -1,0 +1,141 @@
+"""Link-graph tier queries: anchor-text aggregation + PageRank over the
+span corpus's outlink graph, under the DuckDB oracle gate.
+
+Graph derivation (identical arithmetic in both dialects, reusing
+spansops' span lift): every document is a page at
+``https://host{doc_id%7}.example.com/p/{doc_id}`` (the pages_concat URL
+scheme); each link span contributes one edge from that page to the
+span's media_ref target. Targets that are not documents stay in the
+graph as dangling nodes — exactly what a real web graph built from an
+outlink table looks like mid-crawl.
+
+The Spark side runs the REAL operators (operators/linkgraph.py); DuckDB
+mirrors them with unrolled per-iteration CTEs whose contribution sums
+are the same order-pinned folds (list_reduce over list(... ORDER BY
+src)) at the same 9-decimal per-iteration rounding, so the two engines
+walk an identical trajectory.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.linkgraph import PR_DAMPING, PR_ITERS, anchor_aggregate, pagerank
+from .registry import query, table as _t
+from .spansops import _SP_SQL, _span_docs
+
+# Shared SQL: one row per link edge (src page URL, dst URL, anchor text).
+_LINKS_SQL = f"""
+    {_SP_SQL},
+    links AS (
+        SELECT 'https://host' || (doc_id % 7)::VARCHAR || '.example.com/p/'
+                   || doc_id::VARCHAR AS src_url,
+               ref AS dst_url,
+               gtext AS anchor
+        FROM spans WHERE kind = 'link'
+    )
+"""
+
+
+def _links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sd = _span_docs(spark, sf_dir)
+    s = sd.select("doc_id", F.explode("spans").alias("s")).where(
+        F.col("s.kind") == "link"
+    )
+    return s.select(
+        F.concat(
+            F.lit("https://host"),
+            F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+            F.lit(".example.com/p/"),
+            F.col("doc_id").cast("string"),
+        ).alias("src_url"),
+        F.col("s.media_ref").alias("dst_url"),
+        F.col("s.text").alias("anchor"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# anchor_texts — the classic "anchor file": per-target aggregated link text
+# --------------------------------------------------------------------------- #
+@query(
+    "anchor_texts",
+    f"""
+    WITH {_LINKS_SQL}
+    SELECT dst_url AS url,
+           count(*)::BIGINT AS n_links,
+           count(DISTINCT src_url)::BIGINT AS n_src_docs,
+           string_agg(DISTINCT anchor, ' | ' ORDER BY anchor) AS anchors,
+           min(anchor) AS top_anchor
+    FROM links GROUP BY dst_url
+    """,
+)
+def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregated anchor texts per link target: the label source for
+    link-text retrieval / query-doc training pairs, and the free
+    relevance signal the reference's URL scorers never tap. One hash
+    groupBy on the target URL; anchors deduped + sorted (order-pinned)."""
+    return anchor_aggregate(_links(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------- #
+# link_pagerank — damped fixed-iteration PageRank over the outlink graph
+# --------------------------------------------------------------------------- #
+def _pr_oracle() -> str:
+    d = PR_DAMPING
+    # Inline the Python-evaluated doubles so both engines use the exact
+    # same binary constants (DuckDB decimal arithmetic on 1.0 - 0.85
+    # would yield exact 0.15, not Python's 0.15000000000000002).
+    teleport = repr(1.0 - d)
+    # Unrolled iterations: pr0 = 1/N; each prK re-derives every node's
+    # rank from pr{K-1} via the order-pinned contribution fold.
+    iters = []
+    for k in range(1, PR_ITERS + 1):
+        iters.append(f"""
+    pr{k} AS (
+        SELECT n.url,
+               round({teleport}::DOUBLE / (SELECT nn FROM nn)
+                     + {d!r}::DOUBLE * coalesce(c.s, 0.0::DOUBLE), 9) AS rank
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst_url,
+                   list_reduce(
+                       list_prepend(0.0::DOUBLE,
+                           list(p.rank / e.outdeg ORDER BY e.src_url)),
+                       (a, b) -> a + b) AS s
+            FROM eo e JOIN pr{k - 1} p ON p.url = e.src_url
+            GROUP BY e.dst_url
+        ) c ON c.dst_url = n.url
+    )""")
+    return f"""
+    WITH {_LINKS_SQL},
+    edges AS (SELECT DISTINCT src_url, dst_url FROM links),
+    nodes AS (
+        SELECT src_url AS url FROM edges
+        UNION
+        SELECT dst_url FROM edges
+    ),
+    nn AS (SELECT count(*)::DOUBLE AS nn FROM nodes),
+    od AS (SELECT src_url, count(*)::BIGINT AS outdeg FROM edges GROUP BY src_url),
+    eo AS (SELECT e.src_url, e.dst_url, o.outdeg FROM edges e JOIN od o USING (src_url)),
+    pr0 AS (SELECT url, 1.0::DOUBLE / (SELECT nn FROM nn) AS rank FROM nodes),
+    {','.join(iters)},
+    ind AS (SELECT dst_url AS url, count(*)::BIGINT AS indeg FROM edges GROUP BY dst_url)
+    SELECT p.url,
+           round(p.rank, 6) AS rank,
+           coalesce(i.indeg, 0)::BIGINT AS indeg,
+           coalesce(o.outdeg, 0)::BIGINT AS outdeg
+    FROM pr{PR_ITERS} p
+    LEFT JOIN ind i ON i.url = p.url
+    LEFT JOIN od o ON o.src_url = p.url
+    """
+
+
+@query("link_pagerank", _pr_oracle())
+def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank authority over the corpus outlink graph (5 damped
+    iterations) — the crawl-prioritization / quality signal
+    (rank feeds Best-First scoring the way the reference's keyword
+    scorer does, but from discovered structure instead of the URL
+    string). Shape: one shuffle join + one hash agg per iteration,
+    lineage cut per iteration; see operators/linkgraph.pagerank."""
+    return pagerank(_links(spark, sf_dir))

@@ -47,6 +47,10 @@ _TAIL = [
     "mix_weights",          # round-3 curation tier — local-oracle
     "token_hist",           # round-3 curation tier — local-oracle
     "stream_url_ingest",    # round-3 streaming tier — local-oracle
+    "anchor_texts",         # round-3 link-graph tier — local-oracle
+    "link_pagerank",        # round-3 link-graph tier — local-oracle
+    "media_freq_dedup",     # round-3 interleaved tier — local-oracle
+    "seq_pack_interleaved", # round-3 interleaved tier — local-oracle
     "dedup_ngram_jaccard",  # labeled verification-baseline-only; minhash/simhash green
     "ann_cosine_topk",      # brute-force baseline twin of ann_lsh_bucket/ann_ivf_probe
     "embed_centroid",       # centroid fold; clustering path also pytest-covered (test_clustering)

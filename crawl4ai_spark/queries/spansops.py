@@ -471,3 +471,162 @@ def q_media_captions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p.side").alias("side"),
         )
     )
+
+
+# --------------------------------------------------------------------------- #
+# media_freq_dedup — document-frequency boilerplate media removal
+# --------------------------------------------------------------------------- #
+# A media asset referenced by many documents is boilerplate (logos,
+# icons, tracking pixels) — interleaved-corpus pipelines (the
+# OBELICS-style pass) drop it before caption pairing so repeated chrome
+# never becomes a training pair. Frequency key: a query-local ref
+# derivation that plants the realistic shape — ~10% of media spans
+# ((doc_id*31+g*17) % 200 < 20) resolve to one of 5 shared CDN "logo"
+# assets whose document frequency grows with the corpus at EVERY scale,
+# the rest stay doc-unique content images (df=1) like the span lift's
+# own refs (which embed doc_id, so raw they'd make every doc its
+# asset's sole owner and df could never separate chrome from content).
+BOILER_DF = 2  # a ref in MORE THAN this many distinct docs is boilerplate
+
+
+@query(
+    "media_freq_dedup",
+    f"""
+    WITH {_SP_SQL},
+    med AS (
+        SELECT doc_id,
+               (CASE WHEN (doc_id * 31 + g * 17) % 200 < 20
+                     THEN 'https://cdn.example.com/logo'
+                          || ((doc_id * 31 + g * 17) % 5)::VARCHAR || '.png'
+                     ELSE 'https://host' || ((doc_id + g) % 7)::VARCHAR
+                          || '.example.com/img/' || doc_id::VARCHAR || '_'
+                          || g::VARCHAR || '.png' END) AS mref
+        FROM spans WHERE kind IN ('image', 'media')
+    ),
+    freq AS (SELECT mref, count(DISTINCT doc_id) AS df FROM med GROUP BY mref)
+    SELECT m.doc_id,
+           count(*)::BIGINT AS n_media,
+           sum(CASE WHEN f.df > {BOILER_DF} THEN 1 ELSE 0 END)::BIGINT AS n_boiler,
+           sum(CASE WHEN f.df > {BOILER_DF} THEN 0 ELSE 1 END)::BIGINT AS n_kept,
+           round(sum(CASE WHEN f.df > {BOILER_DF} THEN 1 ELSE 0 END)
+                 / count(*)::DOUBLE, 6) AS boiler_ratio
+    FROM med m JOIN freq f USING (mref)
+    GROUP BY m.doc_id
+    """,
+)
+def q_media_freq_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document boilerplate-media accounting: document frequency per
+    shared media ref (hash groupBy on the ref — only refs shuffle, never
+    blobs or span text), flagged refs joined back, per-doc rollup. The
+    same two-shuffle shape as dedup_lines; linear in media spans."""
+    sd = _span_docs(spark, sf_dir)
+    med = (
+        sd.select("doc_id", F.explode("spans").alias("s"))
+        .where(F.col("s.kind").isin("image", "media"))
+        .select(
+            "doc_id",
+            F.when(
+                F.pmod(F.col("doc_id") * 31 + F.col("s.offset") * 17, F.lit(200)) < 20,
+                F.concat(
+                    F.lit("https://cdn.example.com/logo"),
+                    F.pmod(F.col("doc_id") * 31 + F.col("s.offset") * 17, F.lit(5)).cast("string"),
+                    F.lit(".png"),
+                ),
+            ).otherwise(
+                F.concat(
+                    F.lit("https://host"),
+                    F.pmod(F.col("doc_id") + F.col("s.offset"), F.lit(7)).cast("string"),
+                    F.lit(".example.com/img/"),
+                    F.col("doc_id").cast("string"), F.lit("_"),
+                    F.col("s.offset").cast("string"),
+                    F.lit(".png"),
+                )
+            ).alias("mref"),
+        )
+    )
+    freq = med.groupBy("mref").agg(F.count_distinct("doc_id").alias("df"))
+    boiler = F.when(F.col("df") > BOILER_DF, 1).otherwise(0)
+    return (
+        med.join(freq, "mref")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_media"),
+            F.sum(boiler).alias("n_boiler"),
+            F.sum(1 - boiler).alias("n_kept"),
+            F.round(F.sum(boiler) / F.count("*").cast("double"), 6).alias("boiler_ratio"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# seq_pack_interleaved — multimodal sequence packing (text + image tokens)
+# --------------------------------------------------------------------------- #
+# The interleaved twin of dataops' seq_pack: a document's budget cost is
+# its text token count PLUS a fixed IMG_TOKENS per image/media span (the
+# patch-token footprint a vision encoder contributes to the sequence),
+# packed per source shard in doc_id order via window prefix sums — the
+# scale-safe unit (per-shard windows parallelize like per-file packing;
+# a global order would be one serial cumsum).
+IMG_TOKENS = 16
+INTER_BUDGET = 128
+
+
+@query(
+    "seq_pack_interleaved",
+    f"""
+    WITH {_SP_SQL},
+    cost AS (
+        SELECT s.doc_id, d.source,
+               sum(CASE WHEN s.kind IN ('image', 'media') THEN 0 ELSE s.wc END)::BIGINT
+                   AS n_text_tokens,
+               sum(CASE WHEN s.kind IN ('image', 'media') THEN 1 ELSE 0 END)::BIGINT
+                   AS n_media,
+               sum(CASE WHEN s.kind IN ('image', 'media') THEN {IMG_TOKENS}
+                        ELSE s.wc END)::BIGINT AS cost
+        FROM spans s JOIN documents d ON d.doc_id = s.doc_id
+        GROUP BY s.doc_id, d.source
+    )
+    SELECT doc_id, source, n_text_tokens, n_media, cost,
+           (coalesce(sum(cost) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) // {INTER_BUDGET})::BIGINT
+               AS pack_id,
+           (coalesce(sum(cost) OVER (PARTITION BY source ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) % {INTER_BUDGET})::BIGINT
+               AS offset_in_pack
+    FROM cost
+    """,
+)
+def q_seq_pack_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack interleaved documents into fixed INTER_BUDGET-token training
+    sequences where media spans cost IMG_TOKENS each: per-doc cost is a
+    pure array fold over the spans column (no explode — map-side, inside
+    the scan projection), packing is per-source window prefix sums."""
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    spans = derived_spans(i, F.col("text"))
+    is_media = lambda s: s["kind"].isin("image", "media")  # noqa: E731
+    wc = lambda s: F.size(F.split(s["text"], " "))  # noqa: E731
+
+    def fold(per_span):
+        return F.aggregate(spans, F.lit(0).cast("long"),
+                           lambda acc, s: acc + per_span(s))
+
+    base = d.where(F.size(spans) > 0).select(
+        i.alias("doc_id"),
+        "source",
+        fold(lambda s: F.when(is_media(s), F.lit(0)).otherwise(wc(s)).cast("long"))
+            .alias("n_text_tokens"),
+        fold(lambda s: F.when(is_media(s), F.lit(1)).otherwise(F.lit(0)).cast("long"))
+            .alias("n_media"),
+        fold(lambda s: F.when(is_media(s), F.lit(IMG_TOKENS)).otherwise(wc(s)).cast("long"))
+            .alias("cost"),
+    )
+    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
+    pre = F.coalesce(F.sum("cost").over(w), F.lit(0))
+    return base.select(
+        "doc_id", "source", "n_text_tokens", "n_media", "cost",
+        F.floor(pre / INTER_BUDGET).cast("long").alias("pack_id"),
+        F.pmod(pre, F.lit(INTER_BUDGET)).cast("long").alias("offset_in_pack"),
+    )

@@ -1,0 +1,135 @@
+"""Semantic invariants for the link-graph + interleaved tiers
+(queries/graphops.py, spansops' media_freq_dedup / seq_pack_interleaved).
+
+The DuckDB oracles prove cross-engine equality; these pin the meaning:
+PageRank matches a numpy reference walking the identical order-pinned
+trajectory, anchors aggregate deduped + sorted, boilerplate accounting
+balances, interleaved packing respects its budget.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.operators.linkgraph import anchor_aggregate, pagerank
+from crawl4ai_spark.queries import graphops as G
+from crawl4ai_spark.queries import spansops as S
+
+SF = "/root/testdata/sf0.001"
+
+
+def _edges_df(spark, edges):
+    return spark.createDataFrame(
+        [(s, d, f"anchor {s}->{d}") for s, d in edges],
+        "src_url string, dst_url string, anchor string",
+    )
+
+
+def _numpy_pagerank(edges, iters=5, d=0.85):
+    """Reference PR with the operator's exact contract: per-node fold of
+    contributions sorted by source id, round(·, 9) per iteration."""
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    n = len(nodes)
+    outdeg = {}
+    for s, _ in edges:
+        outdeg[s] = outdeg.get(s, 0) + 1
+    rank = {u: 1.0 / n for u in nodes}
+    for _ in range(iters):
+        incoming = {u: [] for u in nodes}
+        for s, t in edges:
+            incoming[t].append((s, rank[s] / outdeg[s]))
+        new = {}
+        for u in nodes:
+            acc = 0.0
+            for _, c in sorted(incoming[u]):
+                acc += c
+            new[u] = round((1.0 - d) / n + d * acc, 9)
+        rank = new
+    return {u: round(r, 6) for u, r in rank.items()}
+
+
+def test_pagerank_matches_numpy_reference(spark):
+    edges = [("A", "B"), ("A", "C"), ("B", "C"), ("C", "A"), ("D", "A")]
+    got = {r.url: r.rank for r in pagerank(_edges_df(spark, edges)).collect()}
+    assert got == _numpy_pagerank(edges)
+
+
+def test_pagerank_source_only_node_floor(spark):
+    # D has no in-links: after iteration 1 its rank is exactly (1-d)/N.
+    edges = [("A", "B"), ("B", "A"), ("D", "A")]
+    rows = {r.url: r for r in pagerank(_edges_df(spark, edges)).collect()}
+    n = len(rows)
+    assert rows["D"].rank == round(round((1.0 - 0.85) / n, 9), 6)
+    assert rows["D"].indeg == 0 and rows["D"].outdeg == 1
+    # ranks positive, conserved mass bounded by 1 (dangling mass drops)
+    assert all(r.rank > 0 for r in rows.values())
+    assert sum(r.rank for r in rows.values()) <= 1.0 + 1e-6
+
+
+def test_pagerank_cycle_is_uniform(spark):
+    # A pure cycle is symmetric: every node keeps exactly 1/N.
+    edges = [("A", "B"), ("B", "C"), ("C", "A")]
+    got = {r.url: r.rank for r in pagerank(_edges_df(spark, edges)).collect()}
+    assert set(got.values()) == {round(1.0 / 3, 6)}
+
+
+def test_anchor_aggregate_dedup_and_order(spark):
+    links = spark.createDataFrame(
+        [
+            ("s1", "t", "zebra"),
+            ("s2", "t", "apple"),
+            ("s1", "t", "zebra"),  # duplicate anchor text
+            ("s3", "u", "mid"),
+        ],
+        "src_url string, dst_url string, anchor string",
+    )
+    rows = {r.url: r for r in anchor_aggregate(links).collect()}
+    assert rows["t"].n_links == 3
+    assert rows["t"].n_src_docs == 2
+    assert rows["t"].anchors == "apple | zebra"  # deduped, sorted
+    assert rows["t"].top_anchor == "apple"
+    assert rows["u"].n_links == 1
+
+
+def test_link_pagerank_query_shape(spark):
+    df = G.q_link_pagerank(spark, SF)
+    rows = df.collect()
+    assert rows
+    by_url = {r.url: r for r in rows}
+    # every document page with outlinks is a node
+    assert any(u.endswith("/p/1") or "/p/" in u for u in by_url)
+    assert all(r.rank > 0 for r in rows)
+    # link targets with no outlinks of their own are dangling: outdeg 0
+    assert any(r.outdeg == 0 and r.indeg > 0 for r in rows)
+
+
+def test_media_freq_dedup_balances(spark):
+    rows = S.q_media_freq_dedup(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_media == r.n_boiler + r.n_kept
+        assert 0.0 <= r.boiler_ratio <= 1.0
+    # the shared-ref derivation must actually produce cross-doc repeats
+    assert any(r.n_boiler > 0 for r in rows)
+
+
+def test_seq_pack_interleaved_budget(spark):
+    from crawl4ai_spark.queries.spansops import IMG_TOKENS, INTER_BUDGET
+
+    rows = S.q_seq_pack_interleaved(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.cost == r.n_text_tokens + IMG_TOKENS * r.n_media
+        assert 0 <= r.offset_in_pack < INTER_BUDGET
+    # packs are dense within a source: pack_id 0 exists for every source
+    sources = {r.source for r in rows}
+    zero = {r.source for r in rows if r.pack_id == 0}
+    assert zero == sources
+
+
+def test_pagerank_plan_no_python_udf(spark):
+    df = G.q_link_pagerank(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan

@@ -191,3 +191,28 @@ def test_token_hist_covers_corpus(spark):
         # bin b holds counts in [2^(b-1), 2^b)
         assert r.min_tokens >= 2 ** (r.bin - 1)
         assert r.max_tokens < 2 ** r.bin
+
+
+def test_caption_pairs_span_order_invariant(spark):
+    """caption_pairs keys on the offset FIELD, not array position: a
+    permuted spans array yields the same pairs (span arrays arrive in
+    storage order from some sources, shuffled from others)."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.operators.multimodal import caption_pairs
+
+    spans = [("text", "t0", None, 0), ("image", "i1", "a.png", 1),
+             ("text", "t2", None, 2), ("media", "m3", "b.pdf", 3),
+             ("link", "l4", "u", 4), ("text", "t5", None, 5)]
+    perm = [spans[i] for i in (3, 0, 5, 2, 4, 1)]
+    a = _spans_df(spark, [(1, spans)])
+    b = _spans_df(spark, [(1, perm)])
+
+    def pairs(df):
+        return sorted(
+            (r.p.media_ref, r.p.caption, r.p.side, r.p.caption_offset)
+            for r in df.select(F.explode(caption_pairs("spans")).alias("p")).collect()
+        )
+
+    assert pairs(a) == pairs(b)
+    assert pairs(a) == [("a.png", "t0", "prev", 0), ("b.pdf", "t2", "prev", 2)]

@@ -112,3 +112,23 @@ def test_overlapping_chunks_terminate(text, win, ov):
     chunks = overlapping_chunks(text, window_size=win, overlap=ov)
     if text and text.split():
         assert chunks
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.from_regex(r"[a-z]{1,3}", fullmatch=True),
+                  st.from_regex(r"[A-Za-z0-9]{0,4}", fullmatch=True)),
+        min_size=1, max_size=6,
+    ),
+    st.randoms(use_true_random=False),
+)
+def test_canonicalize_query_param_order_invariant(params, rnd):
+    """Two URLs differing only in query-parameter ORDER canonicalize to
+    the same string (the seen set must not double-count them)."""
+    base = "https://Example.com/p"
+    a = base + "?" + "&".join(f"{k}={v}" for k, v in params)
+    shuffled = params[:]
+    rnd.shuffle(shuffled)
+    b = base + "?" + "&".join(f"{k}={v}" for k, v in shuffled)
+    assert canonicalize_py(a) == canonicalize_py(b)
