@@ -51,6 +51,9 @@ _TAIL = [
     "link_pagerank",        # round-3 link-graph tier — local-oracle
     "media_freq_dedup",     # round-3 interleaved tier — local-oracle
     "seq_pack_interleaved", # round-3 interleaved tier — local-oracle
+    "crawl_traps",          # round-3 scheduling tier (schedops.py) — local-oracle
+    "recrawl_schedule",     # round-3 scheduling tier — local-oracle
+    "host_budget_alloc",    # round-3 scheduling tier — local-oracle
     "dedup_ngram_jaccard",  # labeled verification-baseline-only; minhash/simhash green
     "ann_cosine_topk",      # brute-force baseline twin of ann_lsh_bucket/ann_ivf_probe
     "embed_centroid",       # centroid fold; clustering path also pytest-covered (test_clustering)

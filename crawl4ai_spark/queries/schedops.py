@@ -1,0 +1,279 @@
+"""Crawl-scheduling analytics (round-3 tier): trap detection, freshness-
+driven recrawl priority, and yield-proportional host budget allocation.
+
+These are the control-loop queries a production frontier runs BETWEEN
+crawl rounds — the reference's deep-crawl strategies pick the next page
+(crawl_agent.py BFS/best-first config); at 10^10-URL scale the scheduler
+additionally needs to (a) stop feeding infinite URL spaces, (b) decide
+when to REVISIT a page, and (c) turn observed per-host yield into the
+next round's politeness budgets:
+
+- ``crawl_traps``      — URL-template trap detection: canonical paths are
+  templated (digit runs → ``{d}``, long hex tokens → ``{h}``), and a
+  (host, template) class is flagged when it owns an outsized share of
+  the host's distinct URLs while being parameter-rich (≥2 placeholders)
+  — the calendar-page / session-id signature. Pure column exprs + two
+  hash aggs; the host-total join is a broadcast (hosts are a tiny dim).
+- ``recrawl_schedule`` — Cho–Garcia-Molina-style freshness scheduling:
+  per URL, a change-rate estimate λ = changes/observations from the
+  fetch-observation log and a staleness clock since the last visit;
+  revisit priority = λ · staleness_hours, bucketed hot/warm/cold. All
+  timestamp math in exact integer seconds (unix_timestamp second-floor,
+  the house events-window convention); the global clock is a 1-row agg
+  broadcast, not a single-partition window.
+- ``host_budget_alloc`` — next-round politeness budgets proportional to
+  observed host yield (docs clearing the content-length gate), clamped
+  to [MIN, MAX], with the adaptive salt count (ceil(budget/PER_SALT))
+  the politeness-salting stage would use (operators/frontier.py's
+  budget-proportional salt queues). Integer arithmetic end to end.
+
+Oracle determinism follows crawlops.py: integer µs timestamps, explicit
+rounding, identical IEEE double operation order in both dialects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .registry import query, table as _t
+
+# --------------------------------------------------------------------------- #
+# crawl_traps — URL-template trap detection
+# --------------------------------------------------------------------------- #
+# Synthetic URL universe (doc_id % 10 class die): half the universe is
+# calendar-shaped (two numeric path params, heavy collisions), the rest
+# spread over article/tag/print/session/about shapes.
+TRAP_MIN_SHARE = 0.25   # template owns ≥25% of the host's distinct URLs
+TRAP_MIN_PARAMS = 2     # and is parameter-rich (≥2 templated tokens)
+
+_TRAP_PATH_SQL = """
+    (CASE
+        WHEN doc_id % 10 < 5 THEN
+            '/cal/' || (2000 + doc_id % 9)::VARCHAR || '/' || (1 + doc_id % 12)::VARCHAR
+        WHEN doc_id % 10 = 5 THEN '/article/' || doc_id::VARCHAR
+        WHEN doc_id % 10 = 6 THEN '/tag/' || source
+        WHEN doc_id % 10 = 7 THEN '/p/' || doc_id::VARCHAR || '/print'
+        WHEN doc_id % 10 = 8 THEN '/session/' || substr(md5(doc_id::VARCHAR), 1, 12)
+        ELSE '/about'
+    END)
+"""
+
+
+def _trap_path(i: F.Column, source: F.Column) -> F.Column:
+    cls = F.pmod(i, F.lit(10))
+    return (
+        F.when(cls < 5, F.concat(
+            F.lit("/cal/"), (F.lit(2000) + F.pmod(i, F.lit(9))).cast("string"),
+            F.lit("/"), (F.lit(1) + F.pmod(i, F.lit(12))).cast("string")))
+        .when(cls == 5, F.concat(F.lit("/article/"), i.cast("string")))
+        .when(cls == 6, F.concat(F.lit("/tag/"), source))
+        .when(cls == 7, F.concat(F.lit("/p/"), i.cast("string"), F.lit("/print")))
+        .when(cls == 8, F.concat(
+            F.lit("/session/"), F.substring(F.md5(i.cast("string")), 1, 12)))
+        .otherwise(F.lit("/about"))
+    )
+
+
+@query(
+    "crawl_traps",
+    f"""
+    WITH urls AS (
+        SELECT DISTINCT
+               'host' || (doc_id % 7)::VARCHAR || '.example.com' AS host,
+               'https://host' || (doc_id % 7)::VARCHAR || '.example.com'
+                   || {_TRAP_PATH_SQL} AS url,
+               regexp_replace(regexp_replace({_TRAP_PATH_SQL},
+                   '[0-9a-f]{{8,}}', '{{h}}', 'g'), '[0-9]+', '{{d}}', 'g') AS template
+        FROM documents
+    ),
+    per_tpl AS (
+        SELECT host, template,
+               count(DISTINCT url)::BIGINT AS n_urls,
+               ((length(template) - length(replace(template, '{{', ''))))::INT AS n_params
+        FROM urls GROUP BY host, template
+    )
+    SELECT host, template, n_urls, n_params,
+           sum(n_urls) OVER (PARTITION BY host)::BIGINT AS host_total,
+           round(n_urls::DOUBLE / sum(n_urls) OVER (PARTITION BY host), 4) AS share,
+           (n_urls::DOUBLE / sum(n_urls) OVER (PARTITION BY host) >= {TRAP_MIN_SHARE}
+            AND n_params >= {TRAP_MIN_PARAMS}) AS is_trap
+    FROM per_tpl
+    """,
+)
+def q_crawl_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag (host, path-template) classes that look like crawler traps.
+
+    Scale shape: template derivation is pure string exprs (codegen); the
+    distinct + groupBy are two hash aggs keyed (host, template) — partial
+    map-side combine makes the shuffle carry one row per class, and the
+    host-total is a window over the already-tiny class table (one row
+    per host × template, bounded by the template vocabulary, NOT by URL
+    count — safe at 10^10 URLs)."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    path = _trap_path(i, F.col("source"))
+    host = F.concat(F.lit("host"), F.pmod(i, F.lit(7)).cast("string"),
+                    F.lit(".example.com"))
+    tpl = F.regexp_replace(
+        F.regexp_replace(path, r"[0-9a-f]{8,}", "{h}"), r"[0-9]+", "{d}")
+    urls = d.select(
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, path).alias("url"),
+        tpl.alias("template"),
+    ).distinct()
+    per_tpl = urls.groupBy("host", "template").agg(
+        F.countDistinct("url").alias("n_urls"),
+        # placeholders each contribute one '{'
+        (F.length(F.first("template"))
+         - F.length(F.replace(F.first("template"), F.lit("{"), F.lit("")))
+         ).cast("int").alias("n_params"),
+    )
+    w = Window.partitionBy("host")
+    share_raw = F.col("n_urls").cast("double") / F.sum("n_urls").over(w)
+    return per_tpl.select(
+        "host", "template", F.col("n_urls").cast("long").alias("n_urls"), "n_params",
+        F.sum("n_urls").over(w).cast("long").alias("host_total"),
+        F.round(share_raw, 4).alias("share"),
+        ((share_raw >= F.lit(TRAP_MIN_SHARE))
+         & (F.col("n_params") >= F.lit(TRAP_MIN_PARAMS))).alias("is_trap"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# recrawl_schedule — freshness-driven revisit priority
+# --------------------------------------------------------------------------- #
+HOT_MIN = 3.0      # priority thresholds (λ · staleness_hours)
+WARM_MIN = 0.75
+
+
+@query(
+    "recrawl_schedule",
+    """
+    WITH obs AS (
+        -- floor(epoch(..)) matches Spark's unix_timestamp() second-floor
+        SELECT 'https://host' || (user_id % 7)::VARCHAR || '.example.com/p/'
+                   || user_id::VARCHAR AS url,
+               floor(epoch(ts))::BIGINT AS ts_s,
+               (CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS changed
+        FROM events
+    ),
+    clock AS (SELECT max(ts_s) AS now_s FROM obs),
+    per_url AS (
+        SELECT url, count(*)::BIGINT AS n_obs, sum(changed)::BIGINT AS n_changed,
+               max(ts_s) AS last_s
+        FROM obs GROUP BY url
+    )
+    SELECT url, n_obs, n_changed,
+           round(n_changed::DOUBLE / n_obs, 6) AS change_rate,
+           (now_s - last_s)::BIGINT AS staleness_s,
+           round((n_changed::DOUBLE / n_obs)
+                 * ((now_s - last_s)::DOUBLE / 3600.0), 6) AS priority,
+           (CASE WHEN (n_changed::DOUBLE / n_obs)
+                      * ((now_s - last_s)::DOUBLE / 3600.0) >= 3.0 THEN 'hot'
+                 WHEN (n_changed::DOUBLE / n_obs)
+                      * ((now_s - last_s)::DOUBLE / 3600.0) >= 0.75 THEN 'warm'
+                 ELSE 'cold' END) AS bucket
+    FROM per_url, clock
+    """,
+)
+def q_recrawl_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-URL revisit priority: λ · staleness (Cho & Garcia-Molina's
+    uniform-allocation surrogate over an estimated Poisson change rate).
+
+    The observation log (here: events rows keyed to a URL) reduces with
+    ONE hash agg (map-side combine); the global clock joins back as a
+    1-row broadcast — no single-partition window, no second shuffle.
+    Timestamp math is exact integer microseconds; the only doubles are
+    the final ratio/product, computed with the same operation order in
+    both engines."""
+    e = _t(spark, sf_dir, "events")
+    u = F.col("user_id").cast("long")
+    obs = e.select(
+        F.concat(F.lit("https://host"), F.pmod(u, F.lit(7)).cast("string"),
+                 F.lit(".example.com/p/"), u.cast("string")).alias("url"),
+        F.unix_timestamp(F.col("ts")).alias("ts_s"),
+        F.when(F.col("event_type") == "click", F.lit(1)).otherwise(F.lit(0)).alias("changed"),
+    )
+    per_url = obs.groupBy("url").agg(
+        F.count("*").cast("long").alias("n_obs"),
+        F.sum("changed").cast("long").alias("n_changed"),
+        F.max("ts_s").alias("last_s"),
+    )
+    clock = obs.agg(F.max("ts_s").alias("now_s"))
+    lam = F.col("n_changed").cast("double") / F.col("n_obs")
+    stale_h = (F.col("now_s") - F.col("last_s")).cast("double") / 3600.0
+    prio_raw = lam * stale_h
+    return per_url.crossJoin(F.broadcast(clock)).select(
+        "url", "n_obs", "n_changed",
+        F.round(lam, 6).alias("change_rate"),
+        (F.col("now_s") - F.col("last_s")).cast("long").alias("staleness_s"),
+        F.round(prio_raw, 6).alias("priority"),
+        F.when(prio_raw >= F.lit(HOT_MIN), F.lit("hot"))
+        .when(prio_raw >= F.lit(WARM_MIN), F.lit("warm"))
+        .otherwise(F.lit("cold")).alias("bucket"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# host_budget_alloc — yield-proportional politeness budgets
+# --------------------------------------------------------------------------- #
+TOTAL_BUDGET = 10_000
+BUDGET_MIN, BUDGET_MAX = 50, 3_000
+PER_SALT = 500          # one salt queue per 500 granted fetches
+YIELD_MIN_CHARS = 300   # a doc "yields" if it clears the content gate
+
+
+@query(
+    "host_budget_alloc",
+    f"""
+    WITH per_host AS (
+        SELECT 'host' || (doc_id % 7)::VARCHAR || '.example.com' AS host,
+               count(*)::BIGINT AS n_pages,
+               sum(CASE WHEN n_chars >= {YIELD_MIN_CHARS} THEN 1 ELSE 0 END)::BIGINT AS yield_docs
+        FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT sum(yield_docs) AS total_yield FROM per_host),
+    alloc AS (
+        SELECT host, n_pages, yield_docs,
+               greatest({BUDGET_MIN}, least({BUDGET_MAX},
+                   ({TOTAL_BUDGET} * yield_docs) // total_yield))::INT AS budget
+        FROM per_host, tot
+    )
+    SELECT host, n_pages, yield_docs, budget,
+           ((budget + {PER_SALT - 1}) // {PER_SALT})::INT AS salts
+    FROM alloc
+    """,
+)
+def q_host_budget_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-round per-host budgets ∝ observed yield, clamped, plus the
+    salt-queue count the adaptive politeness stage would spin up.
+
+    One hash agg per host + a 1-row broadcast total; the division is
+    integer floor (exact cross-engine), never a float share. At 10^10
+    URLs the per-host table is bounded by the host vocabulary —
+    millions, not billions — and the whole query stays two stages."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    per_host = d.groupBy(
+        F.concat(F.lit("host"), F.pmod(i, F.lit(7)).cast("string"),
+                 F.lit(".example.com")).alias("host")
+    ).agg(
+        F.count("*").cast("long").alias("n_pages"),
+        F.sum(F.when(F.col("n_chars") >= YIELD_MIN_CHARS, 1).otherwise(0))
+        .cast("long").alias("yield_docs"),
+    )
+    tot = per_host.agg(F.sum("yield_docs").alias("total_yield"))
+    budget = F.greatest(
+        F.lit(BUDGET_MIN),
+        F.least(F.lit(BUDGET_MAX),
+                F.expr(f"({TOTAL_BUDGET} * yield_docs) div total_yield")),
+    ).cast("int")
+    return (
+        per_host.crossJoin(F.broadcast(tot))
+        .withColumn("budget", budget)
+        .select(
+            "host", "n_pages", "yield_docs", "budget",
+            F.expr(f"cast((budget + {PER_SALT - 1}) div {PER_SALT} as int)").alias("salts"),
+        )
+    )
