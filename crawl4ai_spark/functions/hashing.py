@@ -238,20 +238,38 @@ def simhash60(tokens: Column) -> Column:
     return simhash_pack(simhash_counts(tokens), F.size(tokens))
 
 
-def simhash60_sql(tokens_expr: str) -> str:
-    bits_of = (
-        f"list_transform(generate_series(0, 59), j -> ({h60_sql('w')} >> j) & 1)"
-    )
-    counts = (
+def simhash_hashes_sql(tokens_expr: str) -> str:
+    """Hash once per token (mirror of the Spark side's hash-once barrier —
+    inlining h60 into the per-bit extraction re-runs the md5 60× per
+    token and made the DuckDB oracle ~30× slower than this split)."""
+    return f"list_transform({tokens_expr}, w -> {h60_sql('w')})"
+
+
+def simhash_counts_sql(hashes_expr: str) -> str:
+    """Per-bit set-counts fold over pre-computed hashes; materialize the
+    result (AS MATERIALIZED CTE) before packing references it 60×."""
+    bits_of = "list_transform(generate_series(0, 59), j -> (h >> j) & 1)"
+    return (
         f"list_reduce(list_prepend(list_transform(generate_series(0, 59), j -> 0::BIGINT), "
-        f"list_transform({tokens_expr}, w -> {bits_of})), "
+        f"list_transform({hashes_expr}, h -> {bits_of})), "
         f"(acc, bits) -> list_transform(generate_series(1, 60), i -> acc[i] + bits[i]))"
     )
+
+
+def simhash_pack_sql(counts_expr: str, n_expr: str) -> str:
     pack = (
-        f"list_transform(generate_series(1, 60), i -> CASE WHEN ({counts})[i] * 2 > "
-        f"len({tokens_expr}) THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END)"
+        f"list_transform(generate_series(1, 60), i -> CASE WHEN ({counts_expr})[i] * 2 > "
+        f"({n_expr}) THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END)"
     )
     return f"list_reduce(list_prepend(0::BIGINT, {pack}), (a, b) -> a + b)"
+
+
+def simhash60_sql(tokens_expr: str) -> str:
+    """Single-expression form (counts/pack inlined). Exists for expression
+    contexts only — staged CTEs via simhash_hashes_sql/simhash_counts_sql/
+    simhash_pack_sql are 30×+ faster, mirroring the Spark-side split."""
+    counts = simhash_counts_sql(simhash_hashes_sql(tokens_expr))
+    return simhash_pack_sql(counts, f"len({tokens_expr})")
 
 
 def hamming60(a: Column, b: Column) -> Column:

@@ -180,8 +180,19 @@ HAMMING_T = 8
     "dedup_simhash",
     f"""
     WITH corpus AS ({_CORPUS_SQL}),
-    sh AS (
-        SELECT id, {H.simhash60_sql(T.tokens_sql('text'))} AS sim FROM corpus
+    -- staged + MATERIALIZED: hash once per token, count once per doc,
+    -- pack against the materialized counts column (inlining re-runs the
+    -- md5 60x per token / the fold 60x per doc — ~30x slower oracle)
+    tok AS MATERIALIZED (
+        SELECT id, {T.tokens_sql('text')} AS toks FROM corpus
+    ),
+    cnt AS MATERIALIZED (
+        SELECT id, len(toks)::BIGINT AS n,
+               {H.simhash_counts_sql(H.simhash_hashes_sql('toks'))} AS cnt
+        FROM tok
+    ),
+    sh AS MATERIALIZED (
+        SELECT id, {H.simhash_pack_sql('cnt', 'n')} AS sim FROM cnt
     ),
     segs AS (
         SELECT id, sim, b.band, (sim >> (b.band * 15)) & 32767 AS key
