@@ -85,6 +85,22 @@ class CrawlConfig:
     # Compaction preserves delta reads (the manifest carries the
     # pre-compact delta) so resume and delta-mode pending stay exact.
     auto_compact_every: int | None = None
+    # Retry/backoff for TRANSIENT fetch failures (timeouts, 5xx): a
+    # failed attempt is durably logged in pages (status='transient') and
+    # re-dispatched after an exponential round backoff
+    # (due_round = round + retry_backoff_base**(attempt-1)), reusing its
+    # ORIGINAL crawl rank (crawl order = dispatch order; the retry is
+    # the same dispatch resolving late). attempt is capped at
+    # max_retries+1 — the final attempt always resolves (transient means
+    # transient). max_retries=0 disables the whole path (no schema or
+    # plan change for existing crawls beyond the constant attempt=1
+    # column on pages). The fetch SIM rolls a deterministic per-
+    # (url, attempt) die: transient iff pmod(xxhash64(url#attempt),
+    # retry_failure_every)==0 — a real deployment replaces the die with
+    # the HTTP fetcher's error class, everything else is identical.
+    max_retries: int = 0
+    retry_failure_every: int = 0      # 0 = fetch sim never fails transiently
+    retry_backoff_base: int = 2
 
 
 def resolve_strategy(cfg: CrawlConfig) -> str:

@@ -96,6 +96,12 @@ class CrawlEngine:
         self.metrics_tbl = SnapshotTable(state_dir, "metrics")
         self.bloom_tbl = SnapshotTable(state_dir, "blooms")
         self.redirects_tbl = SnapshotTable(state_dir, "redirects")
+        # retry snapshot (cfg.max_retries > 0): the not-yet-due transient
+        # re-dispatches. Overwrite-per-round like pending — a retry row
+        # is CONSUMED by dispatching it (removed from the next snapshot),
+        # so no anti-join against pages is ever needed, and checkpoint
+        # rollback replays the exact due/not-due split.
+        self.retries_tbl = SnapshotTable(state_dir, "retries")
         self.ckp = Checkpoint(state_dir)
         self.robots = robots
         self.host_budgets = host_budgets
@@ -408,8 +414,7 @@ class CrawlEngine:
             # ~5k-node synthesis tree twice per round — pure driver cost.
             spans_c, st_c, title_c = self.corpus.fetch_cols(
                 lazy=self.cfg.enable_lazy_loading)
-            joined, status, heading, spans_out = (
-                selected, st_c, title_c, spans_c.alias("spans"))
+            joined, status, heading, spans_out = selected, st_c, title_c, spans_c
         else:
             docs = self.corpus.select(
                 F.col("doc_id").alias("url"), "spans", F.lit("fetched").alias("_st")
@@ -418,13 +423,41 @@ class CrawlEngine:
             status = F.col("_st")
             heading = F.get(F.filter("spans", lambda s: s["kind"] == "heading"), 0)["text"]
             spans_out = F.col("spans")
+        cfg = self.cfg
+        rank = (F.lit(fetched_so_far) + F.col("rank_in_round")).cast("long")
+        st = F.coalesce(status, F.lit("missing"))
+        title = F.coalesce(heading, F.col("url"))  # E6 ladder
+        attempt = F.lit(1).cast("int")
+        if cfg.max_retries > 0:
+            # retry re-dispatches keep their ORIGINAL rank (crawl order =
+            # dispatch order); attempt rides through from the snapshot
+            rank = F.coalesce(F.col("_retry_rank"), rank)
+            attempt = F.col("attempt").cast("int")
+            if cfg.retry_failure_every > 0:
+                # deterministic per-(url, attempt) transient die — the
+                # fetch-sim stand-in for timeouts/5xx. Only successful
+                # synthesis can fail transiently (missing = permanent
+                # 404) and the final allowed attempt always resolves.
+                die = F.pmod(
+                    F.xxhash64(F.concat(
+                        F.col("url"), F.lit("#"), attempt.cast("string"))),
+                    F.lit(cfg.retry_failure_every)) == 0
+                st = F.when(
+                    (attempt <= F.lit(cfg.max_retries)) & die
+                    & (st == F.lit("fetched")),
+                    F.lit("transient")).otherwise(st)
+            # a transient fetch returned no content: null spans, url title
+            is_tr = st == F.lit("transient")
+            spans_out = F.when(is_tr, F.lit(None)).otherwise(spans_out)
+            title = F.when(is_tr, F.col("url")).otherwise(title)
         return joined.select(
             "url", "url_hash", "host", "depth",
-            (F.lit(fetched_so_far) + F.col("rank_in_round")).cast("long").alias("rank"),
+            rank.alias("rank"),
             F.lit(round_no).alias("fetch_round"),
-            F.coalesce(status, F.lit("missing")).alias("status"),
-            F.coalesce(heading, F.col("url")).alias("title"),  # E6 ladder
-            spans_out, "score", "parent_rank", "parent_offset", "path",
+            st.alias("status"),
+            title.alias("title"),
+            spans_out.alias("spans"), "score", "parent_rank", "parent_offset", "path",
+            attempt.alias("attempt"),
         )
 
     # ------------------------------------------------------------------ #
@@ -574,6 +607,7 @@ class CrawlEngine:
         self._batch_est = max(1, len(cfg.seeds))
         self._pending_est = max(1, len(cfg.seeds))
         self._link_ratio = 4.0
+        self._retries_est = 0
         ck = self.ckp.latest() if resume else None
         if ck is None:
             _ts = time.monotonic()
@@ -597,10 +631,17 @@ class CrawlEngine:
             for name, tbl in (("frontier", self.frontier_tbl), ("url_seen", self.seen_tbl),
                               ("pages", self.pages_tbl), ("metrics", self.metrics_tbl),
                               ("blooms", self.bloom_tbl), ("redirects", self.redirects_tbl),
-                              ("pending", self.pending_tbl)):
+                              ("pending", self.pending_tbl), ("retries", self.retries_tbl)):
                 if name in ck["versions"]:
                     tbl.rollback(ck["versions"][name])
             round_no, fetched = ck["round"] + 1, ck["fetched"]
+            if cfg.max_retries > 0:
+                if "retries_est" in ck:
+                    self._retries_est = ck["retries_est"]
+                else:
+                    # checkpoint predates retries: count the snapshot once
+                    r = self.retries_tbl.read(spark)
+                    self._retries_est = 0 if r is None else r.count()
             if sweep:
                 d = self._read_delta(self.frontier_tbl)
                 self._batch_est = 1 if d is None else max(1, d.count())
@@ -644,11 +685,16 @@ class CrawlEngine:
                 limit = cfg.round_size if limit is None else min(limit, cfg.round_size)
 
             t0 = time.monotonic()
+            retries_out = cfg.max_retries > 0 and self._retries_est > 0
             if sweep:
                 # delta-only selection: last round's appended links
                 delta = self._read_delta(self.frontier_tbl)
                 if delta is None:
-                    break
+                    if not retries_out:
+                        break
+                    # no new links, but transient retries are pending —
+                    # dispatch an (empty-frontier ∪ due-retries) round
+                    delta = self.frontier_tbl.read(spark).where(F.lit(False))
                 selected = delta.withColumn("rank_in_round", F.lit(0))
             else:
                 self._batch_est = max(1, (
@@ -667,17 +713,57 @@ class CrawlEngine:
                 else:
                     pending = self.pending_tbl.read(spark)
                 if pending is None:
-                    break
+                    if not retries_out:
+                        break
+                    pending = self.frontier_tbl.read(spark).where(F.lit(False))
                 selected = self._select_batch(pending, limit)
+            rsnap = None
+            if cfg.max_retries > 0:
+                # dispatch = fresh selection (attempt 1) ∪ due retries.
+                # Due rows bypass ranking/seen — they already hold a rank
+                # and live in the frontier log; dispatching CONSUMES them
+                # (the next snapshot is written without them below).
+                selected = selected.select(
+                    "*", F.lit(1).cast("int").alias("attempt"),
+                    F.lit(None).cast("long").alias("_retry_rank"))
+                rsnap = self.retries_tbl.read(spark)
+                if rsnap is not None:
+                    due = rsnap.where(F.col("due_round") <= round_no).select(
+                        *FRONTIER_COLS, F.lit(0).alias("rank_in_round"),
+                        F.col("attempt").cast("int").alias("attempt"),
+                        F.col("retry_rank").cast("long").alias("_retry_rank"))
+                    selected = selected.unionByName(due)
             obs = Observation()
             pages_batch = self._fetch(selected, round_no, fetched).observe(
-                obs, F.count(F.lit(1)).alias("n")
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                # coalesce: sum over an EMPTY batch observes as NULL
+                F.coalesce(F.sum(F.when(F.col("status") == "transient", 1)
+                                 .otherwise(0)), F.lit(0)).alias("n_tr"),
+                F.coalesce(F.sum(F.when(F.col("attempt") > 1, 1)
+                                 .otherwise(0)), F.lit(0)).alias("n_rt"),
             )
             self.pages_tbl.append(pages_batch)
             self._prof_mark(round_no, "select+fetch+write_pages", t0)
-            # row count from the write's own observation — no extra job
-            n_sel = int(obs.get["n"])
-            if n_sel == 0:
+            # row counts from the write's own observation — no extra job.
+            # n_sel = FRESH dispatches (rank slots + pending consumption);
+            # retries reuse their original rank and came from the snapshot.
+            n_total = int(obs.get["n"])
+            n_tr = int(obs.get["n_tr"])
+            n_rt = int(obs.get["n_rt"])
+            n_sel = n_total - n_rt
+            if n_total == 0:
+                if retries_out and round_no < cfg.max_rounds:
+                    # backoff gap: nothing due yet — commit an empty round
+                    # so due_round can be reached (bounded by the backoff)
+                    self.ckp.commit(round_no, self._versions(), {
+                        "fetched": fetched,
+                        "pending_mode": getattr(self, "_pending_mode", "table"),
+                        "pending_est": self._pending_est,
+                        "retries_est": self._retries_est,
+                    })
+                    round_no += 1
+                    continue
                 break
             pages_batch = self._read_delta(self.pages_tbl)
 
@@ -743,6 +829,35 @@ class CrawlEngine:
                     self._pending_mode = "table"
                 self._prof_mark(round_no, "pending_update", t2)
 
+            if cfg.max_retries > 0 and (n_tr > 0 or n_rt > 0):
+                # next snapshot = not-yet-due rows ∪ this round's new
+                # transients (attempt+1, exponential due_round). Due rows
+                # just dispatched are dropped by the due_round filter —
+                # consumed exactly once, replayed exactly on rollback.
+                t4 = time.monotonic()
+                later = (rsnap.where(F.col("due_round") > round_no)
+                         if rsnap is not None else None)
+                nxt = later
+                if n_tr > 0:
+                    salts = max(1, cfg.politeness_salts)
+                    backoff = F.ceil(F.pow(
+                        F.lit(float(cfg.retry_backoff_base)),
+                        (F.col("attempt") - 1).cast("double"))).cast("int")
+                    newr = pages_batch.where(F.col("status") == "transient").select(
+                        "url", "url_hash", "host",
+                        F.pmod(F.xxhash64("url"), F.lit(salts)).cast("int").alias("host_salt"),
+                        "depth", "score", "parent_rank", "parent_offset", "path",
+                        F.lit(round_no).alias("discovered_round"),
+                        (F.col("attempt") + 1).cast("int").alias("attempt"),
+                        F.col("rank").cast("long").alias("retry_rank"),
+                        (F.lit(round_no) + backoff).cast("int").alias("due_round"),
+                    )
+                    nxt = newr if nxt is None else nxt.unionByName(newr)
+                self._retries_est = self._retries_est - n_rt + n_tr
+                if nxt is not None:
+                    self.retries_tbl.overwrite(nxt.coalesce(1))
+                self._prof_mark(round_no, "retries_update", t4)
+
             if blocked is not None:
                 self.seen_tbl.append(blocked.select(
                     "url", "url_hash", F.lit(round_no).alias("first_round"),
@@ -789,6 +904,7 @@ class CrawlEngine:
                 "fetched": fetched,
                 "pending_mode": getattr(self, "_pending_mode", "table"),
                 "pending_est": self._pending_est,
+                "retries_est": self._retries_est,
             })
             if cfg.auto_compact_every and round_no % cfg.auto_compact_every == 0:
                 # after the checkpoint: a crash mid-compaction resumes from
@@ -811,6 +927,7 @@ class CrawlEngine:
                 "fetched": fetched,
                 "pending_mode": getattr(self, "_pending_mode", "table"),
                 "pending_est": self._pending_est,
+                "retries_est": self._retries_est,
             })
         else:
             self._flush_metrics()
@@ -826,6 +943,7 @@ class CrawlEngine:
             "blooms": self.bloom_tbl.current_version(),
             "redirects": self.redirects_tbl.current_version(),
             "pending": self.pending_tbl.current_version(),
+            "retries": self.retries_tbl.current_version(),
         }
 
     METRICS_FLUSH_ROUNDS = 8

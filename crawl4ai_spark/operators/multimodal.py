@@ -179,6 +179,58 @@ def sample_frames(blobs: DataFrame, every: int = 10) -> DataFrame:
     return blobs.mapInPandas(run, "media_ref string, frame_idx int, width int, height int")
 
 
+def phash_variants(blobs: DataFrame, thumb_side: int = 64) -> DataFrame:
+    """Per IMAGE blob: a 60-bit average-hash (aHash) of the pixel grid,
+    for the original AND its nearest-neighbor thumbnail (``ref#thumb``)
+    — the perceptual-dedup signature for responsive-image variants
+    (srcset/<picture> emit the same image at several scales; byte-exact
+    dedup misses them, aHash survives the rescale).
+
+    Exact integer math end to end so the DuckDB oracle can recompute it:
+    sample an 8×8 grid (cell (y,x) → pixel [y*h//8, x*w//8]), mean over
+    all 64 samples, bit j=y*8+x set iff sample*64 > total (strict), pack
+    the FIRST 60 bits (BIGINT-safe both engines, reuses the simhash
+    band/hamming tooling). The thumbnail is the real resize_images
+    index math composed: thumb[a,b] = grid[a*h//nh, b*w//nw].
+
+    Map-side only (mapInPandas); the wide blob bytes never shuffle —
+    downstream joins carry (ref, phash) pairs."""
+    def _ahash(grid: np.ndarray) -> int:
+        gh, gw = grid.shape
+        yi = (np.arange(8) * gh) // 8
+        xi = (np.arange(8) * gw) // 8
+        s = grid[np.ix_(yi, xi)].astype(np.int64).ravel()
+        tot = int(s.sum())
+        return sum(1 << j for j in range(60) if int(s[j]) * 64 > tot)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, variants, hashes = [], [], []
+            for ref, data in zip(pdf["media_ref"], pdf["data"]):
+                m = decode_media(data)
+                if m["kind"] != "image" or not m["width"]:
+                    continue
+                w, h = m["width"], m["height"]
+                px = np.frombuffer(m["pixels"][: w * h], dtype=np.uint8)
+                if px.size < w * h:
+                    px = np.pad(px, (0, w * h - px.size))
+                grid = px.reshape(h, w)
+                refs.append(ref)
+                variants.append("orig")
+                hashes.append(_ahash(grid))
+                scale = min(1.0, thumb_side / max(w, h))
+                nw, nh = max(1, int(w * scale)), max(1, int(h * scale))
+                yi = (np.arange(nh) * h) // nh
+                xi = (np.arange(nw) * w) // nw
+                refs.append(f"{ref}#thumb")
+                variants.append("thumb")
+                hashes.append(_ahash(grid[np.ix_(yi, xi)]))
+            yield pd.DataFrame({"media_ref": refs, "variant": variants,
+                                "phash": pd.array(hashes, dtype="int64")})
+
+    return blobs.mapInPandas(run, "media_ref string, variant string, phash long")
+
+
 # --------------------------------------------------------------------------- #
 # spans → media pipeline glue
 # --------------------------------------------------------------------------- #

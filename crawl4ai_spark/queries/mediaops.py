@@ -21,10 +21,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions import hashing as H
 from ..operators.multimodal import (
     build_media_blobs,
     extract_media_meta,
     media_features,
+    phash_variants,
     sample_frames,
 )
 from .registry import query, table as _t
@@ -148,3 +150,100 @@ def q_media_features_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             for b in range(4)
         ],
     )
+
+
+# --------------------------------------------------------------------------- #
+# perceptual-hash near-dup: originals vs responsive thumbnails (aHash-60)
+# --------------------------------------------------------------------------- #
+PHASH_HAMMING_T = 12
+
+
+@query(
+    "media_phash_dedup",
+    f"""
+    WITH {_BASE_SQL},
+    imgs AS (SELECT media_ref, width AS w, height AS h FROM hdr WHERE kind = 'image'),
+    dims AS (
+        SELECT media_ref, w, h,
+               greatest(1, floor(w * least(1.0, 64.0 / greatest(w, h))))::INT AS nw,
+               greatest(1, floor(h * least(1.0, 64.0 / greatest(w, h))))::INT AS nh
+        FROM imgs
+    ),
+    cells AS (
+        SELECT yy.y AS y, xx.x AS x
+        FROM (SELECT unnest(generate_series(0, 7)) AS y) yy,
+             (SELECT unnest(generate_series(0, 7)) AS x) xx
+    ),
+    -- body[i] = md5(ref) byte (i % 16); orig samples [y*h//8, x*w//8],
+    -- thumb composes the real nearest-neighbor resize index math
+    samp AS (
+        SELECT media_ref AS base_ref, media_ref AS out_ref, y, x,
+               ((y * h) // 8) * w + ((x * w) // 8) AS pix
+        FROM dims, cells
+        UNION ALL
+        SELECT media_ref, media_ref || '#thumb', y, x,
+               ((((y * nh) // 8) * h) // nh) * w + ((((x * nw) // 8) * w) // nw) AS pix
+        FROM dims, cells
+    ),
+    px AS (
+        SELECT out_ref, y * 8 + x AS j,
+               ('0x' || substr(md5(base_ref), 2 * (pix % 16) + 1, 2))::INT AS v
+        FROM samp
+    ),
+    pxt AS (
+        SELECT out_ref, j, v, sum(v) OVER (PARTITION BY out_ref) AS tot FROM px
+    ),
+    hs AS (
+        SELECT out_ref AS media_ref,
+               sum(CASE WHEN j < 60 AND v * 64 > tot
+                        THEN (1::BIGINT << j) ELSE 0::BIGINT END)::BIGINT AS phash
+        FROM pxt GROUP BY out_ref
+    ),
+    segs AS (
+        SELECT media_ref, phash, b.band, (phash >> (b.band * 15)) & 32767 AS key
+        FROM hs CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS band) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.media_ref AS a_ref, b.media_ref AS b_ref,
+               a.phash AS sa, b.phash AS sb
+        FROM segs a JOIN segs b
+          ON a.band = b.band AND a.key = b.key AND a.media_ref < b.media_ref
+    )
+    SELECT a_ref, b_ref, bit_count(xor(sa, sb))::INT AS hamming
+    FROM cand WHERE bit_count(xor(sa, sb)) <= {PHASH_HAMMING_T}
+    """,
+)
+def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual near-dup over the REAL multimodal pipeline: blobs →
+    aHash-60 of original + nearest-neighbor thumbnail (the srcset/
+    responsive-variant shape byte-exact dedup misses) → 4×15-bit band
+    LSH join → hamming verify. Candidate generation is LSH (recall < 1
+    for heavily rescaled non-square images — documented, like
+    dedup_embedding); both engines compute the identical subset.
+
+    Scale: blob bytes stay map-side in mapInPandas; only (ref, phash)
+    pairs shuffle, and the self-join is banded — pair count Σ n_band²,
+    never n²."""
+    blobs = build_media_blobs(_refs(spark, sf_dir))
+    # repartition = ReusedExchange barrier: the self-join reuses ONE
+    # mapInPandas pass instead of synthesizing + hashing blobs twice
+    ph = phash_variants(blobs).repartition("media_ref")
+    bands = F.array(*[H.simhash_band(F.col("phash"), b) for b in range(4)])
+    segs = ph.select("media_ref", "phash", F.posexplode(bands).alias("band", "key"))
+    a, b = segs.alias("a"), segs.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.media_ref") < F.col("b.media_ref")),
+        )
+        .select(
+            F.col("a.media_ref").alias("a_ref"), F.col("b.media_ref").alias("b_ref"),
+            F.col("a.phash").alias("sa"), F.col("b.phash").alias("sb"),
+        )
+        .dropDuplicates(["a_ref", "b_ref"])
+    )
+    ham = H.hamming60(F.col("sa"), F.col("sb"))
+    return cand.where(ham <= PHASH_HAMMING_T).select(
+        "a_ref", "b_ref", ham.cast("int").alias("hamming"))
