@@ -978,7 +978,7 @@ class CrawlEngine:
         for name, tbl in (("frontier", self.frontier_tbl), ("url_seen", self.seen_tbl),
                           ("pages", self.pages_tbl), ("metrics", self.metrics_tbl),
                           ("blooms", self.bloom_tbl), ("redirects", self.redirects_tbl),
-                          ("pending", self.pending_tbl)):
+                          ("pending", self.pending_tbl), ("retries", self.retries_tbl)):
             keep = ck["versions"].get(name)
             if keep:
                 out[name] = tbl.expire_snapshots(keep)
@@ -1011,8 +1011,15 @@ class CrawlEngine:
         return tbl.read_files(self.spark, delta)
 
     # ------------------------------------------------------------------ #
-    def pages(self) -> DataFrame | None:
-        return self.pages_tbl.read(self.spark)
+    def pages(self, resolved: bool = False) -> DataFrame | None:
+        """The fetch log. With retries enabled it also carries the
+        transient attempts (status='transient', null spans, same rank as
+        the eventual resolution); ``resolved=True`` filters to the final
+        row per URL — what a no-retry crawl's pages table looks like."""
+        df = self.pages_tbl.read(self.spark)
+        if df is None or not resolved:
+            return df
+        return df.where(F.col("status") != "transient")
 
     def url_seen(self) -> DataFrame | None:
         """The deduplicated URL-seen set, derived: the append-only

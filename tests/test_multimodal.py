@@ -75,3 +75,27 @@ def test_blob_join_broadcasts_metadata_not_bytes(spark, corpus_dir):
     )
     assert "data" not in joined.columns
     assert joined.count() > 0
+
+
+def test_phash_variants_semantics(spark):
+    """aHash-60: thumb of a ≤64px image hashes identically (resize is a
+    no-op); every image yields exactly an 'orig' and a '#thumb' row; the
+    hash is confined to 60 bits."""
+    from crawl4ai_spark.operators.multimodal import phash_variants
+
+    refs = spark.createDataFrame(
+        [(f"https://h/img/{i}.png",) for i in range(40)], ["media_ref"])
+    ph = {(r.media_ref, r.variant): r.phash
+          for r in phash_variants(build_media_blobs(refs)).collect()}
+    assert len(ph) == 80
+    import hashlib
+
+    for i in range(40):
+        ref = f"https://h/img/{i}.png"
+        orig = ph[(ref, "orig")]
+        thumb = ph[(f"{ref}#thumb", "thumb")]
+        assert 0 <= orig < (1 << 60) and 0 <= thumb < (1 << 60)
+        d = hashlib.md5(ref.encode()).digest()
+        w, h = 16 + d[0] % 240, 16 + d[1] % 240
+        if max(w, h) <= 64:
+            assert thumb == orig  # resize no-op → identical sampling
