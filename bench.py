@@ -165,6 +165,39 @@ def crawl_polite_throughput(spark, work_dir: str, n_docs: int, n_hosts: int = 40
     }
 
 
+def crawl_retry_throughput(spark, work_dir: str, n_docs: int, n_hosts: int = 40) -> dict:
+    """Sweep crawl with the retry path ON (5% deterministic transient
+    failures, max_retries=2): measures what the backoff/redispatch
+    machinery costs on top of the plain sweep — the retry snapshot
+    read/overwrite per failing round plus the per-attempt die."""
+    from crawl4ai_spark.config import CrawlConfig
+    from crawl4ai_spark.fixtures import VirtualCorpus
+    from crawl4ai_spark.operators.frontier import CrawlEngine
+
+    vc = VirtualCorpus(n_docs=n_docs, n_hosts=n_hosts)
+    seeds = vc.seed_urls(n_hosts - 1, 4096)
+    cfg = CrawlConfig(
+        seeds=seeds, max_depth=8, max_pages=None, include_external=True,
+        politeness=False, respect_robots=False, track_order=False,
+        round_size=None, max_rounds=5,
+        max_retries=2, retry_failure_every=20,
+    )
+    state = os.path.join(work_dir, "state_retry")
+    shutil.rmtree(state, ignore_errors=True)
+    eng = CrawlEngine(spark, vc, cfg, state)
+    t0 = time.monotonic()
+    res = eng.run()
+    elapsed = time.monotonic() - t0
+    n_tr = eng.pages().where("status = 'transient'").count()
+    return {
+        "fetched": res["fetched"],
+        "rounds": res["rounds"],
+        "transient": n_tr,
+        "crawl_sec": round(elapsed, 3),
+        "urls_per_sec": round(res["fetched"] / elapsed, 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -221,10 +254,17 @@ def main() -> None:
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
+    # single run (tertiary metric): the retry/backoff path's cost
+    work = f"/dev/shm/bench_rcrawl_{os.getpid()}"
+    try:
+        retry = crawl_retry_throughput(spark, work, n_docs)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
     total = round(sum(sum(r) for r in qspread.values())
                   + sum(c["crawl_sec"] for c in crawl_runs)
                   + sum(c["crawl_sec"] for c in ordered_runs)
-                  + polite["crawl_sec"], 3)
+                  + polite["crawl_sec"] + retry["crawl_sec"], 3)
     print(json.dumps({
         "metric": "urls_fetched_deduped_per_sec",
         "value": crawl["urls_per_sec"],
@@ -234,6 +274,7 @@ def main() -> None:
         "crawl": crawl,
         "crawl_ordered": ordered,
         "crawl_polite": polite,
+        "crawl_retry": retry,
         "best_of": best_of,
         "query_runs": qspread,
         "crawl_runs": [c["urls_per_sec"] for c in crawl_runs],
