@@ -78,6 +78,7 @@ class CrawlEngine:
         host_budgets: DataFrame | None = None,
         redirects: DataFrame | None = None,
         max_redirect_hops: int = 2,
+        trap_templates: DataFrame | None = None,
     ):
         self.spark = spark
         # NB: do NOT persist() the corpus — a deserialized nested-row cache
@@ -107,6 +108,12 @@ class CrawlEngine:
         self.host_budgets = host_budgets
         self.redirects = redirects
         self.max_redirect_hops = max_redirect_hops
+        # (host, template) classes to never enqueue — the crawl_traps
+        # control-loop output (queries/schedops.py) fed back into the
+        # engine: discovered links are templated (digit runs → {d}, long
+        # hex tokens → {h}) and dropped by a broadcast anti-join, the
+        # same map-side shape as the domain/social excludes.
+        self.trap_templates = trap_templates
         # size estimates for output partitioning (never for semantics);
         # reset + maintained by run() from per-round observations
         self._batch_est = max(1, len(cfg.seeds))
@@ -521,6 +528,16 @@ class CrawlEngine:
             links = links.where(~F.col("host").rlike(f"(^|\\.)({soc})$"))
         if cfg.exclude_domains:
             links = links.where(~F.col("host").isin(cfg.exclude_domains))
+        if self.trap_templates is not None:
+            tpl = F.regexp_replace(
+                F.regexp_replace(F.col("u_path"), r"[0-9a-f]{8,}", "{h}"),
+                r"[0-9]+", "{d}")
+            traps = F.broadcast(self.trap_templates.select(
+                F.col("host").alias("_th"), F.col("template").alias("_tt")))
+            links = links.withColumn("_tpl", tpl).join(
+                traps,
+                (F.col("host") == F.col("_th")) & (F.col("_tpl") == F.col("_tt")),
+                "left_anti").drop("_tpl")
         links = links.where(F.col("p_depth") < cfg.max_depth)
 
         scored = links.select(

@@ -601,3 +601,33 @@ def test_resume_mid_crawl_delta_mode(spark, tmp_path):
     assert a == b
     assert {r.url for r in full.url_seen().collect()} == \
            {r.url for r in resumed.url_seen().collect()}
+
+
+def test_trap_templates_block_enqueue(spark, corpus_dir, tmp_path):
+    """crawl_traps feedback: links whose (host, path-template) is in the
+    trap table never enter the frontier; everything else matches the
+    unrestricted crawl minus the trapped subtree."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    seeds = get_seeds(spark, corpus_dir)[:1]
+    cfg = lambda: CrawlConfig(seeds=list(seeds), max_pages=None, max_depth=4,
+                              max_rounds=40)
+    base = CrawlEngine(spark, docs, cfg(), str(tmp_path / "base"))
+    base.run()
+    base_urls = {r.url for r in base.pages().select("url").collect()}
+    # fixture paths are /p/<i>, /a/b/c/<i>, /login/p/<i> — trap the
+    # /a/b/c class on the seed's host
+    host = seeds[0].split("/")[2]
+    traps = spark.createDataFrame([(host, "/a/b/c/{d}")], ["host", "template"])
+    eng = CrawlEngine(spark, docs, cfg(), str(tmp_path / "trap"),
+                      trap_templates=traps)
+    eng.run()
+    got = {r.url for r in eng.pages().select("url").collect()}
+    trapped = {u for u in base_urls
+               if u.split("/")[2] == host and "/a/b/c/" in u and u not in seeds}
+    assert trapped, "fixture must contain trapped URLs or the test is vacuous"
+    assert got.isdisjoint(trapped)
+    # the non-trapped reachable set can only shrink through trapped parents
+    assert got <= base_urls
+    assert seeds[0] in got
