@@ -277,3 +277,41 @@ def q_host_budget_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"cast((budget + {PER_SALT - 1}) div {PER_SALT} as int)").alias("salts"),
         )
     )
+
+
+def host_budgets_from_yield(pages: DataFrame,
+                            total_budget: int = TOTAL_BUDGET,
+                            budget_min: int = BUDGET_MIN,
+                            budget_max: int = BUDGET_MAX,
+                            min_spans: int = 3) -> DataFrame:
+    """Engine-side twin of ``host_budget_alloc``: turn an OBSERVED crawl's
+    pages table into the next run's politeness budgets — yield is the
+    count of fetched pages clearing a span-count gate, budget is the
+    clamped integer-floor share of ``total_budget``. The output feeds
+    straight into ``CrawlEngine(host_budgets=...)``, closing the
+    crawl → measure → allocate → crawl control loop the same way
+    ``trap_templates`` closes the trap loop.
+
+    One hash agg keyed by host + a 1-row broadcast total — bounded by
+    the host vocabulary at any corpus scale."""
+    per_host = (
+        pages.where(F.col("status") == "fetched")
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_pages"),
+            F.sum(F.when(F.size("spans") >= min_spans, 1).otherwise(0))
+            .cast("long").alias("yield_docs"),
+        )
+    )
+    tot = per_host.agg(
+        F.greatest(F.lit(1), F.sum("yield_docs")).alias("total_yield"))
+    budget = F.greatest(
+        F.lit(budget_min),
+        F.least(F.lit(budget_max),
+                F.expr(f"({total_budget} * yield_docs) div total_yield")),
+    ).cast("int")
+    return (
+        per_host.crossJoin(F.broadcast(tot))
+        .withColumn("budget", budget)
+        .select("host", "n_pages", "yield_docs", "budget")
+    )

@@ -78,3 +78,42 @@ def test_budget_alloc_clamps_and_salts(spark):
     assert sum(
         (S.TOTAL_BUDGET * r.yield_docs) // total_yield for r in rows
     ) <= S.TOTAL_BUDGET
+
+
+def test_yield_budget_feedback_loop(spark, corpus_dir, tmp_path):
+    """crawl → host_budgets_from_yield → politeness crawl: the second
+    crawl's per-(host, round) grants never exceed the allocated budget."""
+    from crawl4ai_spark.config import CrawlConfig
+    from crawl4ai_spark.operators.frontier import CrawlEngine
+    from crawl4ai_spark.queries.schedops import host_budgets_from_yield
+    from tests.test_crawl import get_seeds
+
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    seeds = get_seeds(spark, corpus_dir)[:1]
+    probe = CrawlEngine(
+        spark, docs,
+        CrawlConfig(seeds=list(seeds), max_pages=None, max_depth=3, max_rounds=30),
+        str(tmp_path / "probe"))
+    probe.run()
+    budgets = host_budgets_from_yield(probe.pages(), total_budget=12,
+                                      budget_min=2, budget_max=6)
+    rows = {r.host: r for r in budgets.collect()}
+    assert rows
+    total_yield = sum(r.yield_docs for r in rows.values())
+    for r in rows.values():
+        assert r.budget == max(2, min(6, (12 * r.yield_docs) // total_yield))
+
+    eng = CrawlEngine(
+        spark, docs,
+        CrawlConfig(seeds=list(seeds), max_pages=None, max_depth=3,
+                    max_rounds=30, politeness=True),
+        str(tmp_path / "budgeted"), host_budgets=budgets)
+    eng.run()
+    from pyspark.sql import functions as F
+
+    grants = (eng.pages().groupBy("host", "fetch_round").count()
+              .join(budgets.select("host", "budget"), "host", "left").collect())
+    assert grants
+    for g in grants:
+        if g.budget is not None:
+            assert g["count"] <= g.budget, (g.host, g.fetch_round)
