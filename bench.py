@@ -179,7 +179,7 @@ def crawl_retry_throughput(spark, work_dir: str, n_docs: int, n_hosts: int = 40)
     cfg = CrawlConfig(
         seeds=seeds, max_depth=8, max_pages=None, include_external=True,
         politeness=False, respect_robots=False, track_order=False,
-        round_size=None, max_rounds=5,
+        round_size=None, max_rounds=6,  # same as the plain sweep → comparable
         max_retries=2, retry_failure_every=20,
     )
     state = os.path.join(work_dir, "state_retry")
