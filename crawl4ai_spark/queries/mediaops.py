@@ -247,3 +247,160 @@ def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ham = H.hamming60(F.col("sa"), F.col("sb"))
     return cand.where(ham <= PHASH_HAMMING_T).select(
         "a_ref", "b_ref", ham.cast("int").alias("hamming"))
+
+
+# --------------------------------------------------------------------------- #
+# interleaved caption-quality scoring (the CLIP-filter shape, deterministic)
+# --------------------------------------------------------------------------- #
+CAPTION_KEEP_MIN = 0.4   # cosine threshold (≈ observed median: 8-token captions
+                         # spread thin over 16 buckets vs dense media histograms)
+
+
+@query(
+    "media_caption_score",
+    None,  # SQL assembled below (needs spansops' span CTE)
+)
+def q_media_caption_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LAION/DataComp-shape caption filtering over the interleaved
+    corpus: every (media span, caption candidate) pair from the
+    OBELICS-style alignment gets an image-text similarity score and a
+    keep flag. The embedding stage is the documented deterministic
+    stand-in (K1 stub philosophy): media vector = the real pipeline's
+    16-bucket byte histogram recovered to integer counts; text vector =
+    16-bucket token-hash histogram (md5-60 % 16); score = cosine with a
+    fixed fold order, so DuckDB reproduces every double bit-for-bit.
+    Swap the two vectorizers for CLIP towers in production — the join
+    shape, Arrow batching, and filter semantics are what's under test.
+
+    Scale: blobs stay map-side (mapInPandas); the caption side is pure
+    array HOFs inside the scan; the only shuffle is the (media_ref →
+    16 ints) feature join, broadcast-size per media shard."""
+    from ..operators.multimodal import caption_pairs
+    from .spansops import _span_docs
+
+    sd = _span_docs(spark, sf_dir)
+    pairs = (
+        sd.select("doc_id", F.explode(caption_pairs("spans")).alias("p"))
+        .select(
+            "doc_id", F.col("p.offset").cast("long").alias("offset"),
+            F.col("p.media_ref").alias("media_ref"),
+            F.col("p.caption").alias("caption"),
+        )
+    )
+    blobs = build_media_blobs(pairs.select("media_ref"))
+    feats = media_features(blobs, dim=16)
+    meta = extract_media_meta(blobs).select(
+        "media_ref", (F.col("width") * F.col("height")).cast("long").alias("n_px"))
+    mvec = feats.join(meta, "media_ref").select(
+        "media_ref",
+        F.transform(
+            "features",
+            lambda f: F.round(f.cast("double") * F.col("n_px"), 0).cast("long")
+        ).alias("mv"),
+    )
+    toks = F.filter(F.split(F.coalesce("caption", F.lit("")), r"\s+"),
+                    lambda w: w != "")
+    hashes = F.transform(toks, lambda w: F.pmod(H.h60(w), F.lit(16)).cast("int"))
+    tvec = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 16),
+        lambda acc, hh: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda c, i: c + F.when(hh == i, 1).otherwise(0),
+        ),
+    )
+    j = pairs.withColumn("tv", tvec).join(mvec, "media_ref", "left")
+
+    def _dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+            F.lit(0.0), lambda acc, v: acc + v)
+
+    dot = _dot(F.col("tv"), F.col("mv"))
+    nt = F.sqrt(_dot(F.col("tv"), F.col("tv")))
+    nm = F.sqrt(_dot(F.col("mv"), F.col("mv")))
+    score = F.when((nt > 0) & (nm > 0) & F.col("mv").isNotNull(),
+                   F.round(dot / (nt * nm), 6)).otherwise(F.lit(0.0))
+    return j.select(
+        "doc_id", "offset", "media_ref",
+        score.alias("score"),
+        (score >= F.lit(CAPTION_KEEP_MIN)).alias("keep"),
+    )
+
+
+def _fold16_sql(term: str) -> str:
+    """Σ over i=1..16 of ``term`` (uses i), fixed left-fold order."""
+    return (f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(generate_series(1, 16), i -> {term})), (a, b) -> a + b)")
+
+
+def _register_caption_score_sql() -> None:
+    from ..functions.hashing import h60_sql
+    from .registry import _ORACLES
+    from .spansops import _SP_SQL
+
+    db_j = "('0x' || substr(md5(media_ref), 2 * j + 1, 2))::INT"
+    mcnt = (f"CAST(list_sum(list_transform(generate_series(0, 15), j -> "
+            f"CASE WHEN {db_j} % 16 = b THEN (w * h) // 16 + "
+            f"(CASE WHEN j < (w * h) % 16 THEN 1 ELSE 0 END) ELSE 0 END)) AS BIGINT)")
+    _ORACLES["media_caption_score"] = f"""
+    WITH {_SP_SQL},
+    win AS (
+        SELECT doc_id, g, kind, ref,
+               last_value(CASE WHEN kind = 'text' THEN gtext END IGNORE NULLS) OVER w_prev AS prev_text,
+               first_value(CASE WHEN kind = 'text' THEN gtext END IGNORE NULLS) OVER w_next AS next_text
+        FROM spans
+        WINDOW w_prev AS (PARTITION BY doc_id ORDER BY g
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               w_next AS (PARTITION BY doc_id ORDER BY g
+                          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    ),
+    caps AS (
+        SELECT doc_id, g AS off, ref AS media_ref,
+               coalesce(prev_text, next_text) AS caption
+        FROM win WHERE kind IN ('image', 'media')
+    ),
+    mdims AS (
+        SELECT media_ref,
+               16 + ('0x' || substr(md5(media_ref), 1, 2))::INT % 240 AS w,
+               16 + ('0x' || substr(md5(media_ref), 3, 2))::INT % 240 AS h
+        FROM (SELECT DISTINCT media_ref FROM caps)
+    ),
+    mvec AS MATERIALIZED (
+        SELECT media_ref,
+               list_transform(generate_series(0, 15), b -> {mcnt}) AS mv
+        FROM mdims
+    ),
+    tok AS MATERIALIZED (
+        SELECT doc_id, off, media_ref,
+               list_transform(
+                   list_filter(regexp_split_to_array(coalesce(caption, ''), '\\s+'),
+                               w -> w <> ''),
+                   w -> ({h60_sql('w')} % 16)::INT) AS hs
+        FROM caps
+    ),
+    tvec AS MATERIALIZED (
+        SELECT doc_id, off, media_ref,
+               list_transform(generate_series(0, 15),
+                              b -> len(list_filter(hs, x -> x = b))::BIGINT) AS tv
+        FROM tok
+    ),
+    scored AS (
+        SELECT t.doc_id, t.off, t.media_ref,
+               {_fold16_sql('t.tv[i]::DOUBLE * m.mv[i]::DOUBLE')} AS dot,
+               sqrt({_fold16_sql('t.tv[i]::DOUBLE * t.tv[i]::DOUBLE')}) AS nt,
+               sqrt({_fold16_sql('m.mv[i]::DOUBLE * m.mv[i]::DOUBLE')}) AS nm
+        FROM tvec t LEFT JOIN mvec m USING (media_ref)
+    )
+    SELECT doc_id, off::BIGINT AS offset, media_ref,
+           (CASE WHEN nt > 0 AND nm > 0 THEN round(dot / (nt * nm), 6)
+                 ELSE 0.0 END) AS score,
+           (CASE WHEN nt > 0 AND nm > 0
+                 THEN round(dot / (nt * nm), 6) >= {CAPTION_KEEP_MIN}
+                 ELSE FALSE END) AS keep
+    FROM scored
+    """
+
+
+_register_caption_score_sql()

@@ -99,3 +99,20 @@ def test_phash_variants_semantics(spark):
         w, h = 16 + d[0] % 240, 16 + d[1] % 240
         if max(w, h) <= 64:
             assert thumb == orig  # resize no-op → identical sampling
+
+
+def test_caption_score_semantics(spark):
+    """Caption-quality scores are cosines of non-negative vectors
+    (∈ [0, 1]), keep ↔ score ≥ threshold, and media spans with no text
+    span in the document score 0."""
+    from crawl4ai_spark.queries.mediaops import CAPTION_KEEP_MIN, q_media_caption_score
+
+    rows = q_media_caption_score(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    kept = 0
+    for r in rows:
+        assert 0.0 <= r.score <= 1.0
+        assert r.keep == (r.score >= CAPTION_KEEP_MIN)
+        kept += int(r.keep)
+    # the threshold splits, not rubber-stamps
+    assert 0 < kept < len(rows)
