@@ -559,3 +559,127 @@ def q_token_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("n_tokens").alias("max_tokens"),
         )
     )
+
+
+# --------------------------------------------------------------------------- #
+# dsir_weights — hashed-bigram importance weights vs a target set (DSIR)
+# --------------------------------------------------------------------------- #
+DSIR_BUCKETS = 64
+
+
+@query("dsir_weights", None)  # SQL registered below (assembled from emitters)
+def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al. 2023) in its
+    published hashed-n-gram form: word bigrams hash into 64 buckets;
+    unigram-bucket generative models of the TARGET set (the deterministic
+    doc_id % 97 == 0 holdout, same convention as decontaminate_ngram) and
+    the RAW corpus are estimated with add-1 smoothing; each document's
+    importance weight is Σ_f c_f · (ln p_target(f) − ln p_raw(f)), i.e.
+    the log-likelihood ratio of its bucket counts. keep = weight ≥ 0
+    (resampling keeps target-like documents).
+
+    Determinism: per-doc bucket counts fold map-side over the hashed
+    bigram array (no explode before the global agg); the 64-bucket model
+    is ONE hash agg + a 1-row broadcast; the per-doc weight folds the
+    count and log-ratio arrays in index order, so both engines sum the
+    same doubles in the same order. At 100 TB the shuffle carries
+    64 rows × docs of (bucket, count) partial-combined pairs — the model
+    table itself is 64 rows regardless of corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    t = T.tokens("text")
+    n = F.size(t)
+    hs = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda k: F.pmod(
+            H.h60(F.concat(F.get(t, k - 1), F.lit(" "), F.get(t, k))),
+            F.lit(DSIR_BUCKETS)).cast("int"),
+    )).otherwise(F.array().cast("array<int>"))
+    cvec = d.select(
+        i.alias("id"), (F.pmod(i, F.lit(97)) == 0).alias("is_eval"),
+        F.aggregate(
+            hs,
+            F.array_repeat(F.lit(0).cast("long"), DSIR_BUCKETS),
+            lambda acc, hh: F.zip_with(
+                acc, F.sequence(F.lit(0), F.lit(DSIR_BUCKETS - 1)),
+                lambda c, b: c + F.when(hh == b, 1).otherwise(0)),
+        ).alias("c"),
+    )
+    buckets = (
+        cvec.select("is_eval", F.posexplode("c").alias("bucket", "cnt"))
+        .groupBy("bucket")
+        .agg(F.sum("cnt").cast("long").alias("r_f"),
+             F.sum(F.when(F.col("is_eval"), F.col("cnt")).otherwise(0))
+             .cast("long").alias("t_f"))
+    )
+    tots = buckets.agg(F.sum("r_f").alias("r_tot"), F.sum("t_f").alias("t_tot"))
+    lr = (
+        buckets.crossJoin(F.broadcast(tots))
+        .select("bucket",
+                (F.log((F.col("t_f") + 1).cast("double") / (F.col("t_tot") + DSIR_BUCKETS))
+                 - F.log((F.col("r_f") + 1).cast("double") / (F.col("r_tot") + DSIR_BUCKETS))
+                 ).alias("lr"))
+        .agg(F.transform(
+            F.array_sort(F.collect_list(F.struct("bucket", "lr"))),
+            lambda s: s["lr"]).alias("lrv"))
+    )
+    raw = F.aggregate(
+        F.zip_with("c", "lrv", lambda x, y: x.cast("double") * y),
+        F.lit(0.0), lambda acc, v: acc + v)
+    return cvec.crossJoin(F.broadcast(lr)).select(
+        F.col("id").alias("doc_id"), "is_eval",
+        F.aggregate("c", F.lit(0).cast("long"), lambda a, v: a + v).alias("n_bigrams"),
+        F.round(raw, 6).alias("weight"),
+        (raw >= 0).alias("keep"),
+    )
+
+
+def _register_dsir_sql() -> None:
+    from ..functions.hashing import h60_sql
+    from ..functions.text import tokens_sql
+    from .registry import _ORACLES
+
+    B = DSIR_BUCKETS
+    fold = (f"list_reduce(list_prepend(0.0::DOUBLE, "
+            f"list_transform(generate_series(1, {B}), i -> c[i]::DOUBLE * lrv[i])), "
+            f"(a, b) -> a + b)")
+    _ORACLES["dsir_weights"] = f"""
+    WITH docs AS MATERIALIZED (
+        SELECT doc_id::BIGINT AS doc_id, (doc_id % 97 = 0) AS is_eval,
+               {tokens_sql('text')} AS t
+        FROM documents
+    ),
+    bg AS MATERIALIZED (
+        SELECT doc_id, is_eval,
+               list_transform(generate_series(1, len(t) - 1),
+                              k -> ({h60_sql("(t[k] || ' ' || t[k + 1])")} % {B})::INT) AS hs
+        FROM docs
+    ),
+    cvec AS MATERIALIZED (
+        SELECT doc_id, is_eval,
+               list_transform(generate_series(0, {B - 1}),
+                              b -> len(list_filter(hs, x -> x = b))::BIGINT) AS c
+        FROM bg
+    ),
+    buckets AS (
+        SELECT u.b AS bucket,
+               sum(cv.c[u.b + 1])::BIGINT AS r_f,
+               sum(CASE WHEN cv.is_eval THEN cv.c[u.b + 1] ELSE 0 END)::BIGINT AS t_f
+        FROM cvec cv CROSS JOIN (SELECT unnest(generate_series(0, {B - 1})) AS b) u
+        GROUP BY 1
+    ),
+    tots AS (SELECT sum(r_f)::BIGINT AS r_tot, sum(t_f)::BIGINT AS t_tot FROM buckets),
+    lrt AS MATERIALIZED (
+        SELECT list(ln((t_f + 1)::DOUBLE / (t_tot + {B}))
+                    - ln((r_f + 1)::DOUBLE / (r_tot + {B})) ORDER BY bucket) AS lrv
+        FROM buckets, tots
+    )
+    SELECT doc_id, is_eval,
+           list_reduce(list_prepend(0::BIGINT, c), (a, b) -> a + b)::BIGINT AS n_bigrams,
+           round({fold}, 6) AS weight,
+           ({fold} >= 0) AS keep
+    FROM cvec, lrt
+    """
+
+
+_register_dsir_sql()

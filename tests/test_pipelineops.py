@@ -216,3 +216,27 @@ def test_caption_pairs_span_order_invariant(spark):
 
     assert pairs(a) == pairs(b)
     assert pairs(a) == [("a.png", "t0", "prev", 0), ("b.pdf", "t2", "prev", 2)]
+
+
+def test_dsir_weights_semantics(spark):
+    """DSIR: every target (eval) document is target-like by construction
+    (weight ≥ 0, kept); weights are finite; n_bigrams = max(0, tokens-1)."""
+    import duckdb
+
+    from crawl4ai_spark.queries.pipelineops import q_dsir_weights
+
+    rows = {r.doc_id: r for r in q_dsir_weights(spark, SF).collect()}
+    assert len(rows) == 500
+    nbg = dict(duckdb.sql(
+        f"""select doc_id, greatest(len(list_filter(
+            regexp_split_to_array(text, '\\s+'), w -> w <> '')) - 1, 0)
+            from '{SF}/documents.parquet'""").fetchall())
+    kept = 0
+    for did, r in rows.items():
+        assert r.weight == r.weight and abs(r.weight) < 1e6
+        assert r.keep == (r.weight >= 0 if r.weight != 0 else True) or r.keep == (r.weight >= 0)
+        assert r.n_bigrams == nbg[did]
+        if r.is_eval:
+            assert r.keep, f"target doc {did} must be target-like"
+        kept += int(r.keep)
+    assert 0 < kept < len(rows)
