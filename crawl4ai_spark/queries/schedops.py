@@ -123,15 +123,15 @@ def q_crawl_traps(spark: SparkSession, sf_dir: str) -> DataFrame:
         tpl.alias("template"),
     ).distinct()
     per_tpl = urls.groupBy("host", "template").agg(
-        F.countDistinct("url").alias("n_urls"),
-        # placeholders each contribute one '{'
-        (F.length(F.first("template"))
-         - F.length(F.replace(F.first("template"), F.lit("{"), F.lit("")))
-         ).cast("int").alias("n_params"),
-    )
+        F.countDistinct("url").alias("n_urls"))
+    # placeholders each contribute one '{' — computed from the group KEY
+    n_params = (
+        F.length("template")
+        - F.length(F.replace(F.col("template"), F.lit("{"), F.lit("")))
+    ).cast("int")
     w = Window.partitionBy("host")
     share_raw = F.col("n_urls").cast("double") / F.sum("n_urls").over(w)
-    return per_tpl.select(
+    return per_tpl.withColumn("n_params", n_params).select(
         "host", "template", F.col("n_urls").cast("long").alias("n_urls"), "n_params",
         F.sum("n_urls").over(w).cast("long").alias("host_total"),
         F.round(share_raw, 4).alias("share"),
