@@ -256,6 +256,53 @@ CAPTION_KEEP_MIN = 0.4   # cosine threshold (≈ observed median: 8-token captio
                          # spread thin over 16 buckets vs dense media histograms)
 
 
+def _tvec16(text_col) -> "F.Column":
+    """Deterministic 16-bucket token-hash histogram of a text column —
+    the text-tower stand-in shared by the CLIP-shape ops (md5-60 token
+    hash % 16, left-fold accumulation; DuckDB twin in ``_tvec_sql``)."""
+    toks = F.filter(F.split(F.coalesce(text_col, F.lit("")), r"\s+"),
+                    lambda w: w != "")
+    hashes = F.transform(toks, lambda w: F.pmod(H.h60(w), F.lit(16)).cast("int"))
+    return F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), 16),
+        lambda acc, hh: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(15)),
+            lambda c, i: c + F.when(hh == i, 1).otherwise(0),
+        ),
+    )
+
+
+def _dot(a, b) -> "F.Column":
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _media_vec16(refs: DataFrame) -> DataFrame:
+    """(media_ref, mv) — the media-tower stand-in: the REAL blob
+    pipeline's 16-bucket byte histogram recovered to integer counts."""
+    blobs = build_media_blobs(refs)
+    feats = media_features(blobs, dim=16)
+    meta = extract_media_meta(blobs).select(
+        "media_ref", (F.col("width") * F.col("height")).cast("long").alias("n_px"))
+    return feats.join(meta, "media_ref").select(
+        "media_ref",
+        F.transform(
+            "features",
+            lambda f: F.round(f.cast("double") * F.col("n_px"), 0).cast("long")
+        ).alias("mv"),
+    )
+
+
+def _cosine6(tv, mv) -> "F.Column":
+    """round(cos(tv, mv), 6); 0.0 when either side is null/zero."""
+    dot, nt, nm = _dot(tv, mv), F.sqrt(_dot(tv, tv)), F.sqrt(_dot(mv, mv))
+    return F.when((nt > 0) & (nm > 0) & mv.isNotNull() & tv.isNotNull(),
+                  F.round(dot / (nt * nm), 6)).otherwise(F.lit(0.0))
+
+
 @query(
     "media_caption_score",
     None,  # SQL assembled below (needs spansops' span CTE)
@@ -287,41 +334,10 @@ def q_media_caption_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p.caption").alias("caption"),
         )
     )
-    blobs = build_media_blobs(pairs.select("media_ref"))
-    feats = media_features(blobs, dim=16)
-    meta = extract_media_meta(blobs).select(
-        "media_ref", (F.col("width") * F.col("height")).cast("long").alias("n_px"))
-    mvec = feats.join(meta, "media_ref").select(
-        "media_ref",
-        F.transform(
-            "features",
-            lambda f: F.round(f.cast("double") * F.col("n_px"), 0).cast("long")
-        ).alias("mv"),
-    )
-    toks = F.filter(F.split(F.coalesce("caption", F.lit("")), r"\s+"),
-                    lambda w: w != "")
-    hashes = F.transform(toks, lambda w: F.pmod(H.h60(w), F.lit(16)).cast("int"))
-    tvec = F.aggregate(
-        hashes,
-        F.array_repeat(F.lit(0).cast("long"), 16),
-        lambda acc, hh: F.zip_with(
-            acc,
-            F.sequence(F.lit(0), F.lit(15)),
-            lambda c, i: c + F.when(hh == i, 1).otherwise(0),
-        ),
-    )
-    j = pairs.withColumn("tv", tvec).join(mvec, "media_ref", "left")
-
-    def _dot(a, b):
-        return F.aggregate(
-            F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
-            F.lit(0.0), lambda acc, v: acc + v)
-
-    dot = _dot(F.col("tv"), F.col("mv"))
-    nt = F.sqrt(_dot(F.col("tv"), F.col("tv")))
-    nm = F.sqrt(_dot(F.col("mv"), F.col("mv")))
-    score = F.when((nt > 0) & (nm > 0) & F.col("mv").isNotNull(),
-                   F.round(dot / (nt * nm), 6)).otherwise(F.lit(0.0))
+    mvec = _media_vec16(pairs.select("media_ref"))
+    j = pairs.withColumn("tv", _tvec16(F.col("caption"))).join(
+        mvec, "media_ref", "left")
+    score = _cosine6(F.col("tv"), F.col("mv"))
     return j.select(
         "doc_id", "offset", "media_ref",
         score.alias("score"),
@@ -404,3 +420,126 @@ def _register_caption_score_sql() -> None:
 
 
 _register_caption_score_sql()
+
+
+# --------------------------------------------------------------------------- #
+# interleaved document assembly (the MMC4 shape: global image→text assignment)
+# --------------------------------------------------------------------------- #
+@query(
+    "interleave_assemble",
+    None,  # SQL assembled below (needs spansops' span CTE)
+)
+def q_interleave_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMC4-shape interleaved assembly: assign every image/media span to
+    the BEST-matching text span of its document by image-text similarity
+    (argmax over the whole document, not just the adjacent span the
+    OBELICS-style ``media_captions`` pairing uses — MMC4 §2 does exactly
+    this with CLIP scores over each document's sentence list). Ties break
+    to the earliest text span; documents with no text spans keep the
+    media row with a NULL assignment and score 0.
+
+    Same deterministic stand-in towers as media_caption_score (byte
+    histogram ↔ token-hash histogram, md5-exact on both engines); swap
+    for CLIP in production — the assignment join/argmax shape is what's
+    under test.
+
+    Scale: the media×text cross is PER-DOCUMENT (bounded by page span
+    counts, never corpus-sized) and runs in one doc_id-keyed shuffle;
+    the media-vector join keys on media_ref only. Both sides prune to
+    (id, 16 ints) before shuffling; blob bytes stay map-side."""
+    from pyspark.sql import Window
+
+    from .spansops import _span_docs
+
+    sd = _span_docs(spark, sf_dir)
+    rows = sd.select("doc_id", F.explode("spans").alias("s"))
+    texts = rows.where(F.col("s.kind") == "text").select(
+        "doc_id",
+        F.col("s.offset").cast("long").alias("t_off"),
+        _tvec16(F.col("s.text")).alias("tv"),
+    )
+    media = rows.where(F.col("s.kind").isin("image", "media")).select(
+        "doc_id",
+        F.col("s.offset").cast("long").alias("offset"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+    mvec = _media_vec16(media.select("media_ref").distinct())
+    j = (
+        media.join(mvec, "media_ref")
+        .join(texts, "doc_id", "left")
+        .withColumn("score", _cosine6(F.col("tv"), F.col("mv")))
+    )
+    w = Window.partitionBy("doc_id", "offset").orderBy(
+        F.desc("score"), F.asc_nulls_last("t_off"))
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id", "offset", "media_ref",
+            F.col("t_off").alias("assigned_offset"),
+            "score",
+        )
+    )
+
+
+def _register_interleave_assemble_sql() -> None:
+    from ..functions.hashing import h60_sql
+    from .registry import _ORACLES
+    from .spansops import _SP_SQL
+
+    db_j = "('0x' || substr(md5(media_ref), 2 * j + 1, 2))::INT"
+    mcnt = (f"CAST(list_sum(list_transform(generate_series(0, 15), j -> "
+            f"CASE WHEN {db_j} % 16 = b THEN (w * h) // 16 + "
+            f"(CASE WHEN j < (w * h) % 16 THEN 1 ELSE 0 END) ELSE 0 END)) AS BIGINT)")
+    nt2 = _fold16_sql('t.tv[i]::DOUBLE * t.tv[i]::DOUBLE')
+    nm2 = _fold16_sql('v.mv[i]::DOUBLE * v.mv[i]::DOUBLE')
+    dot = _fold16_sql('t.tv[i]::DOUBLE * v.mv[i]::DOUBLE')
+    _ORACLES["interleave_assemble"] = f"""
+    WITH {_SP_SQL},
+    texts AS MATERIALIZED (
+        SELECT doc_id, g AS t_off,
+               list_transform(generate_series(0, 15),
+                   b -> len(list_filter(
+                       list_transform(
+                           list_filter(regexp_split_to_array(coalesce(gtext, ''), '\\s+'),
+                                       w -> w <> ''),
+                           w -> ({h60_sql('w')} % 16)::INT),
+                       x -> x = b))::BIGINT) AS tv
+        FROM spans WHERE kind = 'text'
+    ),
+    media AS (
+        SELECT doc_id, g AS off, ref AS media_ref
+        FROM spans WHERE kind IN ('image', 'media')
+    ),
+    mdims AS (
+        SELECT media_ref,
+               16 + ('0x' || substr(md5(media_ref), 1, 2))::INT % 240 AS w,
+               16 + ('0x' || substr(md5(media_ref), 3, 2))::INT % 240 AS h
+        FROM (SELECT DISTINCT media_ref FROM media)
+    ),
+    mvec AS MATERIALIZED (
+        SELECT media_ref,
+               list_transform(generate_series(0, 15), b -> {mcnt}) AS mv
+        FROM mdims
+    ),
+    scored AS (
+        SELECT m.doc_id, m.off, m.media_ref, t.t_off,
+               (CASE WHEN sqrt({nt2}) > 0 AND sqrt({nm2}) > 0
+                     THEN round({dot} / (sqrt({nt2}) * sqrt({nm2})), 6)
+                     ELSE 0.0 END) AS score
+        FROM media m JOIN mvec v USING (media_ref)
+             LEFT JOIN texts t USING (doc_id)
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id, off
+            ORDER BY score DESC, t_off ASC NULLS LAST) AS rn
+        FROM scored
+    )
+    SELECT doc_id, off::BIGINT AS offset, media_ref,
+           t_off::BIGINT AS assigned_offset, score
+    FROM ranked WHERE rn = 1
+    """
+
+
+_register_interleave_assemble_sql()

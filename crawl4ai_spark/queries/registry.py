@@ -57,6 +57,7 @@ _TAIL = [
     "media_phash_dedup",    # round-3 interleaved tier (perceptual near-dup) — local-oracle
     "media_caption_score",  # round-3 interleaved tier (CLIP-filter shape) — local-oracle
     "dsir_weights",         # round-3 curation tier (DSIR importance resampling) — local-oracle
+    "interleave_assemble",  # round-3 interleaved tier (MMC4 global assignment) — local-oracle
     "dedup_ngram_jaccard",  # labeled verification-baseline-only; minhash/simhash green
     "ann_cosine_topk",      # brute-force baseline twin of ann_lsh_bucket/ann_ivf_probe
     "embed_centroid",       # centroid fold; clustering path also pytest-covered (test_clustering)

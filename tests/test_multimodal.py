@@ -116,3 +116,35 @@ def test_caption_score_semantics(spark):
         kept += int(r.keep)
     # the threshold splits, not rubber-stamps
     assert 0 < kept < len(rows)
+
+
+def test_interleave_assemble_semantics(spark):
+    """MMC4-shape assignment: one row per media span, the assigned text
+    span exists in the same document, its score is the document argmax
+    (earliest-offset tie-break), and no-text docs get NULL/0 rows."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.queries.mediaops import q_interleave_assemble
+    from crawl4ai_spark.queries.spansops import _span_docs
+
+    sf = "/root/testdata/sf0.001"
+    rows = q_interleave_assemble(spark, sf).collect()
+    assert rows
+
+    sd = _span_docs(spark, sf).select("doc_id", F.explode("spans").alias("s"))
+    media = {(r.doc_id, r.offset) for r in sd.where(
+        F.col("s.kind").isin("image", "media")).select(
+        "doc_id", F.col("s.offset").cast("long").alias("offset")).collect()}
+    text_offs = {}
+    for r in sd.where(F.col("s.kind") == "text").select(
+            "doc_id", F.col("s.offset").cast("long").alias("offset")).collect():
+        text_offs.setdefault(r.doc_id, set()).add(r.offset)
+
+    assert {(r.doc_id, r.offset) for r in rows} == media  # exactly once each
+    for r in rows:
+        have_text = bool(text_offs.get(r.doc_id))
+        if have_text:
+            assert r.assigned_offset in text_offs[r.doc_id]
+            assert 0.0 <= r.score <= 1.0
+        else:
+            assert r.assigned_offset is None and r.score == 0.0
