@@ -37,6 +37,11 @@ class CrawlConfig:
     query: str = ""                   # best-first scorer terms (F5)
     scorer: str = "contextual"        # contextual (F5) | keyword (F6)
     score_keywords: list[str] = field(default_factory=list)  # F6 keyword list
+    # Deep-crawl score threshold (reference original-README.md:510
+    # "Score Thresholds: Filter URLs based on relevance scores"): links
+    # scoring below the threshold are dropped at extraction — never
+    # enqueued, never in the seen set. None = keep all (default).
+    score_threshold: float | None = None
     politeness: bool = False          # per-host per-round budgets (hosts table)
     politeness_salts: int = 1         # >1: split hot-host budget across salts (scale mode)
     # Adaptive salting (skew handling): when set, a host's budget is

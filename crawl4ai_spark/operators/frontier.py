@@ -553,6 +553,12 @@ class CrawlEngine:
             F.lit(round_no).alias("discovered_round"),
             "u_path", "redirect_src",
         )
+        if cfg.score_threshold is not None:
+            # reference score-threshold semantics: below-threshold links
+            # are dropped pre-enqueue (never fetched, never "seen").
+            # Plain map-side filter BEFORE the dedup exchange — shrinks
+            # the shuffle instead of adding one.
+            scored = scored.where(F.col("score") >= F.lit(float(cfg.score_threshold)))
         # in-batch first-discovery dedup: keep min (parent_rank, offset).
         # groupBy + min_by instead of a window: hash aggregation gets a
         # map-side partial combine, so duplicate-heavy link batches (the

@@ -148,6 +148,8 @@ def run_oracle(
                     sc = keyword_score_py(u, cfg.score_keywords)  # F6
                 else:
                     sc = link_score_py(u, s["text"], cfg.query)  # F5
+                if cfg.score_threshold is not None and sc < cfg.score_threshold:
+                    continue  # reference score-threshold: drop pre-enqueue
                 cand_link = {
                     "url": u, "host": h, "depth": n["depth"] + 1,
                     "score": sc,

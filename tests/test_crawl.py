@@ -631,3 +631,25 @@ def test_trap_templates_block_enqueue(spark, corpus_dir, tmp_path):
     # the non-trapped reachable set can only shrink through trapped parents
     assert got <= base_urls
     assert seeds[0] in got
+
+
+@pytest.mark.parametrize("strategy", ["bfs", "best_first"])
+def test_score_threshold_conformance(spark, corpus_dir, tmp_path, strategy):
+    """Reference score-threshold semantics (original-README.md:510):
+    links scoring below the threshold are dropped pre-enqueue — order
+    and seen set must still match the sequential oracle exactly, and
+    the threshold must actually prune vs the unfiltered crawl."""
+    base = dict(seeds=[], strategy=strategy, max_depth=3, max_pages=40,
+                query="spark data", use_ai_agent=True)
+    # 0.5 sits between the blacklist-term score (0.3: login/cart/...
+    # URLs) and the plain-link score (0.6) — prunes exactly those
+    cfg = CrawlConfig(**base, score_threshold=0.5)
+    got_p, want_p, got_s, want_s = _run_both(
+        spark, corpus_dir, tmp_path, cfg, f"thresh_{strategy}")
+    assert got_p == want_p
+    assert got_s == want_s
+    # and the bar pruned something: unfiltered crawl sees more URLs
+    cfg_all = CrawlConfig(**{**base, "seeds": list(cfg.seeds)})
+    _, _, got_s_all, _ = _run_both(
+        spark, corpus_dir, tmp_path, cfg_all, f"nothresh_{strategy}")
+    assert len(got_s_all) > len(got_s)
