@@ -57,6 +57,8 @@ HEADLINE_QUERIES = [
     "chunk_sentence",
     "chunk_semantic",
     "media_meta",
+    "media_phash_dedup",
+    "interleave_assemble",
     "spans_markdown",
     "spans_fit_filter",
     "events_tumbling",

@@ -282,8 +282,15 @@ def _dot(a, b) -> "F.Column":
 
 def _media_vec16(refs: DataFrame) -> DataFrame:
     """(media_ref, mv) — the media-tower stand-in: the REAL blob
-    pipeline's 16-bucket byte histogram recovered to integer counts."""
-    blobs = build_media_blobs(refs)
+    pipeline's 16-bucket byte histogram recovered to integer counts.
+
+    Pinned-width repartition before the blob stage: AQE coalesces the
+    small (ref-string) exchange to ONE partition, which would serialize
+    the expensive mapInPandas blob synthesis; pinning the count keeps
+    the Arrow stage at full parallelism (tiny rows in, heavy work per
+    row — the one case where AQE's size heuristic is wrong)."""
+    n = int(refs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    blobs = build_media_blobs(refs.repartition(n, "media_ref"))
     feats = media_features(blobs, dim=16)
     meta = extract_media_meta(blobs).select(
         "media_ref", (F.col("width") * F.col("height")).cast("long").alias("n_px"))
@@ -463,7 +470,10 @@ def q_interleave_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.offset").cast("long").alias("offset"),
         F.col("s.media_ref").alias("media_ref"),
     )
-    mvec = _media_vec16(media.select("media_ref").distinct())
+    # no distinct: derived media refs embed {doc_id}_{g} — unique per
+    # span already, and an agg exchange here would let AQE re-coalesce
+    # the blob stage _media_vec16 deliberately keeps wide
+    mvec = _media_vec16(media.select("media_ref"))
     j = (
         media.join(mvec, "media_ref")
         .join(texts, "doc_id", "left")
