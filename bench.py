@@ -267,6 +267,19 @@ def main() -> None:
                   + sum(c["crawl_sec"] for c in crawl_runs)
                   + sum(c["crawl_sec"] for c in ordered_runs)
                   + polite["crawl_sec"] + retry["crawl_sec"], 3)
+    # Detail line FIRST (per-run spreads, for humans / BENCH.md); the
+    # compact summary goes LAST so the driver's tail-capture parse always
+    # sees one complete JSON object (BENCH_r03 lost its headline when the
+    # single line outgrew the capture window).
+    print(json.dumps({
+        "detail": True,
+        "best_of": best_of,
+        "query_runs": qspread,
+        "crawl_runs": [c["urls_per_sec"] for c in crawl_runs],
+        "crawl_ordered_runs": [c["urls_per_sec"] for c in ordered_runs],
+        "crawl_polite": polite,
+        "crawl_retry": retry,
+    }))
     print(json.dumps({
         "metric": "urls_fetched_deduped_per_sec",
         "value": crawl["urls_per_sec"],
@@ -275,12 +288,6 @@ def main() -> None:
         "sf": sf,
         "crawl": crawl,
         "crawl_ordered": ordered,
-        "crawl_polite": polite,
-        "crawl_retry": retry,
-        "best_of": best_of,
-        "query_runs": qspread,
-        "crawl_runs": [c["urls_per_sec"] for c in crawl_runs],
-        "crawl_ordered_runs": [c["urls_per_sec"] for c in ordered_runs],
         "total_sec": total,
         "cpus": int(cpus),
     }))

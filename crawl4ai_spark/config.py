@@ -70,6 +70,17 @@ class CrawlConfig:
     # lazy pages (see fixtures.spans_for_index(lazy=...)). Ignored for
     # DataFrame corpora (stored spans are what they are).
     enable_lazy_loading: bool = False
+    # U5 multi-step sessions: the reference's multi_step_enabled /
+    # multi_step_js_actions / multi_step_wait_conditions (crawl_agent.py:
+    # 147-150,691-692; examples/multi_step_interaction.py — scroll,
+    # click "More", wait for items, repeat). In the batch fetch-sim the
+    # ONLY observable effect of k JS actions is more revealed content, so
+    # the knob is the step COUNT: each step deterministically extends the
+    # span array (strict prefix-extension; a per-(doc, step) die models
+    # the step's wait_for timing out and revealing nothing — the session
+    # still proceeds, as the reference's arun does). Ignored for
+    # DataFrame corpora. See fixtures.spans_for_index(steps=...).
+    multi_step_actions: int = 0
     use_bloom: bool = False           # Bloom-sidecar prefilter for the seen-set anti-join
     bloom_shards: int = 16
     bloom_bits: int = 1 << 23         # bits per shard (1 MiB)
@@ -96,8 +107,14 @@ class CrawlConfig:
     # (due_round = round + retry_backoff_base**(attempt-1)), reusing its
     # ORIGINAL crawl rank (crawl order = dispatch order; the retry is
     # the same dispatch resolving late). attempt is capped at
-    # max_retries+1 — the final attempt always resolves (transient means
-    # transient). max_retries=0 disables the whole path (no schema or
+    # max_retries+1 — a DISPATCHED final attempt always resolves
+    # (transient means transient). Truncation caveat: if max_pages or
+    # max_rounds is exhausted while retries are still pending, the run
+    # ends with those URLs unresolved — their pages rows are
+    # transient-only (pages(resolved=True) drops them) and run()'s
+    # fetched count still includes their first dispatch; resume() the
+    # run with a higher cap to drain them (the retry snapshot persists).
+    # max_retries=0 disables the whole path (no schema or
     # plan change for existing crawls beyond the constant attempt=1
     # column on pages). The fetch SIM rolls a deterministic per-
     # (url, attempt) die: transient iff pmod(xxhash64(url#attempt),

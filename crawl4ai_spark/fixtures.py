@@ -172,7 +172,7 @@ def _link_href(i: Column, j: Column, n_docs: int, n_hosts: int) -> Column:
 
 def spans_for_index(i: Column, n_docs: int, n_hosts: int = 20,
                     min_spans: int = 6, extra_spans: int = 14,
-                    lazy: bool = False) -> Column:
+                    lazy: bool = False, steps: int = 0) -> Column:
     """Span array of doc i as a pure column expression — the corpus is a
     deterministic function of the index, so a fetch can SYNTHESIZE the
     document from its URL (VirtualCorpus) instead of joining a stored
@@ -184,11 +184,28 @@ def spans_for_index(i: Column, n_docs: int, n_hosts: int = 20,
     (die on _h("lz", i)) exposes 1-3 EXTRA trailing spans — the content a
     scrolled/lazy-loaded render would reveal. The lazy array is a strict
     prefix-extension of the base array, so enabling it only ever ADDS
-    discovered outlinks."""
+    discovered outlinks.
+
+    ``steps=k`` is the multi-step SESSION knob (the reference's
+    multi_step_js_actions / multi_step_wait_conditions,
+    crawl_agent.py:147-150,691-692; examples/multi_step_interaction.py —
+    k sequential page interactions like scroll + click-More, each
+    revealing more content): step s reveals 1-3 extra trailing spans for
+    ~2/3 of docs (die on _h("ms{s}", i)); the other 1/3 models the
+    step's wait_for condition timing out (the browser returns the
+    current state and the session proceeds to the next step). Each step
+    count's array is a strict prefix-extension of the previous one, so
+    the k-step crawl's discovered-outlink set monotonically grows with
+    k — exactly the reference's 30→60→90-items "More" loop shape."""
     n_spans = F.lit(min_spans) + F.pmod(_h("ns", i), F.lit(extra_spans))
     if lazy:
         n_spans = n_spans + F.when(
             F.pmod(_h("lz", i), F.lit(4)) == 0, F.lit(1) + F.pmod(_h("lzn", i), F.lit(3))
+        ).otherwise(F.lit(0))
+    for s in range(1, max(0, steps) + 1):
+        n_spans = n_spans + F.when(
+            F.pmod(_h(f"ms{s}", i), F.lit(3)) != 0,
+            F.lit(1) + F.pmod(_h(f"msn{s}", i), F.lit(3)),
         ).otherwise(F.lit(0))
 
     def with_host(h_i: Column) -> Column:
@@ -266,7 +283,7 @@ class VirtualCorpus:
         # that was pure driver overhead. Column objects are unresolved
         # expressions, reusable across DataFrames, so build once per
         # (url column, lazy) and reattach every round.
-        self._expr_cache: dict[tuple[str, bool], tuple[Column, Column, Column]] = {}
+        self._expr_cache: dict[tuple[str, bool, int], tuple[Column, Column, Column]] = {}
 
     def seed_urls(self, host: int, n: int) -> list[str]:
         """First n doc URLs on a host block (driver-side arithmetic)."""
@@ -289,7 +306,8 @@ class VirtualCorpus:
         return f"https://host{h}.example.com/{seg}/{i}"
 
     def fetch(self, selected: DataFrame, url_col: str = "url",
-              with_title: bool = False, lazy: bool = False) -> DataFrame:
+              with_title: bool = False, lazy: bool = False,
+              steps: int = 0) -> DataFrame:
         """Append ``spans`` + ``_st`` (fetched/missing) columns — plus
         ``_title`` when asked — by synthesizing the document for valid doc
         URLs. One ``select`` so the cached trees resolve in a single
@@ -300,17 +318,18 @@ class VirtualCorpus:
         arithmetically: span 0 is ALWAYS a heading by construction
         (spans_for_index), so the first-heading lookup reduces to
         ``_words(i, 0)`` — no second evaluation of the spans tree."""
-        spans_c, st_c, title_c = self.fetch_cols(url_col, lazy)
+        spans_c, st_c, title_c = self.fetch_cols(url_col, lazy, steps)
         cols = [spans_c.alias("spans"), st_c.alias("_st")] + (
             [title_c.alias("_title")] if with_title else [])
         return selected.select("*", *cols)
 
-    def fetch_cols(self, url_col: str = "url", lazy: bool = False):
+    def fetch_cols(self, url_col: str = "url", lazy: bool = False,
+                   steps: int = 0):
         """The cached UNALIASED (spans, status, title) synthesis columns —
         callers that already pay a projection (e.g. the crawl fetch stage)
         splice these into their OWN single select, so the ~5k-node tree is
         analyzed once per round instead of once per chained DataFrame op."""
-        key = (url_col, lazy)
+        key = (url_col, lazy, steps)
         if key not in self._expr_cache:
             u = F.col(url_col)
             idx = F.regexp_extract(u, "/([0-9]+)$", 1)
@@ -327,7 +346,7 @@ class VirtualCorpus:
             spans_c = _let(i_raw, lambda i: F.when(
                 _valid(i),
                 spans_for_index(i, self.n_docs, self.n_hosts, self.min_spans,
-                                self.extra_spans, lazy=lazy),
+                                self.extra_spans, lazy=lazy, steps=steps),
             ).otherwise(F.lit(None)))
             st_c = _let(i_raw, lambda i: F.when(
                 _valid(i), F.lit("fetched")).otherwise(F.lit(None)))

@@ -12,7 +12,10 @@ DOM (tree of tag/attrs/children) plus:
   crawl_agent.py:181-183) and ``process_iframes`` (E8: srcdoc content
   is merged inline, crawl_agent.py:160).
 * ``css_select`` — selector subset: ``tag``, ``.class``, ``#id``,
-  ``tag.class``, descendant chains ("div p a"), ``[attr=value]``.
+  ``tag.class``, descendant chains ("div p a"), child ``>`` and sibling
+  ``+``/``~`` combinators, ``[attr]``/``[attr=v]`` plus the substring
+  operators ``^=``/``$=``/``*=``/``~=``, and the structural pseudos
+  ``:nth-child(an+b|odd|even|k)``/``:first-child``/``:last-child``.
 * ``xpath_select`` — subset: ``//tag``, ``//tag[@attr='v']``,
   ``/a/b`` absolute chains, trailing ``/@attr`` and ``/text()``.
 * ``extract_with_schema`` — JsonCss/JsonXPath schema shape
@@ -229,11 +232,64 @@ def html_to_spans(
 # CSS selector subset
 # --------------------------------------------------------------------------- #
 # components of a compound selector, in any order: tag/*, #id, .class,
-# [attr], [attr=v] — full tokenization instead of one fixed-order regex
+# [attr], [attr <op> v] with op in =/^=/$=/*=/~=, and structural pseudos
+# :nth-child(an+b|odd|even|k) / :first-child / :last-child — full
+# tokenization instead of one fixed-order regex
 _PART_RX = re.compile(
     r"(?P<tag>^[a-zA-Z][\w-]*|^\*)|(?P<id>#[\w-]+)|(?P<cls>\.[\w-]+)"
-    r"|\[(?P<ak>[\w-]+)(?:=(?P<av>[^\]]+))?\]"
+    r"|\[(?P<ak>[\w-]+)(?:(?P<aop>[\^$*~]?=)(?P<av>[^\]]+))?\]"
+    r"|(?P<pseudo>:[\w-]+(?:\([^)]*\))?)"
 )
+
+_NTH_RX = re.compile(r"([+-]?\d*)n([+-]\s*\d+)?")
+
+
+def _nth_match(arg: str, p: int) -> bool:
+    """CSS an+b micro-grammar: does 1-based position p satisfy arg?"""
+    arg = arg.strip().lower()
+    if arg == "odd":
+        a, b = 2, 1
+    elif arg == "even":
+        a, b = 2, 0
+    else:
+        m = _NTH_RX.fullmatch(arg)
+        if m:
+            astr = m.group(1)
+            a = 1 if astr in ("", "+") else (-1 if astr == "-" else int(astr))
+            b = int((m.group(2) or "0").replace(" ", ""))
+        else:
+            try:
+                a, b = 0, int(arg)
+            except ValueError:
+                return False
+    if a == 0:
+        return p == b
+    return (p - b) % a == 0 and (p - b) // a >= 0
+
+
+def _elem_position(node: Node) -> tuple[int, int]:
+    """(1-based position among parent's element children, sibling count).
+    Text lives in text_parts, so ``children`` is element-only already."""
+    if node.parent is None:
+        return 1, 1
+    sibs = node.parent.children
+    for i, s in enumerate(sibs):
+        if s is node:
+            return i + 1, len(sibs)
+    return 1, len(sibs)
+
+
+def _match_pseudo(node: Node, pseudo: str) -> bool:
+    name, _, arg = pseudo[1:].partition("(")
+    arg = arg.rstrip(")")
+    p, n = _elem_position(node)
+    if name == "nth-child":
+        return _nth_match(arg, p)
+    if name == "first-child":
+        return p == 1
+    if name == "last-child":
+        return p == n
+    return False  # unknown pseudo → no match (safe default)
 
 
 def _match_simple(node: Node, sel: str) -> bool:
@@ -254,24 +310,60 @@ def _match_simple(node: Node, sel: str) -> bool:
             if m.group("cls")[1:] not in node.classes():
                 return False
         elif m.group("ak"):
-            k, v = m.group("ak"), m.group("av")
+            k, op, v = m.group("ak"), m.group("aop"), m.group("av")
             if v is None:  # [attr] presence test
                 if k not in node.attrs:
                     return False
-            elif node.attrs.get(k) != v.strip("'\""):
+            else:
+                got = node.attrs.get(k)
+                want = v.strip("'\"")
+                if got is None:
+                    return False
+                if op == "=":
+                    ok = got == want
+                elif op == "^=":
+                    ok = want != "" and got.startswith(want)
+                elif op == "$=":
+                    ok = want != "" and got.endswith(want)
+                elif op == "*=":
+                    ok = want != "" and want in got
+                else:  # ~= whitespace-separated word match
+                    ok = want in got.split()
+                if not ok:
+                    return False
+        elif m.group("pseudo"):
+            if not _match_pseudo(node, m.group("pseudo")):
                 return False
     return pos == len(sel)
 
 
 def _tokenize_selector(selector: str) -> list[tuple[str, str]]:
-    """→ [(combinator, simple_selector)]: combinator ' ' (descendant) or
-    '>' (child); the first entry's combinator is ' '."""
-    toks = selector.replace(">", " > ").split()
+    """→ [(combinator, simple_selector)]: combinator ' ' (descendant),
+    '>' (child), '+' (next sibling), '~' (subsequent siblings); the
+    first entry's combinator is ' '. Combinator characters inside
+    [attr...] or pseudo parens (e.g. [attr~=v], [href^='a+b'],
+    :nth-child(2n+1)) are protected from splitting."""
+    _shield = {">": "\x00", "+": "\x01", "~": "\x02"}
+
+    def protect(m: re.Match) -> str:
+        inner = m.group(0)
+        for c, repl in _shield.items():
+            inner = inner.replace(c, repl)
+        return inner
+
+    sel = re.sub(r"\[[^\]]*\]|\([^)]*\)", protect, selector)
+    for c in ">+~":
+        sel = sel.replace(c, f" {c} ")
+    toks = []
+    for t in sel.split():
+        for c, repl in _shield.items():
+            t = t.replace(repl, c)
+        toks.append(t)
     out: list[tuple[str, str]] = []
     comb = " "
     for t in toks:
-        if t == ">":
-            comb = ">"
+        if t in (">", "+", "~"):
+            comb = t
             continue
         out.append((comb, t))
         comb = " "
@@ -280,9 +372,10 @@ def _tokenize_selector(selector: str) -> list[tuple[str, str]]:
 
 def css_select(root: Node, selector: str) -> list[Node]:
     """CSS subset in document order: simple selectors (tag/#id/.cls/
-    [attr]/[attr=v], chained on one base), descendant chains, and the
-    child combinator '>' (reference schemas use full cssselect — e.g.
-    'section.x .y > div', original-README.md:357)."""
+    [attr]/[attr{=,^=,$=,*=,~=}v]/:nth-child/:first-child/:last-child,
+    chained on one base), descendant chains, child '>', and the sibling
+    combinators '+' / '~' (reference schemas use full cssselect — e.g.
+    'section.x .y > div', original-README.md:353-387)."""
     steps = _tokenize_selector(selector)
     if not steps:
         return []
@@ -291,13 +384,24 @@ def css_select(root: Node, selector: str) -> list[Node]:
         nxt = []
         seen = set()
         for m in matched:
-            pool = m.children if comb == ">" else (d for d in m.walk() if d is not m)
+            if comb == ">":
+                pool = m.children
+            elif comb in ("+", "~"):
+                if m.parent is None:
+                    continue
+                sibs = m.parent.children
+                i = next((k for k, s in enumerate(sibs) if s is m), None)
+                if i is None:
+                    continue
+                pool = sibs[i + 1:i + 2] if comb == "+" else sibs[i + 1:]
+            else:
+                pool = (d for d in m.walk() if d is not m)
             for d in pool:
                 if id(d) not in seen and _match_simple(d, part):
                     nxt.append(d)
                     seen.add(id(d))
         matched = nxt
-    # re-sort to document order (child-combinator hops can interleave)
+    # re-sort to document order (sibling/child hops can interleave)
     order = {id(n): i for i, n in enumerate(root.walk())}
     matched.sort(key=lambda n: order.get(id(n), 1 << 30))
     return matched

@@ -219,12 +219,31 @@ class CrawlEngine:
             self.redirects_tbl.append(m)
 
     # ------------------------------------------------------------------ #
-    def _select_batch(self, frontier: DataFrame, limit: int | None):
+    def _select_batch(self, frontier: DataFrame, limit: int | None,
+                      retry_debits: DataFrame | None = None):
+        """Rank-and-limit selection. ``retry_debits`` (host, _debit) counts
+        this round's due retry re-dispatches per host: they are deducted
+        from the host's politeness grant BEFORE fresh selection, so total
+        per-host dispatch (fresh + retries) honors the budget — a host
+        that just timed out doesn't get budget + n_retries fetches.
+        Residual overdraw is bounded: if due retries alone exceed the
+        budget, fresh selection gets 0 and dispatch = n_due (retries hold
+        grants from the round that first selected them)."""
         pri = self._priority()
         cand = frontier
         if self.cfg.politeness and self.host_budgets is not None:
             salts = max(1, self.cfg.politeness_salts)
             mg = self.cfg.salt_min_grants
+            if retry_debits is not None:
+                debit = F.coalesce(F.col("_debit"), F.lit(0)).cast("long")
+            else:
+                debit = F.lit(0).cast("long")
+
+            def _join_debits(df: DataFrame) -> DataFrame:
+                if retry_debits is None:
+                    return df
+                return df.join(F.broadcast(retry_debits), "host", "left")
+
             if mg:
                 # adaptive salting: queues scale with the host's budget —
                 # ns = clamp(ceil(budget/mg), 1, salts). Long-tail hosts
@@ -237,32 +256,44 @@ class CrawlEngine:
                 budgets = F.broadcast(self.host_budgets.select(
                     "host", F.col("budget").cast("long").alias("_b")))
                 w = Window.partitionBy("host", "_q").orderBy(*pri)
+                # _ns (queue count) stays a pure function of (url, budget)
+                # — the python oracle mirrors it — only the per-queue
+                # GRANT shrinks by the debit. debit == 0 reduces exactly
+                # to the undebited formula (greatest(1, ceil(_b/_ns))).
                 cand = (
-                    cand.join(budgets, "host", "left")
+                    _join_debits(cand.join(budgets, "host", "left"))
                     .withColumn("_b", F.coalesce("_b", F.lit(1_000_000_000)))
                     .withColumn("_ns", F.least(
                         F.lit(salts),
                         F.greatest(F.lit(1), F.ceil(F.col("_b") / F.lit(mg)))
                     ).cast("int"))
                     .withColumn("_q", F.pmod("host_salt", F.col("_ns")))
-                    .withColumn("_budget", F.greatest(
-                        F.lit(1), F.ceil(F.col("_b") / F.col("_ns"))).cast("int"))
+                    .withColumn("_budget", F.when(
+                        debit >= F.col("_b"), F.lit(0)
+                    ).otherwise(F.greatest(
+                        F.lit(1),
+                        F.ceil((F.col("_b") - debit) / F.col("_ns")))).cast("int"))
                     .withColumn("_hr", F.row_number().over(w))
                     .where(F.col("_hr") <= F.col("_budget"))
-                    .drop("_hr", "_budget", "_b", "_ns", "_q")
+                    .drop("_hr", "_budget", "_b", "_ns", "_q", *(
+                        ["_debit"] if retry_debits is not None else []))
                 )
             else:
                 budgets = F.broadcast(self.host_budgets.select(
-                    "host",
-                    F.greatest(F.lit(1), F.ceil(F.col("budget") / salts)).cast("int").alias("_budget"),
-                ))
+                    "host", F.col("budget").cast("long").alias("_b")))
                 w = Window.partitionBy("host", "host_salt").orderBy(*pri)
                 cand = (
-                    cand.join(budgets, "host", "left")
-                    .withColumn("_budget", F.coalesce("_budget", F.lit(1_000_000_000)))
+                    _join_debits(cand.join(budgets, "host", "left"))
+                    .withColumn("_b", F.coalesce("_b", F.lit(1_000_000_000)))
+                    .withColumn("_budget", F.when(
+                        debit >= F.col("_b"), F.lit(0)
+                    ).otherwise(F.greatest(
+                        F.lit(1),
+                        F.ceil((F.col("_b") - debit) / F.lit(salts)))).cast("int"))
                     .withColumn("_hr", F.row_number().over(w))
                     .where(F.col("_hr") <= F.col("_budget"))
-                    .drop("_hr", "_budget")
+                    .drop("_hr", "_budget", "_b", *(
+                        ["_debit"] if retry_debits is not None else []))
                 )
         if limit is not None:
             if self._pending_est <= limit:
@@ -420,7 +451,8 @@ class CrawlEngine:
             # Chaining corpus.fetch().select() would eagerly analyze the
             # ~5k-node synthesis tree twice per round — pure driver cost.
             spans_c, st_c, title_c = self.corpus.fetch_cols(
-                lazy=self.cfg.enable_lazy_loading)
+                lazy=self.cfg.enable_lazy_loading,
+                steps=self.cfg.multi_step_actions)
             joined, status, heading, spans_out = selected, st_c, title_c, spans_c
         else:
             docs = self.corpus.select(
@@ -709,6 +741,19 @@ class CrawlEngine:
 
             t0 = time.monotonic()
             retries_out = cfg.max_retries > 0 and self._retries_est > 0
+            rsnap = due = due_debits = None
+            if cfg.max_retries > 0:
+                rsnap = self.retries_tbl.read(spark)
+                if rsnap is not None:
+                    due = rsnap.where(F.col("due_round") <= round_no)
+                    if retries_out and cfg.politeness and self.host_budgets is not None:
+                        # per-host count of this round's due re-dispatches,
+                        # deducted from the politeness grant in
+                        # _select_batch (ADVICE r3: retries must not ride
+                        # on top of the budget). Snapshot is coalesce(1)
+                        # and tiny — the agg broadcasts.
+                        due_debits = due.groupBy("host").agg(
+                            F.count("*").cast("long").alias("_debit"))
             if sweep:
                 # delta-only selection: last round's appended links
                 delta = self._read_delta(self.frontier_tbl)
@@ -739,23 +784,22 @@ class CrawlEngine:
                     if not retries_out:
                         break
                     pending = self.frontier_tbl.read(spark).where(F.lit(False))
-                selected = self._select_batch(pending, limit)
-            rsnap = None
+                selected = self._select_batch(pending, limit, retry_debits=due_debits)
             if cfg.max_retries > 0:
                 # dispatch = fresh selection (attempt 1) ∪ due retries.
                 # Due rows bypass ranking/seen — they already hold a rank
                 # and live in the frontier log; dispatching CONSUMES them
-                # (the next snapshot is written without them below).
+                # (the next snapshot is written without them below). Their
+                # per-host counts were already deducted from the fresh
+                # selection's politeness grant above.
                 selected = selected.select(
                     "*", F.lit(1).cast("int").alias("attempt"),
                     F.lit(None).cast("long").alias("_retry_rank"))
-                rsnap = self.retries_tbl.read(spark)
-                if rsnap is not None:
-                    due = rsnap.where(F.col("due_round") <= round_no).select(
+                if due is not None:
+                    selected = selected.unionByName(due.select(
                         *FRONTIER_COLS, F.lit(0).alias("rank_in_round"),
                         F.col("attempt").cast("int").alias("attempt"),
-                        F.col("retry_rank").cast("long").alias("_retry_rank"))
-                    selected = selected.unionByName(due)
+                        F.col("retry_rank").cast("long").alias("_retry_rank")))
             obs = Observation()
             pages_batch = self._fetch(selected, round_no, fetched).observe(
                 obs,
@@ -1038,7 +1082,11 @@ class CrawlEngine:
         """The fetch log. With retries enabled it also carries the
         transient attempts (status='transient', null spans, same rank as
         the eventual resolution); ``resolved=True`` filters to the final
-        row per URL — what a no-retry crawl's pages table looks like."""
+        row per URL — what a no-retry crawl's pages table looks like.
+        Caveat: a run truncated by max_pages/max_rounds while retries
+        were pending leaves those URLs transient-only in the log, so
+        ``resolved=True`` drops them entirely (see CrawlConfig.max_retries
+        docstring); resuming with a higher cap drains them."""
         df = self.pages_tbl.read(self.spark)
         if df is None or not resolved:
             return df

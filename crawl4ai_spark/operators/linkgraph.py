@@ -40,20 +40,50 @@ PR_ITERS = 5
 
 
 def anchor_aggregate(links: DataFrame, src: str = "src_url", dst: str = "dst_url",
-                     text: str = "anchor") -> DataFrame:
+                     text: str = "anchor",
+                     max_anchors: int | None = 64) -> DataFrame:
     """links(src, dst, anchor) → one row per dst with deduped sorted
-    anchor texts, link count, and distinct-source count."""
-    return (
-        links.groupBy(F.col(dst).alias("url"))
-        .agg(
-            F.count("*").alias("n_links"),
-            F.count_distinct(F.col(src)).alias("n_src_docs"),
-            F.array_join(
-                F.array_sort(F.array_distinct(F.collect_list(F.col(text)))), " | "
-            ).alias("anchors"),
-            F.min(F.col(text)).alias("top_anchor"),
+    anchor texts, link count, and distinct-source count.
+
+    ``max_anchors`` (default 64) is the production posture (r3 verdict
+    item 7): a mega-indegree target (every page links the homepage)
+    must not build an unbounded anchor string on one row. The capped
+    path never materializes the full set per row — distinct (dst,
+    anchor) pairs are pre-cut with a per-dst row_number window (a
+    spillable sort, not a single-row array) and only the top
+    ``max_anchors`` (lexicographic — deterministic on any cluster) are
+    collected; ``n_anchors_total`` reports the uncapped distinct count.
+    ``max_anchors=None`` keeps the exact one-pass unbounded aggregate
+    (the oracle twin)."""
+    if max_anchors is None:
+        return (
+            links.groupBy(F.col(dst).alias("url"))
+            .agg(
+                F.count("*").alias("n_links"),
+                F.count_distinct(F.col(src)).alias("n_src_docs"),
+                F.array_join(
+                    F.array_sort(F.array_distinct(F.collect_list(F.col(text)))), " | "
+                ).alias("anchors"),
+                F.min(F.col(text)).alias("top_anchor"),
+            )
         )
+    from pyspark.sql import Window
+
+    counts = links.groupBy(F.col(dst).alias("url")).agg(
+        F.count("*").alias("n_links"),
+        F.count_distinct(F.col(src)).alias("n_src_docs"),
+        F.count_distinct(F.col(text)).alias("n_anchors_total"),
+        F.min(F.col(text)).alias("top_anchor"),
     )
+    d = links.select(F.col(dst).alias("url"), F.col(text).alias("_a")).distinct()
+    w = Window.partitionBy("url").orderBy("_a")
+    top = d.withColumn("_r", F.row_number().over(w)).where(
+        F.col("_r") <= max_anchors)
+    anch = top.groupBy("url").agg(
+        F.array_join(F.array_sort(F.collect_list("_a")), " | ").alias("anchors"))
+    # both sides hash on url — co-partitioned join, no extra shuffle
+    return counts.join(anch, "url").select(
+        "url", "n_links", "n_src_docs", "n_anchors_total", "anchors", "top_anchor")
 
 
 def pagerank(edges: DataFrame, iters: int = PR_ITERS, damping: float = PR_DAMPING,

@@ -836,10 +836,23 @@ def q_chunk_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
-# K3-adjacent: per-label embedding centroid via order-pinned fold (the
-# aggregation backbone of cluster summaries) — identical fp sequence in
-# both engines because the fold order is (vec_id asc), not engine-chosen.
+# K3-adjacent: per-label embedding centroid. The ORACLE is an order-pinned
+# double fold (vec_id asc); the SPARK side is the scale path: fixed-point
+# integer groupBy sums (associative + commutative → order-free, map-side
+# combinable, no collect_list of all vectors into one row).
+#
+# Why the two are bit-identical here (not just close): every float32
+# element x with |x| >= 2^-17 is an exact multiple of 2^-40 (24-bit
+# mantissa), so x * 2^40 is an exact int64; and the per-label double-fold
+# partial sums stay below 2^12 in magnitude, so every fold addition of a
+# multiple of 2^-40 is exact in double (lsb 2^-40 >= double lsb at 2^12 =
+# 2^-40). Hence fold_sum == int_sum / 2^40 exactly, and the final
+# round(s/n, 6) agrees. Headroom: per-element |x*2^40| < 2^41, so int64
+# holds > 2^21 vectors per label per dim before overflow; at larger scale
+# drop the scale factor or sum as decimal(38,0) — the aggregation shape
+# (plain groupBy sum) is unchanged.
 # --------------------------------------------------------------------------- #
+_FXP = 2.0 ** 40  # exact power-of-two scale: float32 * _FXP is an integer
 @query(
     "embed_centroid",
     f"""
@@ -862,24 +875,19 @@ def q_chunk_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _t(spark, sf_dir, "embeddings")
-    ordered = e.groupBy("label").agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("vec_id").alias("k"), F.col("embedding").alias("v")))
-        ).alias("kv"),
-        F.count("*").alias("n"),
-    )
-    zeros = F.array_repeat(F.lit(0.0), DIM)
-    summed = ordered.select(
-        "label", "n",
-        F.aggregate(
-            F.col("kv"),
-            zeros,
-            lambda acc, kv: F.zip_with(acc, kv["v"], lambda a, x: a + x.cast("double")),
-        ).alias("s"),
-    )
+    # fixed-point int64 per-dim sums: one hash agg with map-side partial
+    # combine; vectors never collect into a single row (scale path)
+    fx = [
+        F.sum((F.get("embedding", i).cast("double") * F.lit(_FXP)).cast("long")).alias(f"s{i}")
+        for i in range(4)
+    ]
+    summed = e.groupBy("label").agg(F.count("*").alias("n"), *fx)
     return summed.select(
         F.col("label").cast("long").alias("label"), "n",
-        *[F.round(F.get("s", i) / F.col("n"), 6).alias(f"c{i}") for i in range(4)],
+        *[
+            F.round((F.col(f"s{i}").cast("double") / F.lit(_FXP)) / F.col("n"), 6).alias(f"c{i}")
+            for i in range(4)
+        ],
     )
 
 
@@ -959,6 +967,43 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order); offset_in_pack = that prefix sum mod budget.
 # --------------------------------------------------------------------------- #
 PACK_BUDGET = 64
+PACK_BLOCK = 128  # docs per prefix-sum block (sub-shard of a source)
+
+
+def pack_prefix(base: DataFrame, value_col: str,
+                order_col: str = "doc_id",
+                block: int = PACK_BLOCK) -> tuple[DataFrame, "F.Column"]:
+    """Two-level exclusive prefix sum of ``value_col`` within ``source``
+    in ``order_col`` order — the scale path for sequence packing (r3
+    verdict: a single per-source window is one serial cumsum per source,
+    so a 3-mega-source corpus runs 3 tasks).
+
+    Level 1: in-block exclusive prefix via a window over (source,
+    doc_id // block) — parallelism = #blocks, not #sources. Level 2:
+    per-source exclusive prefix over the BLOCK TOTALS (#blocks rows,
+    O(n/block) — the only serial-per-source piece). The block-offset
+    join keys on (source, block), the same key as level 1's exchange, so
+    it co-partitions rather than reshuffling the doc table. Identical
+    output to the single-window form by associativity of +, since
+    (block asc, order asc) == (order asc) within a source.
+
+    Returns (df_with_internal_cols, exclusive_prefix_column)."""
+    from pyspark.sql import Window as W
+
+    b = base.withColumn(
+        "_blk", F.floor(F.col(order_col) / F.lit(block)).cast("long"))
+    totals = b.groupBy("source", "_blk").agg(
+        F.sum(value_col).alias("_bt"))
+    w_blk = (W.partitionBy("source").orderBy("_blk")
+             .rowsBetween(W.unboundedPreceding, -1))
+    offs = totals.select(
+        "source", "_blk",
+        F.coalesce(F.sum("_bt").over(w_blk), F.lit(0)).alias("_boff"))
+    j = b.join(offs, ["source", "_blk"])
+    w_in = (W.partitionBy("source", "_blk").orderBy(order_col)
+            .rowsBetween(W.unboundedPreceding, -1))
+    pre = F.col("_boff") + F.coalesce(F.sum(value_col).over(w_in), F.lit(0))
+    return j, pre
 
 
 @query(
@@ -978,18 +1023,12 @@ PACK_BUDGET = 64
     """,
 )
 def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     d = _t(spark, sf_dir, "documents")
     i = F.col("doc_id").cast("long")
     n_tok = T.token_count_ws("text").cast("long")
-    w = (
-        W.partitionBy("source").orderBy("doc_id")
-        .rowsBetween(W.unboundedPreceding, -1)
-    )
     base = d.select(i.alias("doc_id"), "source", n_tok.alias("n_tokens"))
-    pre = F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-    return base.select(
+    j, pre = pack_prefix(base, "n_tokens")
+    return j.select(
         "doc_id", "source", "n_tokens",
         F.floor(pre / PACK_BUDGET).cast("long").alias("pack_id"),
         F.pmod(pre, F.lit(PACK_BUDGET)).cast("long").alias("offset_in_pack"),

@@ -74,8 +74,53 @@ def q_anchor_texts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Aggregated anchor texts per link target: the label source for
     link-text retrieval / query-doc training pairs, and the free
     relevance signal the reference's URL scorers never tap. One hash
-    groupBy on the target URL; anchors deduped + sorted (order-pinned)."""
-    return anchor_aggregate(_links(spark, sf_dir))
+    groupBy on the target URL; anchors deduped + sorted (order-pinned).
+    UNBOUNDED variant — the oracle twin; production defaults to the
+    capped path (anchor_texts_capped below)."""
+    return anchor_aggregate(_links(spark, sf_dir), max_anchors=None)
+
+
+# --------------------------------------------------------------------------- #
+# anchor_texts_capped — production posture: top-N anchors per mega-target
+# --------------------------------------------------------------------------- #
+ANCHOR_CAP = 8
+
+
+@query(
+    "anchor_texts_capped",
+    f"""
+    WITH {_LINKS_SQL},
+    hosted AS (
+        SELECT 'https://' || regexp_extract(dst_url, '^https://([^/]+)', 1) || '/' AS url,
+               src_url, anchor
+        FROM links
+    )
+    SELECT url,
+           count(*)::BIGINT AS n_links,
+           count(DISTINCT src_url)::BIGINT AS n_src_docs,
+           count(DISTINCT anchor)::BIGINT AS n_anchors_total,
+           array_to_string(list_slice(list_sort(list(DISTINCT anchor)), 1, {ANCHOR_CAP}), ' | ') AS anchors,
+           min(anchor) AS top_anchor
+    FROM hosted GROUP BY url
+    """,
+)
+def q_anchor_texts_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capped anchor aggregation at HOST granularity — the mega-indegree
+    shape (every page links the homepage) where the unbounded variant
+    would build a giant single-row string. The real operator's capped
+    path: distinct pairs → per-target row_number pre-cut (spillable
+    sort, bounded rows) → collect of <= {ANCHOR_CAP}; the full distinct
+    count survives as n_anchors_total."""
+    links = _links(spark, sf_dir)
+    hosted = links.select(
+        F.concat(
+            F.lit("https://"),
+            F.regexp_extract("dst_url", "^https://([^/]+)", 1),
+            F.lit("/"),
+        ).alias("dst_url"),
+        "src_url", "anchor",
+    )
+    return anchor_aggregate(hosted, max_anchors=ANCHOR_CAP)
 
 
 # --------------------------------------------------------------------------- #

@@ -233,7 +233,7 @@ YIELD_MIN_CHARS = 300   # a doc "yields" if it clears the content gate
                sum(CASE WHEN n_chars >= {YIELD_MIN_CHARS} THEN 1 ELSE 0 END)::BIGINT AS yield_docs
         FROM documents GROUP BY 1
     ),
-    tot AS (SELECT sum(yield_docs) AS total_yield FROM per_host),
+    tot AS (SELECT greatest(1, sum(yield_docs)) AS total_yield FROM per_host),
     alloc AS (
         SELECT host, n_pages, yield_docs,
                greatest({BUDGET_MIN}, least({BUDGET_MAX},
@@ -263,7 +263,11 @@ def q_host_budget_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("n_chars") >= YIELD_MIN_CHARS, 1).otherwise(0))
         .cast("long").alias("yield_docs"),
     )
-    tot = per_host.agg(F.sum("yield_docs").alias("total_yield"))
+    # greatest(1, ...) zero guard (ADVICE r3): if no document clears the
+    # gate, div 0 is NULL in Spark but errors/diverges in DuckDB — guard
+    # both sides identically (matches host_budgets_from_yield below)
+    tot = per_host.agg(
+        F.greatest(F.lit(1), F.sum("yield_docs")).alias("total_yield"))
     budget = F.greatest(
         F.lit(BUDGET_MIN),
         F.least(F.lit(BUDGET_MAX),

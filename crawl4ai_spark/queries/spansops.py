@@ -600,8 +600,10 @@ def q_seq_pack_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack interleaved documents into fixed INTER_BUDGET-token training
     sequences where media spans cost IMG_TOKENS each: per-doc cost is a
     pure array fold over the spans column (no explode — map-side, inside
-    the scan projection), packing is per-source window prefix sums."""
-    from pyspark.sql import Window as W
+    the scan projection), packing is the two-level (block-sharded)
+    prefix sum from dataops.pack_prefix — few mega-sources no longer
+    serialize (r3 verdict item 6)."""
+    from .dataops import pack_prefix
 
     d = _t(spark, sf_dir, "documents")
     i = F.col("doc_id").cast("long")
@@ -623,10 +625,94 @@ def q_seq_pack_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold(lambda s: F.when(is_media(s), F.lit(IMG_TOKENS)).otherwise(wc(s)).cast("long"))
             .alias("cost"),
     )
-    w = W.partitionBy("source").orderBy("doc_id").rowsBetween(W.unboundedPreceding, -1)
-    pre = F.coalesce(F.sum("cost").over(w), F.lit(0))
-    return base.select(
+    j, pre = pack_prefix(base, "cost")
+    return j.select(
         "doc_id", "source", "n_text_tokens", "n_media", "cost",
         F.floor(pre / INTER_BUDGET).cast("long").alias("pack_id"),
         F.pmod(pre, F.lit(INTER_BUDGET)).cast("long").alias("offset_in_pack"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# U5: multi-step session reveal (reference multi_step_js_actions /
+# multi_step_wait_conditions, crawl_agent.py:147-150,691-692;
+# examples/multi_step_interaction.py — scroll / click-More / wait loops).
+# The batch model: a session over a page is a monotone sequence of span-
+# prefix reveals — step 0 is the initial render, each of the doc's
+# K = 1 + doc_id%3 JS actions reveals 1-4 more spans unless its wait_for
+# condition times out (die on (doc_id*13 + t) % 3 == 0, in which case the
+# session proceeds with nothing new, as the reference's arun does). All
+# arithmetic is integer → exact cross-engine; the Spark side slices the
+# REAL derived span arrays, the oracle mirrors over a kind list.
+# --------------------------------------------------------------------------- #
+@query(
+    "session_steps_spans",
+    f"""
+    WITH {_SP_SQL},
+    kinds AS MATERIALIZED (
+        SELECT doc_id, count(*)::BIGINT AS n, list(kind ORDER BY g) AS ks
+        FROM sp GROUP BY doc_id
+    ),
+    sess AS MATERIALIZED (
+        SELECT doc_id, n, ks, (1 + doc_id % 3)::INT AS k,
+               list_prepend(0, list_transform(generate_series(1, (1 + doc_id % 3)::INT), t ->
+                   CASE WHEN (doc_id*13 + t) % 3 <> 0
+                        THEN 1 + (doc_id*7 + t*5) % 4 ELSE 0 END)) AS rv
+        FROM kinds
+    ),
+    stepped AS (
+        SELECT doc_id, n, ks, k, rv, u.s AS step,
+               greatest(n - list_reduce(rv, (a, b) -> a + b), least(n, 1)) AS v0
+        FROM sess, unnest(generate_series(0, k)) AS u(s)
+    ),
+    vis AS (
+        SELECT doc_id, k, n, ks, step,
+               least(n, v0 + list_reduce(list_slice(rv, 1, step + 1), (a, b) -> a + b)) AS v,
+               CASE WHEN step = 0 THEN 0
+                    ELSE least(n, v0 + list_reduce(list_slice(rv, 1, step), (a, b) -> a + b))
+               END AS vprev
+        FROM stepped
+    )
+    SELECT doc_id, step::INT AS step, k::INT AS n_steps,
+           v::BIGINT AS n_visible, (v - vprev)::BIGINT AS n_new,
+           len(list_filter(ks[1:v::INT], x -> x = 'link'))::BIGINT AS n_links_visible,
+           (v = n) AS sess_done
+    FROM vis
+    """,
+)
+def q_session_steps_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sd = _span_docs(spark, sf_dir).where(F.size("spans") > 0)
+    i = F.col("doc_id")
+    n = F.size("spans").cast("long")
+    k = (F.lit(1) + F.pmod(i, F.lit(3))).cast("int")
+
+    def reveal(t):
+        return F.when(
+            F.pmod(i * 13 + t, F.lit(3)) != 0,
+            F.lit(1) + F.pmod(i * 7 + t * 5, F.lit(4)),
+        ).otherwise(F.lit(0)).cast("long")
+
+    def psum(s):
+        # sum of reveals 1..s; s may be 0 (Spark sequence(1,0) would
+        # DESCEND, so guard) — all inside the row, no shuffle
+        return F.when(s == 0, F.lit(0).cast("long")).otherwise(
+            F.aggregate(F.sequence(F.lit(1), s), F.lit(0).cast("long"),
+                        lambda acc, t: acc + reveal(t)))
+
+    v0 = F.greatest(n - psum(k), F.least(n, F.lit(1).cast("long")))
+    base = sd.select(
+        "doc_id", F.col("spans"), n.alias("n"), k.alias("k"), v0.alias("v0"),
+        F.explode(F.sequence(F.lit(0), k)).alias("step"),
+    )
+    s = F.col("step")
+    v = F.least(F.col("n"), F.col("v0") + psum(s))
+    vprev = F.when(s == 0, F.lit(0).cast("long")).otherwise(
+        F.least(F.col("n"), F.col("v0") + psum(s - 1)))
+    return base.select(
+        "doc_id", s.cast("int").alias("step"), F.col("k").alias("n_steps"),
+        v.alias("n_visible"), (v - vprev).alias("n_new"),
+        F.size(F.filter(F.slice("spans", F.lit(1), v.cast("int")),
+                        lambda sp: sp["kind"] == "link")).cast("long")
+        .alias("n_links_visible"),
+        (v == F.col("n")).alias("sess_done"),
     )

@@ -514,6 +514,36 @@ def test_lazy_loading_exposes_extra_outlinks(spark, tmp_path):
     assert len(lazy) > len(plain)  # and the fixture die guarantees some
 
 
+def test_multi_step_session_extends_outlinks(spark, tmp_path):
+    """U5 multi-step sessions (reference multi_step_js_actions,
+    crawl_agent.py:147-150; examples/multi_step_interaction.py): each
+    added step deterministically reveals more spans, so the k-step
+    crawl's seen set is a strict superset of the (k-1)-step crawl's —
+    the reference's 30→60→90-items "More"-click loop shape — and every
+    step count reproduces its set exactly on re-run."""
+    from crawl4ai_spark.fixtures import VirtualCorpus
+
+    vc = VirtualCorpus(n_docs=400, n_hosts=8)
+    seeds = vc.seed_urls(7, 2)
+
+    def crawl(steps: int, tag: str) -> set[str]:
+        cfg = CrawlConfig(seeds=seeds, strategy="bfs", max_depth=3, max_pages=80,
+                          round_size=20, respect_robots=False,
+                          multi_step_actions=steps)
+        eng = CrawlEngine(spark, vc, cfg, str(tmp_path / tag))
+        eng.run()
+        return {r.url for r in eng.url_seen().collect()}
+
+    s0 = crawl(0, "s0")
+    s1 = crawl(1, "s1")
+    s2 = crawl(2, "s2")
+    s1b = crawl(1, "s1b")
+    assert s1 == s1b                      # deterministic per step count
+    assert s0 <= s1 and s1 <= s2          # strict prefix-extension per step
+    assert len(s1) > len(s0)              # the 2/3 reveal die guarantees growth
+    assert len(s2) > len(s1)
+
+
 def test_global_rank_topk_exact_many_partitions(spark, tmp_path):
     """ADVICE r2: the shuffle-free two-level top-k depends on
     monotonically_increasing_id evaluating after sortWithinPartitions in

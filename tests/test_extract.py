@@ -288,6 +288,77 @@ class TestSelectorBreadth:
         assert rows[1]["courses"] == [] and rows[1]["first_course"] is None
 
 
+GRAMMAR_HTML = """
+<body>
+  <ul id="menu">
+    <li class="item">one</li>
+    <li class="item special">two</li>
+    <li class="item">three</li>
+    <li class="item">four</li>
+    <li class="item">five</li>
+  </ul>
+  <h2>Title</h2>
+  <p class="lead">lead para</p>
+  <p>second para</p>
+  <p>third para</p>
+  <a href="https://cdn.example.com/pkg.tar.gz">tarball</a>
+  <a href="https://example.com/docs/page.html">docs</a>
+  <a href="/local/path">local</a>
+  <div rel="nofollow sponsored">tagged-rel</div>
+</body>
+"""
+
+
+class TestSelectorGrammarR4:
+    """r3 verdict item 4: sibling combinators, attribute substring
+    operators, :nth-child — the commonest forms in real JsonCss schemas
+    (original-README.md:353-387)."""
+
+    def setup_method(self):
+        self.root = parse_html(GRAMMAR_HTML)
+
+    def test_adjacent_sibling(self):
+        hits = css_select(self.root, "h2 + p")
+        assert [h.text() for h in hits] == ["lead para"]
+
+    def test_general_sibling(self):
+        hits = css_select(self.root, "h2 ~ p")
+        assert [h.text() for h in hits] == ["lead para", "second para", "third para"]
+        # anchored further: .lead ~ p skips the lead itself
+        hits2 = css_select(self.root, "p.lead ~ p")
+        assert [h.text() for h in hits2] == ["second para", "third para"]
+
+    def test_attr_prefix_suffix_substring(self):
+        assert [a.text() for a in css_select(self.root, "a[href^=https]")] == ["tarball", "docs"]
+        assert [a.text() for a in css_select(self.root, "a[href$='.html']")] == ["docs"]
+        assert [a.text() for a in css_select(self.root, "a[href*=example.com]")] == ["tarball", "docs"]
+        assert [d.text() for d in css_select(self.root, "div[rel~=sponsored]")] == ["tagged-rel"]
+        assert css_select(self.root, "div[rel~=sponsor]") == []  # word, not substring
+
+    def test_nth_child(self):
+        assert [n.text() for n in css_select(self.root, "#menu li:nth-child(2)")] == ["two"]
+        assert [n.text() for n in css_select(self.root, "#menu li:nth-child(odd)")] == ["one", "three", "five"]
+        assert [n.text() for n in css_select(self.root, "#menu li:nth-child(2n)")] == ["two", "four"]
+        assert [n.text() for n in css_select(self.root, "#menu li:nth-child(2n+1)")] == ["one", "three", "five"]
+        assert [n.text() for n in css_select(self.root, "#menu li:nth-child(-n+2)")] == ["one", "two"]
+        assert [n.text() for n in css_select(self.root, "li:first-child")] == ["one"]
+        assert [n.text() for n in css_select(self.root, "li:last-child")] == ["five"]
+
+    def test_unknown_pseudo_safe_default(self):
+        assert css_select(self.root, "li:hover") == []
+
+    def test_schema_with_grammar_forms(self):
+        schema = {
+            "baseSelector": "ul#menu",
+            "fields": [
+                {"name": "second", "selector": "li:nth-child(2)", "type": "text"},
+                {"name": "after_first", "selector": "li:first-child + li", "type": "text"},
+            ],
+        }
+        rows = extract_with_schema(GRAMMAR_HTML, schema)
+        assert rows == [{"second": "two", "after_first": "two"}]
+
+
 def test_merge_iframes_empty_spans_survive(spark):
     """ADVICE r2: a doc with an empty spans array must survive the merge
     with empty spans, not be dropped by the explode."""

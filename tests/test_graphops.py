@@ -92,6 +92,23 @@ def test_anchor_aggregate_dedup_and_order(spark):
     assert rows["u"].n_links == 1
 
 
+def test_anchor_aggregate_cap_binds(spark):
+    """Capped production posture (r3 verdict item 7): a mega-indegree
+    target keeps only the top-N lexicographic anchors, the uncapped
+    distinct count survives as n_anchors_total, counts are uncapped."""
+    links = spark.createDataFrame(
+        [(f"s{i}", "t", f"a{i:02d}") for i in range(10)]
+        + [("s0", "t", "a00")],  # duplicate pair — must not double-count
+        "src_url string, dst_url string, anchor string",
+    )
+    r = {x.url: x for x in anchor_aggregate(links, max_anchors=3).collect()}["t"]
+    assert r.anchors == "a00 | a01 | a02"
+    assert r.n_anchors_total == 10
+    assert r.n_links == 11
+    assert r.n_src_docs == 10
+    assert r.top_anchor == "a00"
+
+
 def test_link_pagerank_query_shape(spark):
     df = G.q_link_pagerank(spark, SF)
     rows = df.collect()

@@ -234,7 +234,7 @@ def test_dsir_weights_semantics(spark):
     kept = 0
     for did, r in rows.items():
         assert r.weight == r.weight and abs(r.weight) < 1e6
-        assert r.keep == (r.weight >= 0 if r.weight != 0 else True) or r.keep == (r.weight >= 0)
+        assert r.keep == (r.weight >= 0)
         assert r.n_bigrams == nbg[did]
         if r.is_eval:
             assert r.keep, f"target doc {did} must be target-like"

@@ -95,6 +95,45 @@ def test_retry_disabled_has_constant_attempt(spark, corpus_dir, tmp_path):
     assert pg.where("status = 'transient'").count() == 0
 
 
+def test_retry_dispatch_honors_politeness_budget(spark, corpus_dir, tmp_path):
+    """ADVICE r3 (medium): due retry re-dispatches must be deducted from
+    the host's politeness grant — total per-(host, round) dispatch
+    (fresh + retries) stays <= budget, not budget + n_retries. With
+    max_retries=1 the due set per round is bounded by the previous
+    round's dispatch, so the budget bound is exact (no overdraw case)."""
+    from collections import Counter
+
+    docs = _docs(spark, corpus_dir)
+    seeds = _seed(spark, corpus_dir)
+    budget = 2
+    budgets = (
+        docs.select(F.expr("parse_url(doc_id, 'HOST')").alias("host")).distinct()
+        .select("host", F.lit(budget).cast("int").alias("budget"))
+    )
+    eng = CrawlEngine(
+        spark, docs,
+        _cfg(seeds, max_retries=1, retry_failure_every=3, politeness=True),
+        str(tmp_path / "prb"), host_budgets=budgets)
+    eng.run()
+    rows = eng.pages().select("host", "fetch_round", "attempt", "status").collect()
+    per_round = Counter((r.host, r.fetch_round) for r in rows)
+    assert max(per_round.values()) <= budget
+    # non-vacuous: some round dispatched a retry AND a fresh fetch for the
+    # same host — exactly the case that used to overdraw to budget + n
+    mixed = {
+        (r.host, r.fetch_round)
+        for r in rows if r.attempt > 1
+    } & {
+        (r.host, r.fetch_round)
+        for r in rows if r.attempt == 1
+    }
+    assert mixed
+    # retry machinery fired and everything resolved
+    assert any(r.status == "transient" for r in rows)
+    by_url_final = [r for r in rows if r.status != "transient"]
+    assert len(by_url_final) > 0
+
+
 def test_retry_kill_resume_exact(spark, corpus_dir, tmp_path):
     """SIGKILL mid-crawl (simulated by max_rounds=2) then resume: the
     final fetch log — including the transient rows and their ranks —
