@@ -18,6 +18,8 @@ from __future__ import annotations
 
 from dataclasses import dataclass, replace
 
+import pandas as pd
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -71,7 +73,6 @@ def enhance_content(df: DataFrame, text_col: str = "markdown", model=None) -> Da
         raise NotImplementedError(
             "enhance_content needs an injected model callable (no LLM in sandbox)"
         )
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")
@@ -88,7 +89,6 @@ def answer_question(df: DataFrame, question: str, text_col: str = "markdown", mo
         raise NotImplementedError(
             "answer_question needs an injected model callable (no LLM in sandbox)"
         )
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("string")

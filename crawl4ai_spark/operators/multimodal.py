@@ -137,6 +137,27 @@ def media_features(blobs: DataFrame, dim: int = 16) -> DataFrame:
     return blobs.mapInPandas(run, "media_ref string, features array<float>")
 
 
+def media_features_meta(blobs: DataFrame, dim: int = 16) -> DataFrame:
+    """``media_features`` + pixel count in ONE decode pass — the consumer
+    that needs both (the CLIP-shape tower in queries/mediaops) would
+    otherwise run the blob pipeline twice and pay a join to reunite
+    them. Same feature math as media_features, byte-for-byte."""
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            refs, feats, npx = [], [], []
+            for ref, data in zip(pdf["media_ref"], pdf["data"]):
+                m = decode_media(data)
+                px = np.frombuffer(m["pixels"], dtype=np.uint8)
+                hist = np.bincount(px % dim, minlength=dim).astype(np.float64) if px.size else np.zeros(dim)
+                tot = hist.sum() or 1.0
+                refs.append(ref)
+                feats.append((hist / tot).astype(np.float32).tolist())
+                npx.append(int(m["width"]) * int(m["height"]))
+            yield pd.DataFrame({"media_ref": refs, "features": feats, "n_px": npx})
+
+    return blobs.mapInPandas(run, "media_ref string, features array<float>, n_px long")
+
+
 def resize_images(blobs: DataFrame, max_side: int = 64) -> DataFrame:
     """Nearest-neighbor downscale of the synthetic pixel grid (the real
     path would call PIL.Image.resize — STUB boundary is decode_media)."""

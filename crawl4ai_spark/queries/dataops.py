@@ -93,6 +93,22 @@ def _jaccard(sa, sb):
     return inter / (F.size(sa) + F.size(sb) - inter)
 
 
+def _wide(df: DataFrame, key: str = "id") -> DataFrame:
+    """Spread a per-row-heavy projection across all cores BEFORE the
+    fold. The test fixtures are single-row-group parquet files, so the
+    scan yields ONE non-empty split and a signature fold (simhash
+    counts, minhash shingle hashing) serializes on one core — observed
+    as a (5+1)/6 stage: five empty tasks, one doing everything. The
+    pinned narrow exchange (explicit count → AQE cannot coalesce it)
+    costs O(input bytes) once and buys fold parallelism; it earns its
+    keep whenever per-row compute dwarfs shuffle IO, which holds for
+    every signature fold here. At production scale a many-row-group
+    scan already supplies width and this becomes a cheap reshuffle on
+    the downstream join key."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism, key)
+
+
 @query(
     "dedup_minhash_lsh",
     f"""
@@ -123,7 +139,9 @@ def _jaccard(sa, sb):
     """,
 )
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _corpus(spark, sf_dir)
+    # fold-width exchange: shingling runs at defaultParallelism instead
+    # of on the scan's one non-empty split (see _wide)
+    c = _wide(_corpus(spark, sf_dir))
     # barrier 1 (repartition by id): shingle sets computed ONCE and
     # hash-partitioned by id — the exchange is reused (ReusedExchange)
     # by both shingle back-joins below, so the shingling never re-runs
@@ -143,7 +161,9 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # AFTER banding, when the candidate set is already tiny
     bands = hs.select(
         "id",
-        F.posexplode(
+        # *_outer: InferFiltersFromGenerate would otherwise re-inline the
+        # whole signature into a size()>0 filter pushed to the scan
+        F.posexplode_outer(
             H.band_keys(H.minhash_sig_from_hashes(F.col("hs"), N_PERM), N_BANDS, ROWS_PER_BAND)
         ).alias("band", "key"),
     )
@@ -207,7 +227,9 @@ HAMMING_T = 8
     """,
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _corpus(spark, sf_dir)
+    # fold-width exchange BEFORE the per-doc bit-count fold (see _wide):
+    # 6.5 s → 1.1 s warm at sf0.1/local[32]
+    c = _wide(_corpus(spark, sf_dir))
     toks = T.tokens("text")
     # two-stage: materialize per-bit counts once, then pack (the packing
     # expression references counts 60x — inline it and the fold re-runs
@@ -219,10 +241,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # right partitioning for the downstream band join at scale.
     sh = (
         counted.select("id", H.simhash_pack(F.col("cnt"), F.col("n")).alias("sim"))
-        .repartition(F.col("id"))
+        .repartition(F.col("id"))  # CollapseProject barrier (see above)
     )
     bands = F.array(*[H.simhash_band(F.col("sim"), b) for b in range(4)])
-    segs = sh.select("id", "sim", F.posexplode(bands).alias("band", "key"))
+    segs = sh.select("id", "sim", F.posexplode_outer(bands).alias("band", "key"))
     a, b = segs.alias("a"), segs.alias("b")
     cand = (
         a.join(
@@ -465,7 +487,13 @@ def _ecorpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _ecorpus(spark, sf_dir)
-    b = c.select("id", "v", _bucket(F.col("v")).alias("bucket")).repartition(F.col("id"))
+    # pinned exchange on the JOIN key: acts as the CollapseProject
+    # barrier (bucket computed once), spreads the Σ_b n_b² cosine verify
+    # across defaultParallelism tasks (AQE coalesced the unpinned
+    # exchange to ONE task at test scale), and both self-join sides
+    # reuse the same shuffle (ReusedExchange)
+    par = spark.sparkContext.defaultParallelism
+    b = c.select("id", "v", _bucket(F.col("v")).alias("bucket")).repartition(par, "bucket")
     a, e = b.alias("a"), b.alias("b")
     pairs = a.join(
         e,
@@ -545,9 +573,15 @@ def q_ann_ivf_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         _cos(F.array(*[F.lit(float(x)) for x in cv]), F.col("embedding"))
         for cv in cents
     ])
-    assigned = e.select("vec_id", "embedding", sims.alias("sims")).repartition(
-        F.col("vec_id")
-    )
+    # fold-width exchange before the 8×64-dim per-row centroid cosines
+    # (see _wide), then a PINNED barrier after them: cells and qprobe
+    # both consume `assigned`, so the exchange materializes sims once
+    # (ReusedExchange) instead of recomputing per consumer — and AQE
+    # cannot coalesce it to one task under the broadcast probe join
+    par = spark.sparkContext.defaultParallelism
+    assigned = _wide(e, key="vec_id").select(
+        "vec_id", "embedding", sims.alias("sims")
+    ).repartition(par, "vec_id")
     best = F.array_position(F.col("sims"), F.array_max("sims")) - 1
     masked = F.transform(
         F.sequence(F.lit(1), F.lit(N_CELLS)),
@@ -620,8 +654,14 @@ K1, B = 1.2, 0.75
 def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     toks = T.tokens("text")
-    base = d.select(
-        F.col("doc_id").cast("long").alias("doc_id"),
+    # fold-width exchange before the 4 per-doc tokenizations, then a
+    # reuse barrier after: `base` feeds BOTH the corpus-stats agg and
+    # the final scoring join — the barrier makes the second consumer a
+    # ReusedExchange instead of re-tokenizing (see _wide)
+    wide = _wide(d.select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+                 key="doc_id")
+    base = wide.select(
+        "doc_id",
         F.size(toks).alias("dl"),
         *[
             # eagerly evaluated inside the comprehension — no late binding
@@ -629,6 +669,7 @@ def q_bm25_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             for i, t in enumerate(BM25_TERMS)
         ],
     )
+    base = _wide(base, key="doc_id")
     stats = base.agg(
         F.count("*").cast("double").alias("n"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),

@@ -40,7 +40,7 @@ _LINKS_SQL = f"""
 
 def _links(spark: SparkSession, sf_dir: str) -> DataFrame:
     sd = _span_docs(spark, sf_dir)
-    s = sd.select("doc_id", F.explode("spans").alias("s")).where(
+    s = sd.select("doc_id", F.explode_outer("spans").alias("s")).where(
         F.col("s.kind") == "link"
     )
     return s.select(

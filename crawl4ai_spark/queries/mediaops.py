@@ -229,7 +229,7 @@ def q_media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mapInPandas pass instead of synthesizing + hashing blobs twice
     ph = phash_variants(blobs).repartition("media_ref")
     bands = F.array(*[H.simhash_band(F.col("phash"), b) for b in range(4)])
-    segs = ph.select("media_ref", "phash", F.posexplode(bands).alias("band", "key"))
+    segs = ph.select("media_ref", "phash", F.posexplode_outer(bands).alias("band", "key"))
     a, b = segs.alias("a"), segs.alias("b")
     cand = (
         a.join(
@@ -289,12 +289,15 @@ def _media_vec16(refs: DataFrame) -> DataFrame:
     the expensive mapInPandas blob synthesis; pinning the count keeps
     the Arrow stage at full parallelism (tiny rows in, heavy work per
     row — the one case where AQE's size heuristic is wrong)."""
+    from ..operators.multimodal import media_features_meta
+
     n = int(refs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     blobs = build_media_blobs(refs.repartition(n, "media_ref"))
-    feats = media_features(blobs, dim=16)
-    meta = extract_media_meta(blobs).select(
-        "media_ref", (F.col("width") * F.col("height")).cast("long").alias("n_px"))
-    return feats.join(meta, "media_ref").select(
+    # single decode pass yields features AND the pixel count — the
+    # two-op form (media_features ⋈ extract_media_meta) synthesized and
+    # decoded every blob twice and paid a join to reunite the halves
+    fm = media_features_meta(blobs, dim=16)
+    return fm.select(
         "media_ref",
         F.transform(
             "features",
@@ -459,7 +462,7 @@ def q_interleave_assemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .spansops import _span_docs
 
     sd = _span_docs(spark, sf_dir)
-    rows = sd.select("doc_id", F.explode("spans").alias("s"))
+    rows = sd.select("doc_id", F.explode_outer("spans").alias("s"))
     texts = rows.where(F.col("s.kind") == "text").select(
         "doc_id",
         F.col("s.offset").cast("long").alias("t_off"),

@@ -595,8 +595,14 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             H.h60(F.concat(F.get(t, k - 1), F.lit(" "), F.get(t, k))),
             F.lit(DSIR_BUCKETS)).cast("int"),
     )).otherwise(F.array().cast("array<int>"))
-    cvec = d.select(
-        i.alias("id"), (F.pmod(i, F.lit(97)) == 0).alias("is_eval"),
+    # fold-width exchange (see dataops._wide): the O(64×bigrams) count
+    # fold otherwise runs on the scan's one non-empty split
+    from .dataops import _wide
+
+    base = _wide(d.select(
+        i.alias("id"), (F.pmod(i, F.lit(97)) == 0).alias("is_eval"), "text"))
+    cvec = base.select(
+        "id", "is_eval",
         F.aggregate(
             hs,
             F.array_repeat(F.lit(0).cast("long"), DSIR_BUCKETS),
@@ -605,8 +611,13 @@ def q_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda c, b: c + F.when(hh == b, 1).otherwise(0)),
         ).alias("c"),
     )
+    # reuse barrier: cvec feeds BOTH the 64-bucket model agg and the
+    # final weight projection — without an exchange here the count fold
+    # is recomputed per consumer; with it the second consumer reads a
+    # ReusedExchange of the folded (id, is_eval, c) rows
+    cvec = _wide(cvec)
     buckets = (
-        cvec.select("is_eval", F.posexplode("c").alias("bucket", "cnt"))
+        cvec.select("is_eval", F.posexplode_outer("c").alias("bucket", "cnt"))
         .groupBy("bucket")
         .agg(F.sum("cnt").cast("long").alias("r_f"),
              F.sum(F.when(F.col("is_eval"), F.col("cnt")).otherwise(0))

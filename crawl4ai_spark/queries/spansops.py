@@ -55,9 +55,15 @@ def derived_spans(doc_id: Column, text: Column) -> Column:
 
 
 def _span_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dataops import _wide
+
     d = _t(spark, sf_dir, "documents")
     i = F.col("doc_id").cast("long")
-    return d.select(i.alias("doc_id"), derived_spans(i, F.col("text")).alias("spans"))
+    # fold-width exchange BEFORE the span lift (see dataops._wide): the
+    # per-doc span synthesis + downstream array math (BM25 fit, renderer)
+    # otherwise run on the scan's one non-empty split
+    base = _wide(d.select(i.alias("doc_id"), "text"), key="doc_id")
+    return base.select("doc_id", derived_spans(F.col("doc_id"), F.col("text")).alias("spans"))
 
 
 # DuckDB CTEs: one row per derived span with kind/text/ref/score pieces.
@@ -521,7 +527,7 @@ def q_media_freq_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     same two-shuffle shape as dedup_lines; linear in media spans."""
     sd = _span_docs(spark, sf_dir)
     med = (
-        sd.select("doc_id", F.explode("spans").alias("s"))
+        sd.select("doc_id", F.explode_outer("spans").alias("s"))
         .where(F.col("s.kind").isin("image", "media"))
         .select(
             "doc_id",

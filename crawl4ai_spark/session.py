@@ -43,6 +43,17 @@ def get_spark(
         .config("spark.sql.files.openCostInBytes", "512k")
         .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # InferFiltersFromGenerate adds size(arr)>0 under every explode;
+        # PushDownPredicates then drags that predicate below our pinned
+        # fold-width exchanges INTO the FileScan — re-evaluating the
+        # whole signature fold (simhash/minhash/DSIR/span synthesis) on
+        # the scan's single non-empty split (measured: dsir buckets
+        # 7.0 s → 0.9 s without the rule). The inferred filter only
+        # prunes empty arrays, which our computed arrays never are;
+        # queries also use *_outer generators at the hot sites so plans
+        # stay sane under sessions without this exclusion.
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         # ParallelGC: measured 30-40% faster than G1 on the nested-row

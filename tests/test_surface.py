@@ -81,6 +81,44 @@ class TestStrategy:
         with pytest.raises(NotImplementedError):
             enhance_content(df)
 
+    def test_enhance_injected_model_end_to_end(self, spark):
+        """r3 verdict item 5: a deterministic fake model through the
+        Arrow/pandas_udf path proves batching, truncation (reference
+        10k-char cap, ai_agent.py:187), schema, and per-row pairing —
+        the stub boundary stays a stub, the plumbing is exercised."""
+        from crawl4ai_spark.agent import ENHANCE_TRUNCATE, enhance_content
+
+        rows = [(f"u{i}", f"w{i} " * 4000) for i in range(12)]  # > 10k chars each
+        df = spark.createDataFrame(rows, ["url", "markdown"]).repartition(4)
+        fake = lambda t: f"E[{len(t)}]{t[:6]}"  # noqa: E731 — deterministic, length-revealing
+        out = {r.url: r.enhanced for r in
+               enhance_content(df, model=fake).collect()}
+        assert len(out) == 12
+        for i in range(12):
+            # model saw EXACTLY the truncated input, matched to its row
+            t = (f"w{i} " * 4000)[:ENHANCE_TRUNCATE]
+            assert out[f"u{i}"] == f"E[{len(t)}]{t[:6]}"
+        # schema: enhanced appended, temp column dropped
+        res = enhance_content(df, model=fake)
+        assert res.columns == ["url", "markdown", "enhanced"]
+
+    def test_answer_question_injected_model(self, spark):
+        """U3 plumbing: question broadcast into every row's model call,
+        context truncated at the reference's 15k cap (ai_agent.py:252)."""
+        from crawl4ai_spark.agent import ANSWER_TRUNCATE, answer_question
+
+        df = spark.createDataFrame(
+            [("short", "tiny context"), ("long", "c" * 20_000)],
+            ["url", "markdown"])
+        fake = lambda q, c: f"{q}|{len(c)}"  # noqa: E731
+        out = {r.url: r.answer for r in
+               answer_question(df, "why?", model=fake).collect()}
+        assert out["short"] == "why?|12"
+        assert out["long"] == f"why?|{ANSWER_TRUNCATE}"
+        df2 = spark.createDataFrame([("m",)], ["markdown"])
+        with pytest.raises(NotImplementedError):
+            answer_question(df2, "q")
+
 
 class TestSinks:
     def test_collect_downloads(self, spark, corpus_dir):
