@@ -694,3 +694,145 @@ def _register_dsir_sql() -> None:
 
 
 _register_dsir_sql()
+
+
+# --------------------------------------------------------------------------- #
+# domain_cap — per-source contribution cap (round-4 tier)
+# --------------------------------------------------------------------------- #
+DC_CAP = 15      # max docs any single source may contribute
+DC_SHARDS = 4    # level-1 sub-shards bounding the per-source window
+
+_DC_H = H.h60_sql("'dcp:' || doc_id::VARCHAR")
+
+
+@query(
+    "domain_cap",
+    f"""
+    WITH d AS (
+        SELECT doc_id::BIGINT AS doc_id, source, {_DC_H} AS h
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+        FROM d
+    )
+    SELECT doc_id, source, rk::BIGINT AS rk FROM r WHERE rk <= {DC_CAP}
+    """,
+)
+def q_domain_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap any single source's contribution at DC_CAP docs, chosen by a
+    salted-hash priority (deterministic, seedless, re-runnable) — the
+    standard curation guard against one domain dominating the mix (C4
+    and RefinedWeb both cap per-domain mass).
+
+    Scale shape: the naive form is ONE row_number window per source —
+    a mega-source (half the corpus from one host) serializes its whole
+    partition through one task's sort. Here selection is two-level:
+    level 1 ranks within (source, shard) for DC_SHARDS hash sub-shards
+    and cuts at DC_CAP — any row ranked > DC_CAP within its own shard
+    is provably > DC_CAP globally, so the cut is lossless — bounding
+    the level-2 per-source window at DC_SHARDS x DC_CAP rows no matter
+    how large the source is. The oracle is the single-window form;
+    identical output proves the pre-cut exact."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    s = i.cast("string")
+    base = d.select(
+        i.alias("doc_id"),
+        "source",
+        H.h60(F.concat(F.lit("dcp:"), s)).alias("h"),
+        F.pmod(H.h60(F.concat(F.lit("dcs:"), s)), F.lit(DC_SHARDS)).alias("shard"),
+    )
+    w1 = Window.partitionBy("source", "shard").orderBy("h", "doc_id")
+    pre = base.withColumn("r1", F.row_number().over(w1)).where(F.col("r1") <= DC_CAP)
+    w2 = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        pre.withColumn("rk", F.row_number().over(w2).cast("long"))
+        .where(F.col("rk") <= DC_CAP)
+        .select("doc_id", "source", "rk")
+    )
+
+
+# --------------------------------------------------------------------------- #
+# quality_linear — fasttext-shape hashed linear quality classifier
+# --------------------------------------------------------------------------- #
+QL_D = 64        # hashed feature dimension
+QL_SALT_B = "qlb:"   # token -> bucket salt
+QL_SALT_W = "qlw:"   # bucket -> weight salt
+
+# DuckDB weight expression for one token `w`: bucket = h60(salt_b||w) % D,
+# weight = (h60(salt_w||bucket) % 2001 - 1000) / 1000  in [-1, 1]
+_QL_BUCKET = "(" + H.h60_sql(f"'{QL_SALT_B}' || w") + f" % {QL_D})"
+_QL_WEIGHT = (
+    "(("
+    + H.h60_sql(f"'{QL_SALT_W}' || {_QL_BUCKET}::VARCHAR")
+    + " % 2001) - 1000) / 1000.0"
+)
+_QL_PROB = "round(1.0 / (1.0 + exp(-(sw / GREATEST(n_toks, 1)))), 6)"
+
+
+@query(
+    "quality_linear",
+    f"""
+    WITH t AS MATERIALIZED (
+        SELECT doc_id::BIGINT AS doc_id, {T.tokens_sql('text')} AS toks
+        FROM documents
+    ),
+    s AS MATERIALIZED (
+        SELECT doc_id, len(toks)::BIGINT AS n_toks,
+               COALESCE(list_sum(list_transform(toks, w -> {_QL_WEIGHT})), 0.0) AS sw
+        FROM t
+    )
+    SELECT doc_id, n_toks, {_QL_PROB} AS prob,
+           ({_QL_PROB} >= 0.5 AND n_toks > 0) AS keep
+    FROM s
+    """,
+)
+def q_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality classifier in the fasttext/DCLM shape: hashed
+    bag-of-words into a QL_D-dim feature space, a fixed linear weight
+    vector (here derived deterministically from the bucket id — a real
+    deployment broadcasts trained weights, same plan), mean-pooled and
+    squashed through a sigmoid; keep iff p >= 0.5 on a non-empty doc.
+    Pure column expressions — the whole model evaluates inside
+    whole-stage codegen at the scan, no UDF, no shuffle beyond the
+    fold-width exchange. Weight lookup is two md5 applications per
+    token; a broadcast map-join variant would trade that for a join —
+    at 64 buckets the inline form wins (no shuffle, no build side).
+    """
+    from .dataops import _wide
+
+    d = _t(spark, sf_dir, "documents")
+    base = _wide(d.select(F.col("doc_id").cast("long").alias("doc_id"), "text"),
+                 key="doc_id")
+    toks = T.tokens("text")
+
+    def wgt(w):
+        b = F.pmod(H.h60(F.concat(F.lit(QL_SALT_B), w)), F.lit(QL_D))
+        return (
+            F.pmod(H.h60(F.concat(F.lit(QL_SALT_W), b.cast("string"))), F.lit(2001))
+            - 1000
+        ) / F.lit(1000.0)
+
+    par = spark.sparkContext.defaultParallelism
+    # exchange barrier: prob/keep both read `sw` — without it CollapseProject
+    # inlines the whole token-hash fold once per consumer (2x the md5 work)
+    folded = base.select(
+        "doc_id",
+        F.size(toks).cast("long").alias("n_toks"),
+        F.aggregate(toks, F.lit(0.0), lambda acc, w: acc + wgt(w)).alias("sw"),
+    ).repartition(par, "doc_id")
+    prob = F.round(
+        F.lit(1.0)
+        / (F.lit(1.0) + F.exp(-(F.col("sw") / F.greatest(F.lit(1), F.col("n_toks"))))),
+        6,
+    )
+    return folded.select(
+        "doc_id",
+        "n_toks",
+        prob.alias("prob"),
+        ((prob >= 0.5) & (F.col("n_toks") > 0)).alias("keep"),
+    )

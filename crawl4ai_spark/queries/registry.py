@@ -69,6 +69,11 @@ _TAIL = [
     "stream_sessionize",
     "media_frames",
     "media_features_hist",
+    # rotated to make budget room for the round-4 additions
+    # (domain_cap, quality_linear) — both these are r03-certified and
+    # pytest-covered (test_chunking golden loops; sessionize streaming twin)
+    "chunk_fixed",
+    "events_sessionize",
 ]
 
 

@@ -240,3 +240,57 @@ def test_dsir_weights_semantics(spark):
             assert r.keep, f"target doc {did} must be target-like"
         kept += int(r.keep)
     assert 0 < kept < len(rows)
+
+
+def test_domain_cap_bounds_and_matches_single_window(spark):
+    """Two-level capped selection == the naive single-window ground
+    truth (computed per source in Python), and no source exceeds DC_CAP."""
+    from crawl4ai_spark.functions.hashing import h60_py
+    import duckdb
+
+    rows = q_rows = P.q_domain_cap(spark, SF).collect()
+    per_src: dict[str, list] = {}
+    for r in rows:
+        per_src.setdefault(r.source, []).append(r)
+    assert all(len(v) <= P.DC_CAP for v in per_src.values())
+
+    docs = duckdb.sql(
+        f"select doc_id, source from '{SF}/documents.parquet'").fetchall()
+    truth: dict[str, list] = {}
+    for did, src in docs:
+        truth.setdefault(src, []).append((h60_py(f"dcp:{did}"), did))
+    for src, lst in truth.items():
+        want = [d for _, d in sorted(lst)[: P.DC_CAP]]
+        got = [r.doc_id for r in sorted(per_src.get(src, []), key=lambda r: r.rk)]
+        assert got == want, src
+        # rk is the exact global per-source rank, 1-based contiguous
+        assert [r.rk for r in sorted(per_src.get(src, []), key=lambda r: r.rk)] == list(
+            range(1, len(want) + 1))
+
+
+def test_quality_linear_model_semantics(spark):
+    """prob is the sigmoid of the mean hashed-bucket weight (checked
+    against an independent Python evaluation), empty docs never keep,
+    and the corpus splits (both classes present)."""
+    import math
+
+    from crawl4ai_spark.functions.hashing import h60_py
+    import duckdb
+
+    rows = {r.doc_id: r for r in P.q_quality_linear(spark, SF).collect()}
+    docs = duckdb.sql(f"select doc_id, text from '{SF}/documents.parquet'").fetchall()
+    assert len(rows) == len(docs)
+    kept = 0
+    for did, text in docs:
+        toks = [w for w in __import__("re").split(r"\s+", text) if w != ""]
+        sw = sum(
+            ((h60_py("qlw:" + str(h60_py("qlb:" + w) % P.QL_D)) % 2001) - 1000) / 1000.0
+            for w in toks
+        )
+        prob = round(1.0 / (1.0 + math.exp(-(sw / max(1, len(toks))))), 6)
+        r = rows[did]
+        assert r.n_toks == len(toks)
+        assert abs(r.prob - prob) < 2e-6, (did, r.prob, prob)
+        assert r.keep == (prob >= 0.5 and len(toks) > 0)
+        kept += int(r.keep)
+    assert 0 < kept < len(rows)
