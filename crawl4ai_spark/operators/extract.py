@@ -14,8 +14,11 @@ DOM (tree of tag/attrs/children) plus:
 * ``css_select`` — selector subset: ``tag``, ``.class``, ``#id``,
   ``tag.class``, descendant chains ("div p a"), child ``>`` and sibling
   ``+``/``~`` combinators, ``[attr]``/``[attr=v]`` plus the substring
-  operators ``^=``/``$=``/``*=``/``~=``, and the structural pseudos
-  ``:nth-child(an+b|odd|even|k)``/``:first-child``/``:last-child``.
+  operators ``^=``/``$=``/``*=``/``~=``/``|=``, the structural pseudos
+  ``:nth-child(an+b|odd|even|k)``/``:first-child``/``:last-child``/
+  ``:only-child`` and their of-type twins ``:nth-of-type``/
+  ``:first-of-type``/``:last-of-type``, and ``:not(compound)``
+  (argument may not itself carry pseudo parens).
 * ``xpath_select`` — subset: ``//tag``, ``//tag[@attr='v']``,
   ``/a/b`` absolute chains, trailing ``/@attr`` and ``/text()``.
 * ``extract_with_schema`` — JsonCss/JsonXPath schema shape
@@ -232,12 +235,15 @@ def html_to_spans(
 # CSS selector subset
 # --------------------------------------------------------------------------- #
 # components of a compound selector, in any order: tag/*, #id, .class,
-# [attr], [attr <op> v] with op in =/^=/$=/*=/~=, and structural pseudos
-# :nth-child(an+b|odd|even|k) / :first-child / :last-child — full
-# tokenization instead of one fixed-order regex
+# [attr], [attr <op> v] with op in =/^=/$=/*=/~=/|=, and structural pseudos
+# :nth-child(an+b|odd|even|k) / :first-child / :last-child /
+# :nth-of-type(...) / :first-of-type / :last-of-type / :only-child /
+# :not(<compound without pseudo-args>) — full tokenization instead of
+# one fixed-order regex. Boundary: a pseudo argument cannot itself
+# contain ')' (so :not(:nth-child(2)) is out of subset → no match).
 _PART_RX = re.compile(
     r"(?P<tag>^[a-zA-Z][\w-]*|^\*)|(?P<id>#[\w-]+)|(?P<cls>\.[\w-]+)"
-    r"|\[(?P<ak>[\w-]+)(?:(?P<aop>[\^$*~]?=)(?P<av>[^\]]+))?\]"
+    r"|\[(?P<ak>[\w-]+)(?:(?P<aop>[\^$*~|]?=)(?P<av>[^\]]+))?\]"
     r"|(?P<pseudo>:[\w-]+(?:\([^)]*\))?)"
 )
 
@@ -279,6 +285,18 @@ def _elem_position(node: Node) -> tuple[int, int]:
     return 1, len(sibs)
 
 
+def _typed_position(node: Node) -> tuple[int, int]:
+    """(1-based position among same-tag siblings, same-tag count) — the
+    of-type axis."""
+    if node.parent is None:
+        return 1, 1
+    sibs = [s for s in node.parent.children if s.tag == node.tag]
+    for i, s in enumerate(sibs):
+        if s is node:
+            return i + 1, len(sibs)
+    return 1, len(sibs)
+
+
 def _match_pseudo(node: Node, pseudo: str) -> bool:
     name, _, arg = pseudo[1:].partition("(")
     arg = arg.rstrip(")")
@@ -289,6 +307,19 @@ def _match_pseudo(node: Node, pseudo: str) -> bool:
         return p == 1
     if name == "last-child":
         return p == n
+    if name == "only-child":
+        return n == 1
+    if name in ("nth-of-type", "first-of-type", "last-of-type"):
+        tp, tn = _typed_position(node)
+        if name == "nth-of-type":
+            return _nth_match(arg, tp)
+        return tp == 1 if name == "first-of-type" else tp == tn
+    if name == "not":
+        # CSS :not() over a compound selector; argument pseudos with
+        # their own parens are outside the tokenizable subset and fall
+        # to the unparsable-gap safe default inside _match_simple.
+        arg = arg.strip()
+        return bool(arg) and not _match_simple(node, arg)
     return False  # unknown pseudo → no match (safe default)
 
 
@@ -327,6 +358,8 @@ def _match_simple(node: Node, sel: str) -> bool:
                     ok = want != "" and got.endswith(want)
                 elif op == "*=":
                     ok = want != "" and want in got
+                elif op == "|=":  # dash-match: exact or "<want>-..."
+                    ok = got == want or got.startswith(want + "-")
                 else:  # ~= whitespace-separated word match
                     ok = want in got.split()
                 if not ok:
@@ -372,10 +405,11 @@ def _tokenize_selector(selector: str) -> list[tuple[str, str]]:
 
 def css_select(root: Node, selector: str) -> list[Node]:
     """CSS subset in document order: simple selectors (tag/#id/.cls/
-    [attr]/[attr{=,^=,$=,*=,~=}v]/:nth-child/:first-child/:last-child,
-    chained on one base), descendant chains, child '>', and the sibling
-    combinators '+' / '~' (reference schemas use full cssselect — e.g.
-    'section.x .y > div', original-README.md:353-387)."""
+    [attr]/[attr{=,^=,$=,*=,~=,|=}v]/:nth-child/:first-child/
+    :last-child/:only-child/:nth-of-type/:first-of-type/:last-of-type/
+    :not(compound), chained on one base), descendant chains, child '>',
+    and the sibling combinators '+' / '~' (reference schemas use full
+    cssselect — e.g. 'section.x .y > div', original-README.md:353-387)."""
     steps = _tokenize_selector(selector)
     if not steps:
         return []

@@ -347,6 +347,31 @@ class TestSelectorGrammarR4:
     def test_unknown_pseudo_safe_default(self):
         assert css_select(self.root, "li:hover") == []
 
+    def test_not_pseudo(self):
+        hits = css_select(self.root, "#menu li:not(.special)")
+        assert [h.text() for h in hits] == ["one", "three", "four", "five"]
+        # compound argument
+        assert [h.text() for h in css_select(self.root, "p:not(.lead)")] == [
+            "second para", "third para"]
+        # argument with its own parens is out of subset → safe no-match
+        assert css_select(self.root, "li:not(:nth-child(2))") == []
+        assert css_select(self.root, "li:not()") == []
+
+    def test_of_type_pseudos(self):
+        # h2 is the 2nd element child of body but the 1st h2
+        assert [h.text() for h in css_select(self.root, "h2:first-of-type")] == ["Title"]
+        assert css_select(self.root, "h2:first-child") == []
+        assert [h.text() for h in css_select(self.root, "p:nth-of-type(2)")] == ["second para"]
+        assert [h.text() for h in css_select(self.root, "a:last-of-type")] == ["local"]
+        assert [h.text() for h in css_select(self.root, "ul:only-child")] == []
+        assert [h.text() for h in css_select(self.root, "#menu li:nth-of-type(odd)")] == [
+            "one", "three", "five"]
+
+    def test_dash_match_operator(self):
+        root = parse_html('<p lang="en-US">a</p><p lang="en">b</p><p lang="fr">c</p>'
+                          '<p lang="ens">d</p>')
+        assert [h.text() for h in css_select(root, "p[lang|=en]")] == ["a", "b"]
+
     def test_schema_with_grammar_forms(self):
         schema = {
             "baseSelector": "ul#menu",
