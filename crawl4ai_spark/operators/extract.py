@@ -19,8 +19,10 @@ DOM (tree of tag/attrs/children) plus:
   ``:only-child`` and their of-type twins ``:nth-of-type``/
   ``:first-of-type``/``:last-of-type``, and ``:not(compound)``
   (argument may not itself carry pseudo parens).
-* ``xpath_select`` — subset: ``//tag``, ``//tag[@attr='v']``,
-  ``/a/b`` absolute chains, trailing ``/@attr`` and ``/text()``.
+* ``xpath_select`` — subset: ``//tag``, ``/a/b`` absolute chains,
+  chained predicates ``[@attr='v']``/``[@attr]``/
+  ``[contains(@attr,'v')]``/``[contains(text(),'v')]``/``[n]``/
+  ``[last()]``, trailing ``/@attr`` and ``/text()``.
 * ``extract_with_schema`` — JsonCss/JsonXPath schema shape
   (baseSelector + fields[{name, selector, type: text|attribute|html}])
   applied per document; Spark operator = Arrow-batched pandas UDF
@@ -444,38 +446,71 @@ def css_select(root: Node, selector: str) -> list[Node]:
 # --------------------------------------------------------------------------- #
 # XPath subset
 # --------------------------------------------------------------------------- #
+_XP_STEP_RX = re.compile(r"^([\w*-]+|text\(\)|@[\w-]+)((?:\[[^\]]*\])*)$")
+_XP_PRED_RX = re.compile(r"\[([^\]]*)\]")
+
+
+def _xpath_pred(cands: list, pred: str) -> list:
+    """One XPath predicate over a candidate list (subset; unknown forms
+    → empty, the engine's safe default)."""
+    pred = pred.strip()
+    if pred == "last()":
+        return cands[-1:]
+    if pred.isdigit():
+        i = int(pred)
+        return cands[i - 1:i] if 1 <= i <= len(cands) else []
+    m = re.match(r"^contains\(\s*@([\w-]+)\s*,\s*['\"]([^'\"]*)['\"]\s*\)$", pred)
+    if m:
+        return [n for n in cands if m.group(2) in (n.attrs.get(m.group(1)) or "")]
+    m = re.match(r"^contains\(\s*text\(\)\s*,\s*['\"]([^'\"]*)['\"]\s*\)$", pred)
+    if m:
+        return [n for n in cands if m.group(1) in n.text()]
+    m = re.match(r"^@([\w-]+)\s*=\s*['\"]([^'\"]*)['\"]$", pred)
+    if m:
+        return [n for n in cands if n.attrs.get(m.group(1)) == m.group(2)]
+    m = re.match(r"^@([\w-]+)$", pred)
+    if m:
+        return [n for n in cands if m.group(1) in n.attrs]
+    return []
+
+
 def xpath_select(root: Node, expr: str) -> list:
-    """Subset: //tag, /a/b chains, [@attr='v'] predicates, trailing
-    /@attr or /text(). Returns Nodes or strings (for @attr / text())."""
+    """Subset: //tag and /a/b chains with chained predicates
+    [@attr='v'] / [@attr] / [contains(@attr,'v')] /
+    [contains(text(),'v')] / [n] / [last()], plus trailing /@attr or
+    /text(). Returns Nodes or strings (for @attr / text()).
+
+    Positional predicates rank within each context node's candidate
+    list — exact XPath semantics on the child axis; on ``//`` this is
+    the per-context-descendant ranking, i.e. ``(//div)[2]`` rather than
+    lxml's per-parent ``//div[2]`` (documented subset deviation)."""
     expr = expr.strip()
     steps = re.findall(r"(/{1,2})([^/]+)", expr)
     ctx: list[Node] = [root]
-    out: list = []
     for i, (axis, step) in enumerate(steps):
         last = i == len(steps) - 1
         if last and step.startswith("@"):
             return [n.attrs.get(step[1:]) for n in ctx if n.attrs.get(step[1:]) is not None]
         if last and step == "text()":
             return [n.text() for n in ctx]
-        m = re.match(r"^([\w*-]+)(?:\[@([\w-]+)=['\"]([^'\"]*)['\"]\])?$", step)
+        m = _XP_STEP_RX.match(step)
         if not m:
             return []
-        tag, ak, av = m.group(1), m.group(2), m.group(3)
+        tag, preds = m.group(1), _XP_PRED_RX.findall(m.group(2) or "")
 
         def hit(n: Node) -> bool:
-            if tag != "*" and n.tag != tag.lower():
-                return False
-            if ak is not None and n.attrs.get(ak) != av:
-                return False
-            return True
+            return tag == "*" or n.tag == tag.lower()
 
         nxt: list[Node] = []
+        seen: set[int] = set()
         for c in ctx:
             pool = (d for d in c.walk() if d is not c) if axis == "//" else iter(c.children)
-            nxt.extend(d for d in pool if hit(d))
+            cands = [d for d in pool if hit(d)]
+            for p in preds:
+                cands = _xpath_pred(cands, p)
+            nxt.extend(d for d in cands if id(d) not in seen and not seen.add(id(d)))
         ctx = nxt
-    out = ctx
-    return out
+    return ctx
 
 
 # --------------------------------------------------------------------------- #

@@ -372,6 +372,39 @@ class TestSelectorGrammarR4:
                           '<p lang="ens">d</p>')
         assert [h.text() for h in css_select(root, "p[lang|=en]")] == ["a", "b"]
 
+
+class TestXPathGrammarR4:
+    """XPath predicate breadth: positional, last(), contains(),
+    attribute presence, chained predicates."""
+
+    def setup_method(self):
+        self.root = parse_html(GRAMMAR_HTML)
+
+    def test_positional_and_last(self):
+        assert [n.text() for n in xpath_select(self.root, "//ul/li[2]")] == ["two"]
+        assert [n.text() for n in xpath_select(self.root, "//ul/li[last()]")] == ["five"]
+        assert xpath_select(self.root, "//ul/li[9]") == []
+        assert xpath_select(self.root, "//ul/li[2]/text()") == ["two"]
+
+    def test_contains_attr_and_text(self):
+        assert xpath_select(self.root, "//a[contains(@href,'example.com')]/@href") == [
+            "https://cdn.example.com/pkg.tar.gz", "https://example.com/docs/page.html"]
+        assert [n.text() for n in xpath_select(self.root, "//li[contains(text(),'hre')]")] == ["three"]
+
+    def test_attr_presence(self):
+        assert [n.text() for n in xpath_select(self.root, "//div[@rel]")] == ["tagged-rel"]
+        assert xpath_select(self.root, "//p[@rel]") == []
+
+    def test_chained_predicates(self):
+        # class filter then position-within-filtered
+        assert [n.text() for n in
+                xpath_select(self.root, "//ul/li[contains(@class,'item')][2]")] == ["two"]
+        assert [n.text() for n in
+                xpath_select(self.root, "//li[contains(@class,'special')][last()]")] == ["two"]
+
+    def test_unknown_predicate_safe_default(self):
+        assert xpath_select(self.root, "//li[position() mod 2 = 0]") == []
+
     def test_schema_with_grammar_forms(self):
         schema = {
             "baseSelector": "ul#menu",
