@@ -58,13 +58,18 @@ from ..config import SOCIAL_DOMAINS, CrawlConfig, resolve_strategy
 from ..functions.scoring import keyword_score, link_score
 from ..functions.urls import canonicalize, url_hash, url_host, url_path
 from ..tables import Checkpoint, SnapshotTable
-from .cuckoo import build_cuckoo_shards, cuckoo_anti_join, merge_cuckoo_shards
+from .cuckoo import build_cuckoo_shards, cuckoo_anti_join, cuckoo_delete, merge_cuckoo_shards
 from .seen_filter import bloom_anti_join, build_bloom_shards, merge_bloom_shards
 
 FRONTIER_COLS = [
     "url", "url_hash", "host", "host_salt", "depth", "score",
     "parent_rank", "parent_offset", "path", "discovered_round",
 ]
+
+# touched by reopen() in sweep mode: the frontier log then carries
+# re-dispatch rows, so url_seen() first-discovery-dedupes (flag keeps
+# the dedup shuffle off the normal path where the log is unique-by-url)
+REOPEN_FLAG = "reopened.flag"
 
 
 class CrawlEngine:
@@ -103,6 +108,7 @@ class CrawlEngine:
         # so no anti-join against pages is ever needed, and checkpoint
         # rollback replays the exact due/not-due split.
         self.retries_tbl = SnapshotTable(state_dir, "retries")
+        self.state_dir = state_dir
         self.ckp = Checkpoint(state_dir)
         self.robots = robots
         self.host_budgets = host_budgets
@@ -381,9 +387,16 @@ class CrawlEngine:
     FRONTIER_ROWS_PER_FILE = 150_000
     PAGES_ROWS_PER_FILE = 2_000
 
-    def _parts_for(self, est_rows: int, rows_per_file: int) -> int:
+    def _parts_for(self, est_rows: int, rows_per_file: int, over: int = 1) -> int:
+        """Partition count for a stage/write sized at ``est_rows``.
+        ``over`` > 1 oversplits beyond core count (up to over×cores):
+        per-URL synthesis/extract cost varies with simulated doc size,
+        so a one-wave stage (tasks == cores) pays the whole skew as
+        tail idle time; 3-4 waves amortize it (measured: the fattest
+        crawl round's fetch stage at 4 cores was a single 4-task wave
+        whose straggler set the stage time)."""
         par = self.spark.sparkContext.defaultParallelism
-        return max(1, min(par, -(-max(1, est_rows) // rows_per_file)))
+        return max(1, min(par * max(1, over), -(-max(1, est_rows) // rows_per_file)))
 
     # ------------------------------------------------------------------ #
     # maybe-seen sidecar dispatch (north rule: "partitioned Bloom/cuckoo
@@ -443,7 +456,8 @@ class CrawlEngine:
         # barrier: Catalyst won't hoist the synthesis above it).
         # Partition count scales with the batch-size estimate.
         selected = selected.repartition(
-            self._parts_for(self._batch_est, self.PAGES_ROWS_PER_FILE), "url_hash")
+            self._parts_for(self._batch_est, self.PAGES_ROWS_PER_FILE, over=4),
+            "url_hash")
         if isinstance(self.corpus, VirtualCorpus):
             # ONE select: the cached synthesis columns (spans/status and
             # the arithmetic _title — span 0 is the heading by
@@ -860,7 +874,7 @@ class CrawlEngine:
                 .observe(fobs, F.count(F.lit(1)).alias("n"))
                 .repartition(
                     self._parts_for(int(self._link_ratio * n_sel),
-                                    self.FRONTIER_ROWS_PER_FILE),
+                                    self.FRONTIER_ROWS_PER_FILE, over=4),
                     "url_hash"))
             n_fresh = int(fobs.get["n"])
             self._link_ratio = max(0.5, n_fresh / max(1, n_sel))
@@ -1051,6 +1065,164 @@ class CrawlEngine:
                 out[name] = tbl.expire_snapshots(keep)
         return out
 
+    # ------------------------------------------------------------------ #
+    # Freshness loop (queries/schedops.recrawl_schedule → engine) and the
+    # F10 TTL-deletion path the cuckoo sidecar exists for. Both are
+    # maintenance ops BETWEEN runs, like compact_state: they re-commit the
+    # checkpoint so SIGKILL-at-any-point resume semantics are preserved.
+    def reopen(self, due: DataFrame) -> int:
+        """Re-enqueue already-crawled URLs for RE-FETCH without
+        forgetting them — the consumer for ``recrawl_schedule``'s
+        hot/warm buckets. Discovery metadata (depth/score/path/parent)
+        rides along unchanged, so ranking and politeness treat the
+        revisit like the original visit; the URL-seen set is untouched,
+        so the re-fetched page's outlinks still dedup against history
+        and only NEWLY-ADDED links enter the frontier.
+
+        After ``reopen``, ``run(resume=True)`` dispatches the reopened
+        rows and appends one new resolved row per URL to the pages log
+        (the log is a fetch LOG — fetch_round/rank distinguish
+        generations, so ``pages(resolved=True)`` returns one row per
+        visit, not per URL). Mechanics: ordered modes union the rows
+        into the pending snapshot (no frontier-log append); sweep mode
+        — whose selection IS the log's latest delta — appends them as a
+        re-dispatch delta and flips the ``REOPEN_FLAG`` so
+        ``url_seen()`` first-discovery-dedupes from then on. URLs with
+        a pending transient retry are already scheduled and are left to
+        the retry path.
+
+        ``due``: DataFrame with a ``url`` column (canonicalized here).
+        Returns the number of URLs re-enqueued (0 if none matched the
+        crawl history)."""
+        spark = self.spark
+        ck = self.ckp.latest()
+        if ck is None:
+            raise ValueError("reopen() requires a checkpointed crawl — run() first")
+        log = self.frontier_tbl.read(spark)
+        if log is None:
+            return 0
+        want = due.select(canonicalize("url").alias("url")).distinct()
+        hist = log.join(F.broadcast(want), "url", "left_semi")
+        # one row per url (the log may already carry re-dispatch rows):
+        # first-discovery metadata wins, deterministically
+        rest = [c for c in FRONTIER_COLS if c != "url"]
+        rows = (hist.groupBy("url")
+                .agg(F.min_by(F.struct(*rest), F.col("discovered_round")).alias("_s"))
+                .select("url", "_s.*").select(*FRONTIER_COLS))
+        if self._sweep_mode():
+            n = rows.count()
+            if n == 0:
+                return 0
+            self.frontier_tbl.append(rows)
+            with open(os.path.join(self.state_dir, REOPEN_FLAG), "w") as fh:
+                fh.write("1")
+            extra = {"fetched": ck["fetched"],
+                     "pending_mode": ck.get("pending_mode", "table"),
+                     "pending_est": ck.get("pending_est", 0)}
+        else:
+            # pending must be read BEFORE any frontier commit (delta-mode
+            # pending aliases the log's latest delta files)
+            pend = (self._read_delta(self.frontier_tbl)
+                    if ck.get("pending_mode") == "delta"
+                    else self.pending_tbl.read(spark))
+            if pend is not None:
+                pend = pend.select(*FRONTIER_COLS)
+                rows = rows.join(pend.select("url"), "url", "left_anti")
+            n = rows.count()
+            if n == 0:
+                return 0
+            nxt = rows if pend is None else pend.unionByName(rows)
+            self.pending_tbl.overwrite(nxt)
+            extra = {"fetched": ck["fetched"], "pending_mode": "table",
+                     "pending_est": ck.get("pending_est", 0) + n}
+        extra["retries_est"] = ck.get("retries_est", 0)
+        self.ckp.commit(ck["round"], self._versions(), extra)
+        return n
+
+    def forget(self, urls: DataFrame) -> int:
+        """Delete URLs from the URL-seen set — the TTL/recrawl deletion
+        path the cuckoo sidecar exists for (config: cuckoo "supports
+        deletion (recrawl/TTL)"). The URLs leave the frontier log, the
+        robots-blocked table, the pending snapshot, the retry snapshot,
+        and the sidecar — cuckoo: per-fingerprint bucket/stash deletion,
+        no rebuild; bloom: full rebuild from the surviving seen set
+        (bitsets cannot delete) — so later rounds RE-DISCOVER them
+        through links as if never seen (fresh depth/score/rank at
+        rediscovery). The pages log keeps history; the redirects log is
+        an observation log and is left alone. Returns the number of
+        distinct URLs removed from the seen set.
+
+        Scale shape: the log rewrite is one anti-join against a
+        broadcast removal set (TTL batches are small relative to the
+        log) — the same O(log) pass a compaction pays; the cuckoo
+        sidecar update cogroups only the removal hashes per shard."""
+        spark = self.spark
+        ck = self.ckp.latest()
+        if ck is None:
+            raise ValueError("forget() requires a checkpointed crawl — run() first")
+        want = urls.select(canonicalize("url").alias("url")).distinct()
+        log = self.frontier_tbl.read(spark)
+        blocked = self.seen_tbl.read(spark)
+        pool = None if log is None else log.select("url", "url_hash")
+        if blocked is not None:
+            b = blocked.select("url", "url_hash")
+            pool = b if pool is None else pool.unionByName(b)
+        if pool is None:
+            return 0
+        removals = pool.join(F.broadcast(want), "url", "left_semi").distinct()
+        n = removals.count()
+        if n == 0:
+            return 0
+        # pending read BEFORE the log overwrite (delta-mode aliasing)
+        pend = (self._read_delta(self.frontier_tbl)
+                if ck.get("pending_mode") == "delta"
+                else self.pending_tbl.read(spark))
+        if log is not None:
+            self.frontier_tbl.overwrite(
+                log.join(F.broadcast(want), "url", "left_anti"))
+            # zero-row delta commit: sweep-mode selection reads the
+            # latest delta — without this, the overwrite's whole file
+            # set would re-dispatch on the next resume
+            self.frontier_tbl.append(
+                log.where(F.lit(False)).select(*FRONTIER_COLS))
+        if blocked is not None:
+            self.seen_tbl.overwrite(
+                blocked.join(F.broadcast(want), "url", "left_anti"))
+        pending_est = 0
+        if pend is not None:
+            pend = pend.select(*FRONTIER_COLS).join(
+                F.broadcast(want), "url", "left_anti")
+            self.pending_tbl.overwrite(pend)
+            pending_est = self.pending_tbl.read(spark).count()
+        retries_est = ck.get("retries_est", 0)
+        r = self.retries_tbl.read(spark)
+        if r is not None:
+            r2 = r.join(F.broadcast(want), "url", "left_anti")
+            self.retries_tbl.overwrite(r2.coalesce(1))
+            retries_est = self.retries_tbl.read(spark).count()
+        kind = self._sidecar_kind()
+        if kind == "cuckoo":
+            shards = self.bloom_tbl.read(spark)
+            if shards is not None:
+                self.bloom_tbl.overwrite(cuckoo_delete(
+                    shards, removals, hash_col="url_hash",
+                    n_shards=self.cfg.bloom_shards,
+                    n_buckets=self.cfg.cuckoo_buckets))
+        elif kind == "bloom":
+            src = self.frontier_tbl.read(spark)
+            if src is not None:
+                src = src.select("url", "url_hash")
+            b2 = self.seen_tbl.read(spark)
+            if b2 is not None:
+                b2 = b2.select("url", "url_hash")
+                src = b2 if src is None else src.unionByName(b2)
+            if src is not None:
+                self.bloom_tbl.overwrite(self._sidecar_build(src))
+        self.ckp.commit(ck["round"], self._versions(), {
+            "fetched": ck["fetched"], "pending_mode": "table",
+            "pending_est": pending_est, "retries_est": retries_est})
+        return n
+
     def _prof_mark(self, round_no: int, stage: str, t0: float) -> None:
         """Per-stage wall timings, printed when SPARK_GRAFT_PROFILE=1 —
         the feedback loop for ordered-mode throughput work."""
@@ -1082,7 +1254,9 @@ class CrawlEngine:
         """The fetch log. With retries enabled it also carries the
         transient attempts (status='transient', null spans, same rank as
         the eventual resolution); ``resolved=True`` filters to the final
-        row per URL — what a no-retry crawl's pages table looks like.
+        row per VISIT — what a no-retry crawl's pages table looks like.
+        A ``reopen()`` recrawl appends one further resolved row per
+        revisit (fetch_round/rank distinguish generations).
         Caveat: a run truncated by max_pages/max_rounds while retries
         were pending leaves those URLs transient-only in the log, so
         ``resolved=True`` drops them entirely (see CrawlConfig.max_retries
@@ -1106,6 +1280,14 @@ class CrawlEngine:
                 F.col("discovered_round").alias("first_round"),
                 F.lit("frontier").alias("state"),
             )
+            if os.path.exists(os.path.join(self.state_dir, REOPEN_FLAG)):
+                # sweep-mode reopen() appends re-dispatch rows to the
+                # log; first discovery wins in the seen view. Guarded by
+                # the flag so the normal path (log unique by url) never
+                # pays the dedup exchange.
+                derived = (derived.groupBy("url", "url_hash", "state")
+                           .agg(F.min("first_round").alias("first_round"))
+                           .select("url", "url_hash", "first_round", "state"))
         if base is None:
             return derived
         return base if derived is None else derived.unionByName(base)

@@ -1,0 +1,160 @@
+"""Freshness loop closure: reopen (re-fetch without forgetting) and
+forget (seen-set TTL deletion via the cuckoo sidecar's delete path).
+
+Reference analog: crawl4ai exposes cache_mode bypass/refresh for
+revisits (original-README.md cache section); at frontier scale the
+same need is a scheduler op — recrawl_schedule (Cho–Garcia-Molina)
+picks WHAT to revisit, reopen()/forget() make the engine do it.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.config import CrawlConfig
+from crawl4ai_spark.operators.frontier import CrawlEngine
+
+from tests.test_crawl import get_seeds
+
+
+def _docs(spark, corpus_dir):
+    return spark.read.parquet(f"{corpus_dir}/documents.parquet")
+
+
+def _sweep_cfg(seeds):
+    return CrawlConfig(seeds=seeds, max_depth=2, max_pages=None,
+                       politeness=False, respect_robots=False,
+                       track_order=False)
+
+
+def test_reopen_sweep_refetches_and_preserves_seen(spark, corpus_dir, tmp_path):
+    docs = _docs(spark, corpus_dir)
+    seeds = get_seeds(spark, corpus_dir)
+    state = str(tmp_path / "reopen_sweep")
+    eng = CrawlEngine(spark, docs, _sweep_cfg(seeds), state)
+    r1 = eng.run()
+    pages0 = eng.pages().count()
+    seen0 = {r.url for r in eng.url_seen().collect()}
+    max_rank0 = eng.pages().agg(F.max("rank")).collect()[0][0]
+
+    due = eng.pages().orderBy("rank").limit(3).select("url")
+    assert eng.reopen(due) == 3
+
+    eng2 = CrawlEngine(spark, docs, _sweep_cfg(seeds), state)
+    r2 = eng2.run(resume=True)
+    assert r2["fetched"] == r1["fetched"] + 3
+
+    pages = eng2.pages()
+    assert pages.count() == pages0 + 3
+    # the re-fetches are new generations of the same URLs, ranked after
+    # the original crawl (crawl order stays dispatch order)
+    dup = pages.groupBy("url").count().where(F.col("count") > 1)
+    assert dup.count() == 3
+    # sweep ranks are round offsets (fetched_so_far); the re-dispatch
+    # round starts after the whole original crawl
+    assert pages.where(F.col("rank") > max_rank0).count() == 3
+    assert pages.agg(F.min(F.when(F.col("rank") > max_rank0, F.col("rank")))) \
+                .collect()[0][0] == pages0
+    # seen set unchanged: same URLs, no duplicate rows (flagged dedup)
+    seen = eng2.url_seen()
+    assert {r.url for r in seen.collect()} == seen0
+    assert seen.count() == len(seen0)
+
+
+def test_reopen_unknown_urls_noop(spark, corpus_dir, tmp_path):
+    docs = _docs(spark, corpus_dir)
+    seeds = get_seeds(spark, corpus_dir)
+    state = str(tmp_path / "reopen_noop")
+    eng = CrawlEngine(spark, docs, _sweep_cfg(seeds), state)
+    eng.run()
+    never = spark.createDataFrame([("https://nowhere.invalid/x",)], ["url"])
+    assert eng.reopen(never) == 0
+
+
+def test_reopen_requires_checkpoint(spark, corpus_dir, tmp_path):
+    docs = _docs(spark, corpus_dir)
+    eng = CrawlEngine(spark, docs, _sweep_cfg(["https://h/x"]),
+                      str(tmp_path / "reopen_nock"))
+    with pytest.raises(ValueError):
+        eng.reopen(spark.createDataFrame([("https://h/x",)], ["url"]))
+    with pytest.raises(ValueError):
+        eng.forget(spark.createDataFrame([("https://h/x",)], ["url"]))
+
+
+def test_reopen_ordered_mode_uses_pending_not_log(spark, corpus_dir, tmp_path):
+    docs = _docs(spark, corpus_dir)
+    seeds = get_seeds(spark, corpus_dir)
+    cfg = CrawlConfig(seeds=seeds, max_depth=2, max_pages=None,
+                      politeness=False, respect_robots=False,
+                      track_order=True)
+    state = str(tmp_path / "reopen_ordered")
+    eng = CrawlEngine(spark, docs, cfg, state)
+    r1 = eng.run()
+    log_rows0 = eng.frontier_tbl.read(spark).count()
+    pages0 = eng.pages().count()
+
+    due = eng.pages().orderBy("rank").limit(2).select("url")
+    assert eng.reopen(due) == 2
+    # ordered mode re-enqueues via the pending snapshot — the frontier
+    # log (the seen set) is untouched, so no dedup flag is needed
+    assert eng.frontier_tbl.read(spark).count() == log_rows0
+
+    eng2 = CrawlEngine(spark, docs, cfg, state)
+    r2 = eng2.run(resume=True)
+    assert r2["fetched"] == r1["fetched"] + 2
+    assert eng2.pages().count() == pages0 + 2
+    assert eng2.url_seen().count() == log_rows0
+
+
+@pytest.mark.parametrize("sidecar", ["cuckoo", "bloom"])
+def test_forget_then_rediscover(spark, corpus_dir, tmp_path, sidecar):
+    docs = _docs(spark, corpus_dir)
+    seeds = get_seeds(spark, corpus_dir)
+    cfg = CrawlConfig(seeds=seeds, max_depth=2, max_pages=None,
+                      politeness=False, respect_robots=False,
+                      track_order=False, seen_sidecar=sidecar,
+                      bloom_shards=4)
+    state = str(tmp_path / f"forget_{sidecar}")
+    eng = CrawlEngine(spark, docs, cfg, state)
+    eng.run()
+
+    # victims: depth-2 leaves; parents: the pages that discovered them
+    fr = eng.frontier_tbl.read(spark)
+    victims = [r.url for r in fr.where(F.col("depth") == 2)
+               .orderBy("url").limit(2).collect()]
+    assert len(victims) == 2
+    pranks = [r.parent_rank for r in
+              fr.where(F.col("url").isin(victims)).collect()]
+    parents = eng.pages().where(F.col("rank").isin(pranks)).select("url")
+
+    vdf = spark.createDataFrame([(u,) for u in victims], ["url"])
+    assert eng.forget(vdf) == 2
+    assert eng.url_seen().where(F.col("url").isin(victims)).count() == 0
+
+    # reopening the parents re-fetches them; their links now rediscover
+    # the forgotten URLs as fresh frontier work in the following round
+    assert eng.reopen(parents) >= 1
+    eng2 = CrawlEngine(spark, docs, cfg, state)
+    eng2.run(resume=True)
+    seen2 = eng2.url_seen().where(F.col("url").isin(victims))
+    assert seen2.count() == 2
+    # rediscovered rows carry a fresh discovery round
+    assert all(r.first_round > 0 for r in seen2.collect())
+    per_url = {r.url: r["count"] for r in
+               eng2.pages().where(F.col("url").isin(victims))
+               .groupBy("url").count().collect()}
+    # one original fetch + one post-rediscovery fetch each
+    assert per_url == {u: 2 for u in victims}
+
+
+def test_forget_unknown_urls_noop(spark, corpus_dir, tmp_path):
+    docs = _docs(spark, corpus_dir)
+    seeds = get_seeds(spark, corpus_dir)
+    state = str(tmp_path / "forget_noop")
+    eng = CrawlEngine(spark, docs, _sweep_cfg(seeds), state)
+    eng.run()
+    seen0 = eng.url_seen().count()
+    never = spark.createDataFrame([("https://nowhere.invalid/x",)], ["url"])
+    assert eng.forget(never) == 0
+    assert eng.url_seen().count() == seen0
