@@ -836,3 +836,101 @@ def q_quality_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         prob.alias("prob"),
         ((prob >= 0.5) & (F.col("n_toks") > 0)).alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# quality_c4 — C4/T5 line-level heuristics gate
+# --------------------------------------------------------------------------- #
+C4_MIN_KEPT_LINES = 3   # C4: drop pages with < 3 (kept) sentences
+C4_MIN_LINE_WORDS = 5   # C4: keep lines with >= 5 words
+# Corpus calibrations (same convention as GOPHER_STOP_MIN's footnote):
+# the synthetic corpus is a single line of space-separated tokens with
+# no sentence punctuation, so (a) "lines" are LINE_TOKENS-token windows
+# — the dedup_lines convention — making the >=5-words rule operable
+# (the trailing partial window fails it, short docs fail the doc gate);
+# (b) the terminal-punctuation predicate is emitted as a per-doc COUNT
+# column (n_punct_lines, 0 here) instead of folding into keep. The rule
+# STRUCTURE is present and oracled; a production corpus folds it back.
+_C4_LINE_OK = (
+    f"len(list_filter(string_split_regex(trim(x), '\\s+'), w -> w != '')) "
+    f">= {C4_MIN_LINE_WORDS} "
+    "AND NOT contains(lower(x), 'javascript')"
+)
+_C4_PUNCT = "regexp_matches(rtrim(x), '[.!?\"]$')"
+
+
+@query(
+    "quality_c4",
+    f"""
+    WITH t AS (
+        SELECT doc_id::BIGINT AS doc_id, text, {T.tokens_sql('text')} AS w
+        FROM documents
+    ),
+    d AS (
+        SELECT doc_id, text,
+               list_transform(
+                   generate_series(0, CAST(ceil(len(w) / {LINE_TOKENS}.0) AS BIGINT) - 1),
+                   i -> array_to_string(
+                       w[(i * {LINE_TOKENS} + 1):((i + 1) * {LINE_TOKENS})], ' ')) AS ln
+        FROM t
+    ),
+    m AS (
+        SELECT doc_id,
+               len(ln)::BIGINT AS n_lines,
+               list_filter(ln, x -> {_C4_LINE_OK}) AS kept,
+               len(list_filter(ln, x -> {_C4_PUNCT}))::BIGINT AS n_punct_lines,
+               (contains(lower(text), 'lorem ipsum')
+                OR contains(text, '{{')) AS has_badsub
+        FROM d
+    )
+    SELECT doc_id, n_lines, len(kept)::BIGINT AS n_kept, n_punct_lines,
+           -- duckdb: array_to_string of an empty list is NULL; spark's
+           -- array_join is '' — pin the empty-doc representation
+           coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+           (len(kept) >= {C4_MIN_KEPT_LINES} AND NOT has_badsub) AS keep
+    FROM m
+    """,
+)
+def q_quality_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's (T5) cleaning heuristics as a line-level gate: keep lines
+    carrying >= C4_MIN_LINE_WORDS words that don't mention javascript;
+    drop whole docs containing 'lorem ipsum' or '{' (code), or with
+    fewer than C4_MIN_KEPT_LINES surviving lines; report the
+    terminal-punctuation line count (see the calibration note above —
+    the synthetic corpus carries no punctuation, so that rule is a
+    reported column rather than a keep conjunct). Emits the
+    RECONSTRUCTED clean_text (kept lines re-joined), so downstream
+    stages consume the filtered page exactly as C4 does.
+
+    All array HOFs + string predicates in one projection — evaluates in
+    whole-stage codegen at the scan, no shuffle, no UDF. The doc-level
+    Gopher gate (quality_gopher) and this line-level gate compose: real
+    pipelines run both."""
+    d = _t(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    nw = F.ceil(F.size(toks) / F.lit(float(LINE_TOKENS))).cast("int")
+    ln = F.when(F.size(toks) > 0, F.transform(
+        F.sequence(F.lit(0), nw - 1),
+        lambda i: F.array_join(F.slice(toks, i * LINE_TOKENS + 1, LINE_TOKENS), " "),
+    )).otherwise(F.array().cast("array<string>"))
+
+    def line_ok(x):
+        words = F.filter(F.split(F.trim(x), "\\s+"), lambda w: w != "")
+        return (F.size(words) >= C4_MIN_LINE_WORDS) & ~F.lower(x).contains("javascript")
+
+    m = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.size(ln).cast("long").alias("n_lines"),
+        F.filter(ln, line_ok).alias("kept"),
+        F.size(F.filter(ln, lambda x: F.rtrim(x).rlike('[.!?"]$')))
+        .cast("long").alias("n_punct_lines"),
+        (F.lower(F.col("text")).contains("lorem ipsum")
+         | F.col("text").contains("{")).alias("has_badsub"),
+    )
+    return m.select(
+        "doc_id", "n_lines",
+        F.size("kept").cast("long").alias("n_kept"),
+        "n_punct_lines",
+        F.array_join("kept", "\n").alias("clean_text"),
+        ((F.size("kept") >= C4_MIN_KEPT_LINES) & ~F.col("has_badsub")).alias("keep"),
+    )

@@ -70,10 +70,11 @@ _TAIL = [
     "media_frames",
     "media_features_hist",
     # rotated to make budget room for the round-4 additions
-    # (domain_cap, quality_linear) — both these are r03-certified and
-    # pytest-covered (test_chunking golden loops; sessionize streaming twin)
+    # (domain_cap, quality_linear, quality_c4) — all three rotated
+    # entries are r03-certified and pytest-covered
     "chunk_fixed",
     "events_sessionize",
+    "bm25_rank",
 ]
 
 

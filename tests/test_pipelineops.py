@@ -268,6 +268,41 @@ def test_domain_cap_bounds_and_matches_single_window(spark):
             range(1, len(want) + 1))
 
 
+def test_quality_c4_line_gate(spark):
+    """clean_text is exactly the kept 10-token lines (>= 5 words, no
+    'javascript'), doc-level keep needs >= 3 kept lines and no bad
+    substrings — checked against an independent Python evaluation of
+    the same rules. The gate must be OPERABLE: both keep classes
+    present on the synthetic corpus."""
+    import re
+
+    import duckdb
+
+    rows = {r.doc_id: r for r in P.q_quality_c4(spark, SF).collect()}
+    docs = duckdb.sql(f"select doc_id, text from '{SF}/documents.parquet'").fetchall()
+    assert len(rows) == len(docs)
+    kept_docs = 0
+    for did, text in docs:
+        toks = [w for w in re.split(r"\s+", text) if w != ""]
+        lines = [" ".join(toks[i:i + P.LINE_TOKENS])
+                 for i in range(0, len(toks), P.LINE_TOKENS)]
+        kept = [
+            x for x in lines
+            if len([w for w in re.split(r"\s+", x.strip(" ")) if w]) >= P.C4_MIN_LINE_WORDS
+            and "javascript" not in x.lower()
+        ]
+        n_punct = len([x for x in lines if re.search(r'[.!?"]$', x.rstrip(" "))])
+        bad = "lorem ipsum" in text.lower() or "{" in text
+        r = rows[did]
+        assert r.n_lines == len(lines)
+        assert r.n_kept == len(kept), (did, r.n_kept, len(kept))
+        assert r.n_punct_lines == n_punct
+        assert r.clean_text == "\n".join(kept)
+        assert r.keep == (len(kept) >= P.C4_MIN_KEPT_LINES and not bad)
+        kept_docs += int(r.keep)
+    assert 0 < kept_docs < len(rows)  # both classes present
+
+
 def test_quality_linear_model_semantics(spark):
     """prob is the sigmoid of the mean hashed-bucket weight (checked
     against an independent Python evaluation), empty docs never keep,
