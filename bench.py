@@ -200,6 +200,52 @@ def crawl_retry_throughput(spark, work_dir: str, n_docs: int, n_hosts: int = 40)
     }
 
 
+def crawl_recrawl_throughput(spark, work_dir: str, n_docs: int, n_hosts: int = 40) -> dict:
+    """Freshness-loop cost (reopen → resume re-dispatch): after a
+    4-round sweep, reopen one whole depth layer (~65k URLs) and resume.
+    The revisit round pays the full re-fetch + outlink extract, and its
+    extracted links are ~all already seen — so this measures the
+    revisit path AND the seen-set dedup pressure a recrawl generates,
+    rather than assuming revisits cost what first visits do."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.config import CrawlConfig
+    from crawl4ai_spark.fixtures import VirtualCorpus
+    from crawl4ai_spark.operators.frontier import CrawlEngine
+
+    vc = VirtualCorpus(n_docs=n_docs, n_hosts=n_hosts)
+    seeds = vc.seed_urls(n_hosts - 1, 4096)
+    cfg = CrawlConfig(
+        seeds=seeds, max_depth=8, max_pages=None, include_external=True,
+        politeness=False, respect_robots=False, track_order=False,
+        round_size=None, max_rounds=4,
+    )
+    state = os.path.join(work_dir, "state_recrawl")
+    shutil.rmtree(state, ignore_errors=True)
+    eng = CrawlEngine(spark, vc, cfg, state)
+    base = eng.run()
+    due = eng.pages().where(F.col("depth") == 2).select("url")
+    reopened = eng.reopen(due)
+    # the round counter persists across resume: grant headroom for the
+    # revisit rounds (reopen docstring)
+    cfg2 = CrawlConfig(
+        seeds=seeds, max_depth=8, max_pages=None, include_external=True,
+        politeness=False, respect_robots=False, track_order=False,
+        round_size=None, max_rounds=cfg.max_rounds + 2,
+    )
+    eng2 = CrawlEngine(spark, vc, cfg2, state)
+    t0 = time.monotonic()
+    res = eng2.run(resume=True)
+    elapsed = time.monotonic() - t0
+    refetched = res["fetched"] - base["fetched"]
+    return {
+        "reopened": reopened,
+        "refetched": refetched,
+        "crawl_sec": round(elapsed, 3),
+        "urls_per_sec": round(refetched / max(elapsed, 1e-9), 1),
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -263,10 +309,18 @@ def main() -> None:
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
+    # single run (tertiary metric): the freshness-loop revisit path
+    work = f"/dev/shm/bench_fcrawl_{os.getpid()}"
+    try:
+        recrawl = crawl_recrawl_throughput(spark, work, n_docs)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
     total = round(sum(sum(r) for r in qspread.values())
                   + sum(c["crawl_sec"] for c in crawl_runs)
                   + sum(c["crawl_sec"] for c in ordered_runs)
-                  + polite["crawl_sec"] + retry["crawl_sec"], 3)
+                  + polite["crawl_sec"] + retry["crawl_sec"]
+                  + recrawl["crawl_sec"], 3)
     # Detail line FIRST (per-run spreads, for humans / BENCH.md); the
     # compact summary goes LAST so the driver's tail-capture parse always
     # sees one complete JSON object (BENCH_r03 lost its headline when the
@@ -279,6 +333,7 @@ def main() -> None:
         "crawl_ordered_runs": [c["urls_per_sec"] for c in ordered_runs],
         "crawl_polite": polite,
         "crawl_retry": retry,
+        "crawl_recrawl": recrawl,
     }))
     print(json.dumps({
         "metric": "urls_fetched_deduped_per_sec",

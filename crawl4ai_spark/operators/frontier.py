@@ -1093,7 +1093,10 @@ class CrawlEngine:
 
         ``due``: DataFrame with a ``url`` column (canonicalized here).
         Returns the number of URLs re-enqueued (0 if none matched the
-        crawl history)."""
+        crawl history). NB: the round counter persists across resume —
+        a crawl that ended by exhausting max_rounds (or max_pages)
+        needs those caps raised on the resuming engine's config or the
+        revisit rounds never run."""
         spark = self.spark
         ck = self.ckp.latest()
         if ck is None:
