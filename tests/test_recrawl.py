@@ -148,6 +148,78 @@ def test_forget_then_rediscover(spark, corpus_dir, tmp_path, sidecar):
     assert per_url == {u: 2 for u in victims}
 
 
+def _forget_reopen_setup(spark, corpus_dir, tmp_path, name, sidecar="cuckoo"):
+    """Crawl, forget two depth-2 leaves, reopen their parents. Returns
+    (cfg, state, victims) — the resumed crawl then needs TWO rounds:
+    re-fetch parents, then fetch the rediscovered victims."""
+    docs = _docs(spark, corpus_dir)
+    seeds = get_seeds(spark, corpus_dir)
+    cfg = CrawlConfig(seeds=seeds, max_depth=2, max_pages=None,
+                      politeness=False, respect_robots=False,
+                      track_order=False, seen_sidecar=sidecar,
+                      bloom_shards=4)
+    state = str(tmp_path / name)
+    eng = CrawlEngine(spark, docs, cfg, state)
+    eng.run()
+    fr = eng.frontier_tbl.read(spark)
+    victims = [r.url for r in fr.where(F.col("depth") == 2)
+               .orderBy("url").limit(2).collect()]
+    pranks = [r.parent_rank for r in
+              fr.where(F.col("url").isin(victims)).collect()]
+    parents = eng.pages().where(F.col("rank").isin(pranks)).select("url")
+    assert eng.forget(
+        spark.createDataFrame([(u,) for u in victims], ["url"])) == 2
+    assert eng.reopen(parents) >= 1
+    return cfg, state, victims
+
+
+def _final_state(spark, docs, cfg, state):
+    eng = CrawlEngine(spark, docs, cfg, state)
+    pages = {(r.url, r.rank, r.status, r.fetch_round)
+             for r in eng.pages().collect()}
+    seen = {(r.url, r.first_round) for r in eng.url_seen().collect()}
+    return pages, seen
+
+
+def test_forget_reopen_kill_resume_exact(spark, corpus_dir, tmp_path):
+    """SIGKILL between the two revisit rounds (simulated by a
+    max_rounds truncation, the retry-test convention) then resume: the
+    final pages log and seen set equal the uninterrupted revisit's."""
+    docs = _docs(spark, corpus_dir)
+    cfg, state_a, victims = _forget_reopen_setup(spark, corpus_dir, tmp_path, "fra")
+    eng_a = CrawlEngine(spark, docs, cfg, state_a)
+    eng_a.run(resume=True)
+    want = _final_state(spark, docs, cfg, state_a)
+
+    cfg, state_b, victims_b = _forget_reopen_setup(spark, corpus_dir, tmp_path, "frb")
+    assert victims_b == victims
+    ck = CrawlEngine(spark, docs, cfg, state_b).ckp.latest()
+    import dataclasses
+    cut = dataclasses.replace(cfg, max_rounds=ck["round"] + 1)
+    CrawlEngine(spark, docs, cut, state_b).run(resume=True)  # first revisit round only
+    CrawlEngine(spark, docs, cfg, state_b).run(resume=True)  # finish
+    got = _final_state(spark, docs, cfg, state_b)
+    assert got == want
+
+
+def test_forget_then_compact_then_resume(spark, corpus_dir, tmp_path):
+    """compact_state after forget+reopen must not disturb the revisit:
+    compaction rewrites the (now smaller) logs but carries the delta
+    forward, so the resumed rounds still rediscover the victims."""
+    docs = _docs(spark, corpus_dir)
+    cfg, state, victims = _forget_reopen_setup(spark, corpus_dir, tmp_path, "frc")
+    eng = CrawlEngine(spark, docs, cfg, state)
+    eng.compact_state(min_files=1)
+    eng2 = CrawlEngine(spark, docs, cfg, state)
+    eng2.run(resume=True)
+    seen2 = eng2.url_seen().where(F.col("url").isin(victims))
+    assert seen2.count() == 2
+    per_url = {r.url: r["count"] for r in
+               eng2.pages().where(F.col("url").isin(victims))
+               .groupBy("url").count().collect()}
+    assert per_url == {u: 2 for u in victims}
+
+
 def test_forget_unknown_urls_noop(spark, corpus_dir, tmp_path):
     docs = _docs(spark, corpus_dir)
     seeds = get_seeds(spark, corpus_dir)
