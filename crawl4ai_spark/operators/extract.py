@@ -253,8 +253,9 @@ _NTH_RX = re.compile(r"([+-]?\d*)n([+-]\s*\d+)?")
 
 
 def _nth_match(arg: str, p: int) -> bool:
-    """CSS an+b micro-grammar: does 1-based position p satisfy arg?"""
-    arg = arg.strip().lower()
+    """CSS an+b micro-grammar: does 1-based position p satisfy arg?
+    Whitespace around the sign is spec-legal ('2n + 1') — stripped."""
+    arg = arg.strip().lower().replace(" ", "")
     if arg == "odd":
         a, b = 2, 1
     elif arg == "even":
@@ -375,10 +376,10 @@ def _match_simple(node: Node, sel: str) -> bool:
 def _tokenize_selector(selector: str) -> list[tuple[str, str]]:
     """→ [(combinator, simple_selector)]: combinator ' ' (descendant),
     '>' (child), '+' (next sibling), '~' (subsequent siblings); the
-    first entry's combinator is ' '. Combinator characters inside
-    [attr...] or pseudo parens (e.g. [attr~=v], [href^='a+b'],
-    :nth-child(2n+1)) are protected from splitting."""
-    _shield = {">": "\x00", "+": "\x01", "~": "\x02"}
+    first entry's combinator is ' '. Combinator characters AND spaces
+    inside [attr...] or pseudo parens (e.g. [attr~=v], [title="x y"],
+    [href^='a+b'], :nth-child(2n + 1)) are protected from splitting."""
+    _shield = {">": "\x00", "+": "\x01", "~": "\x02", " ": "\x03"}
 
     def protect(m: re.Match) -> str:
         inner = m.group(0)

@@ -1112,28 +1112,45 @@ class CrawlEngine:
         rows = (hist.groupBy("url")
                 .agg(F.min_by(F.struct(*rest), F.col("discovered_round")).alias("_s"))
                 .select("url", "_s.*").select(*FRONTIER_COLS))
+        rsnap = self.retries_tbl.read(spark)
+        if rsnap is not None:
+            # a URL with a pending transient retry is already scheduled —
+            # the retry path owns it (reopening it too would start a
+            # second attempt chain and double-fetch)
+            rows = rows.join(F.broadcast(rsnap.select("url").distinct()),
+                             "url", "left_anti")
+        # pending must be read BEFORE any frontier commit (delta-mode
+        # pending and the sweep selection both alias the log's latest
+        # delta files)
         if self._sweep_mode():
-            n = rows.count()
-            if n == 0:
-                return 0
-            self.frontier_tbl.append(rows)
+            pend = self._read_delta(self.frontier_tbl)
+        else:
+            pend = (self._read_delta(self.frontier_tbl)
+                    if ck.get("pending_mode") == "delta"
+                    else self.pending_tbl.read(spark))
+        if pend is not None:
+            pend = pend.select(*FRONTIER_COLS)
+            # already-pending URLs will be fetched anyway — reopening
+            # them would double-dispatch within one round
+            rows = rows.join(pend.select("url"), "url", "left_anti")
+        n = rows.count()
+        if n == 0:
+            return 0
+        if self._sweep_mode():
+            # sweep selection reads ONLY the latest delta: the new delta
+            # must be (reopened ∪ still-undispatched old delta) or a
+            # truncated crawl's pending links would be silently dropped
+            # (they live in the log = seen set, so never rediscovered).
+            # Old-delta rows get a second log row; the REOPEN_FLAG makes
+            # url_seen() first-discovery-dedupe from here on.
+            nxt = rows if pend is None else rows.unionByName(pend)
+            self.frontier_tbl.append(nxt)
             with open(os.path.join(self.state_dir, REOPEN_FLAG), "w") as fh:
                 fh.write("1")
             extra = {"fetched": ck["fetched"],
                      "pending_mode": ck.get("pending_mode", "table"),
                      "pending_est": ck.get("pending_est", 0)}
         else:
-            # pending must be read BEFORE any frontier commit (delta-mode
-            # pending aliases the log's latest delta files)
-            pend = (self._read_delta(self.frontier_tbl)
-                    if ck.get("pending_mode") == "delta"
-                    else self.pending_tbl.read(spark))
-            if pend is not None:
-                pend = pend.select(*FRONTIER_COLS)
-                rows = rows.join(pend.select("url"), "url", "left_anti")
-            n = rows.count()
-            if n == 0:
-                return 0
             nxt = rows if pend is None else pend.unionByName(rows)
             self.pending_tbl.overwrite(nxt)
             extra = {"fetched": ck["fetched"], "pending_mode": "table",
@@ -1176,33 +1193,48 @@ class CrawlEngine:
         n = removals.count()
         if n == 0:
             return 0
-        # pending read BEFORE the log overwrite (delta-mode aliasing)
-        pend = (self._read_delta(self.frontier_tbl)
-                if ck.get("pending_mode") == "delta"
+        # the log's latest delta is live state — sweep selection reads it
+        # and delta-mode pending aliases it — so it must be read BEFORE
+        # the overwrite and re-appended (minus removals) afterwards, or a
+        # truncated sweep's pending links would strand: the overwrite's
+        # whole file set would otherwise become "the delta" (re-dispatching
+        # the entire log), and a zero-row delta would drop the pending work.
+        old_delta = self._read_delta(self.frontier_tbl)
+        pend = (old_delta if ck.get("pending_mode") == "delta"
                 else self.pending_tbl.read(spark))
         if log is not None:
-            self.frontier_tbl.overwrite(
-                log.join(F.broadcast(want), "url", "left_anti"))
-            # zero-row delta commit: sweep-mode selection reads the
-            # latest delta — without this, the overwrite's whole file
-            # set would re-dispatch on the next resume
+            surviving = None
+            base = log.join(F.broadcast(want), "url", "left_anti")
+            if old_delta is not None:
+                old_delta = old_delta.select(*FRONTIER_COLS)
+                surviving = old_delta.join(F.broadcast(want), "url", "left_anti")
+                # move the delta rows out of the base so re-appending them
+                # keeps log content exactly (log ∖ removals), no dup rows
+                base = base.join(old_delta.select("url").distinct(),
+                                 "url", "left_anti")
+            self.frontier_tbl.overwrite(base.select(*FRONTIER_COLS))
             self.frontier_tbl.append(
-                log.where(F.lit(False)).select(*FRONTIER_COLS))
+                surviving if surviving is not None
+                else log.where(F.lit(False)).select(*FRONTIER_COLS))
         if blocked is not None:
             self.seen_tbl.overwrite(
                 blocked.join(F.broadcast(want), "url", "left_anti"))
         pending_est = 0
         if pend is not None:
+            pobs = Observation()
             pend = pend.select(*FRONTIER_COLS).join(
                 F.broadcast(want), "url", "left_anti")
-            self.pending_tbl.overwrite(pend)
-            pending_est = self.pending_tbl.read(spark).count()
+            self.pending_tbl.overwrite(
+                pend.observe(pobs, F.count(F.lit(1)).alias("n")))
+            pending_est = int(pobs.get["n"])
         retries_est = ck.get("retries_est", 0)
         r = self.retries_tbl.read(spark)
         if r is not None:
+            robs = Observation()
             r2 = r.join(F.broadcast(want), "url", "left_anti")
-            self.retries_tbl.overwrite(r2.coalesce(1))
-            retries_est = self.retries_tbl.read(spark).count()
+            self.retries_tbl.overwrite(
+                r2.observe(robs, F.count(F.lit(1)).alias("n")).coalesce(1))
+            retries_est = int(robs.get["n"])
         kind = self._sidecar_kind()
         if kind == "cuckoo":
             shards = self.bloom_tbl.read(spark)

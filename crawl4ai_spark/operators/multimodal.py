@@ -118,20 +118,29 @@ def extract_media_meta(blobs: DataFrame) -> DataFrame:
     return blobs.mapInPandas(run, MEDIA_META_SCHEMA)
 
 
+def _feature_kernel(data, dim: int):
+    """One decode + byte-histogram feature per blob — the SINGLE kernel
+    both feature operators call, so their outputs can never diverge.
+    Returns (features list[float32], n_px)."""
+    m = decode_media(data)
+    px = np.frombuffer(m["pixels"], dtype=np.uint8)
+    hist = np.bincount(px % dim, minlength=dim).astype(np.float64) if px.size else np.zeros(dim)
+    tot = hist.sum() or 1.0
+    return ((hist / tot).astype(np.float32).tolist(),
+            int(m["width"]) * int(m["height"]))
+
+
 def media_features(blobs: DataFrame, dim: int = 16) -> DataFrame:
     """Per-blob feature vector: byte-histogram folded to ``dim`` buckets,
     L1-normalized — the deterministic stand-in for a CNN/CLIP embedding;
-    swap the inner function for a model in production (same plumbing)."""
+    swap ``_feature_kernel`` for a model in production (same plumbing)."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             refs, feats = [], []
             for ref, data in zip(pdf["media_ref"], pdf["data"]):
-                m = decode_media(data)
-                px = np.frombuffer(m["pixels"], dtype=np.uint8)
-                hist = np.bincount(px % dim, minlength=dim).astype(np.float64) if px.size else np.zeros(dim)
-                tot = hist.sum() or 1.0
+                f, _ = _feature_kernel(data, dim)
                 refs.append(ref)
-                feats.append((hist / tot).astype(np.float32).tolist())
+                feats.append(f)
             yield pd.DataFrame({"media_ref": refs, "features": feats})
 
     return blobs.mapInPandas(run, "media_ref string, features array<float>")
@@ -141,18 +150,16 @@ def media_features_meta(blobs: DataFrame, dim: int = 16) -> DataFrame:
     """``media_features`` + pixel count in ONE decode pass — the consumer
     that needs both (the CLIP-shape tower in queries/mediaops) would
     otherwise run the blob pipeline twice and pay a join to reunite
-    them. Same feature math as media_features, byte-for-byte."""
+    them. Same feature math as media_features BY CONSTRUCTION (shared
+    ``_feature_kernel``)."""
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             refs, feats, npx = [], [], []
             for ref, data in zip(pdf["media_ref"], pdf["data"]):
-                m = decode_media(data)
-                px = np.frombuffer(m["pixels"], dtype=np.uint8)
-                hist = np.bincount(px % dim, minlength=dim).astype(np.float64) if px.size else np.zeros(dim)
-                tot = hist.sum() or 1.0
+                f, n_px = _feature_kernel(data, dim)
                 refs.append(ref)
-                feats.append((hist / tot).astype(np.float32).tolist())
-                npx.append(int(m["width"]) * int(m["height"]))
+                feats.append(f)
+                npx.append(n_px)
             yield pd.DataFrame({"media_ref": refs, "features": feats, "n_px": npx})
 
     return blobs.mapInPandas(run, "media_ref string, features array<float>, n_px long")

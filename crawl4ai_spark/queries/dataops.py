@@ -877,41 +877,31 @@ def q_chunk_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
-# K3-adjacent: per-label embedding centroid. The ORACLE is an order-pinned
-# double fold (vec_id asc); the SPARK side is the scale path: fixed-point
-# integer groupBy sums (associative + commutative → order-free, map-side
-# combinable, no collect_list of all vectors into one row).
-#
-# Why the two are bit-identical here (not just close): every float32
-# element x with |x| >= 2^-17 is an exact multiple of 2^-40 (24-bit
-# mantissa), so x * 2^40 is an exact int64; and the per-label double-fold
-# partial sums stay below 2^12 in magnitude, so every fold addition of a
-# multiple of 2^-40 is exact in double (lsb 2^-40 >= double lsb at 2^12 =
-# 2^-40). Hence fold_sum == int_sum / 2^40 exactly, and the final
-# round(s/n, 6) agrees. Headroom: per-element |x*2^40| < 2^41, so int64
-# holds > 2^21 vectors per label per dim before overflow; at larger scale
-# drop the scale factor or sum as decimal(38,0) — the aggregation shape
-# (plain groupBy sum) is unchanged.
+# K3-adjacent: per-label embedding centroid. BOTH engines compute the
+# 2^-40-QUANTIZED mean: each element is floor(x * 2^40) in int64, summed
+# with a plain groupBy (associative + commutative → order-free, map-side
+# combinable, no collect_list of all vectors into one row), then divided
+# back. The quantization makes exact cross-engine agreement hold BY
+# CONSTRUCTION for ANY float input — no magnitude precondition (an
+# earlier version claimed int-sum == ordered-double-fold bit-for-bit,
+# which required every element to be a multiple of 2^-40; real fixture
+# values like 1.3e-06 violate that). The quantized mean differs from the
+# true mean by < 2^-40 ≈ 9.1e-13 absolute — far below the 6-decimal
+# output rounding and below float32 input precision itself. Headroom:
+# per-element |floor(x*2^40)| < 2^41, so int64 holds > 2^21 vectors per
+# label per dim before overflow; at larger scale drop the scale factor
+# or sum as decimal(38,0) — the aggregation shape is unchanged.
 # --------------------------------------------------------------------------- #
-_FXP = 2.0 ** 40  # exact power-of-two scale: float32 * _FXP is an integer
+_FXP = 2.0 ** 40  # power-of-two quantization scale (exact in double)
 @query(
     "embed_centroid",
     f"""
-    WITH ordered AS (
-        SELECT label, list(list_transform(embedding, x -> x::DOUBLE) ORDER BY vec_id) AS vecs,
-               count(*)::BIGINT AS n
-        FROM embeddings GROUP BY label
-    ),
-    summed AS (
-        SELECT label, n,
-               list_reduce(list_prepend(list_transform(generate_series(1, {DIM}), i -> 0.0::DOUBLE), vecs),
-                           (acc, v) -> list_transform(generate_series(1, {DIM}), i -> acc[i] + v[i])) AS s
-        FROM ordered
-    )
-    SELECT label::BIGINT AS label, n,
-           round(s[1] / n, 6) AS c0, round(s[2] / n, 6) AS c1,
-           round(s[3] / n, 6) AS c2, round(s[4] / n, 6) AS c3
-    FROM summed
+    SELECT label::BIGINT AS label, count(*)::BIGINT AS n,
+           {', '.join(
+               f"round((sum(CAST(floor(embedding[{i + 1}]::DOUBLE * {_FXP!r}) AS BIGINT))::DOUBLE"
+               f" / {_FXP!r}) / count(*), 6) AS c{i}"
+               for i in range(4))}
+    FROM embeddings GROUP BY label
     """,
 )
 def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -919,7 +909,7 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fixed-point int64 per-dim sums: one hash agg with map-side partial
     # combine; vectors never collect into a single row (scale path)
     fx = [
-        F.sum((F.get("embedding", i).cast("double") * F.lit(_FXP)).cast("long")).alias(f"s{i}")
+        F.sum(F.floor(F.get("embedding", i).cast("double") * F.lit(_FXP)).cast("long")).alias(f"s{i}")
         for i in range(4)
     ]
     summed = e.groupBy("label").agg(F.count("*").alias("n"), *fx)

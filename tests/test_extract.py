@@ -367,6 +367,17 @@ class TestSelectorGrammarR4:
         assert [h.text() for h in css_select(self.root, "#menu li:nth-of-type(odd)")] == [
             "one", "three", "five"]
 
+    def test_whitespace_inside_protected_regions(self):
+        # spec-legal spaced an+b form, and attr values containing spaces,
+        # must not be split as descendant combinators
+        assert [n.text() for n in css_select(self.root, "#menu li:nth-child(2n + 1)")] == [
+            "one", "three", "five"]
+        root = parse_html('<p title="x y">a</p><p title="xy">b</p>')
+        assert [h.text() for h in css_select(root, 'p[title="x y"]')] == ["a"]
+        # protected '+' stays protected while real combinators still split
+        root2 = parse_html('<h2>t</h2><p title="a+b">hit</p><p>miss</p>')
+        assert [h.text() for h in css_select(root2, 'h2 + p[title="a+b"]')] == ["hit"]
+
     def test_dash_match_operator(self):
         root = parse_html('<p lang="en-US">a</p><p lang="en">b</p><p lang="fr">c</p>'
                           '<p lang="ens">d</p>')
