@@ -295,6 +295,39 @@ def test_reopen_skips_urls_with_pending_retries(spark, corpus_dir, tmp_path):
     n = eng.reopen(spark.createDataFrame(
         [(u,) for u in retry_urls], ["url"]))
     assert n == 0  # all owned by the retry path
+
+
+def test_reopen_polite_revisits_honor_budgets(spark, corpus_dir, tmp_path):
+    """Reopened URLs enter through the pending snapshot, so politeness
+    rank-and-limit budgets them like any fresh work: per-(host, round)
+    dispatch stays <= budget during the revisit rounds."""
+    docs = _docs(spark, corpus_dir)
+    budgets = spark.read.parquet(f"{corpus_dir}/hosts.parquet")
+    seeds = get_seeds(spark, corpus_dir)
+    cfg = CrawlConfig(seeds=seeds, max_depth=2, max_pages=None,
+                      politeness=True, respect_robots=False,
+                      track_order=True)
+    state = str(tmp_path / "polite_reopen")
+    eng = CrawlEngine(spark, docs, cfg, state, host_budgets=budgets)
+    r1 = eng.run()
+    last_round = eng.pages().agg(F.max("fetch_round")).collect()[0][0]
+
+    due = eng.pages().select("url")
+    n = eng.reopen(due)
+    assert n == r1["fetched"] > 0  # revisit EVERYTHING that was crawled
+    eng2 = CrawlEngine(spark, docs, cfg, state, host_budgets=budgets)
+    r2 = eng2.run(resume=True)
+    assert r2["fetched"] == r1["fetched"] + n
+
+    bmap = {r.host: r.budget for r in budgets.collect()}
+    revisit = (eng2.pages().where(F.col("fetch_round") > last_round)
+               .groupBy("host", "fetch_round").count().collect())
+    assert revisit  # the revisits actually ran
+    for r in revisit:
+        assert r["count"] <= bmap.get(r.host, 10 ** 9), (r.host, r["count"])
+
+
+def test_forget_unknown_urls_noop(spark, corpus_dir, tmp_path):
     docs = _docs(spark, corpus_dir)
     seeds = get_seeds(spark, corpus_dir)
     state = str(tmp_path / "forget_noop")
