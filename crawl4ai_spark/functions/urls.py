@@ -113,6 +113,54 @@ def url_hash(canon_url: Column | str) -> Column:
     return F.xxhash64(c)
 
 
+def _rep_regex(pattern: Column) -> Column:
+    """Anchored Java regex for an RFC 9309 path pattern: regex metachars
+    escaped, ``*`` → ``.*``, and a TRAILING ``$`` (only — RFC 9309 §2.2.3
+    treats mid-pattern ``$`` as a literal octet) → end-of-input anchor."""
+    esc = F.regexp_replace(pattern, r"([\\.\[\]\{\}\(\)\|\^\$\+\?])", r"\\$1")
+    rx = F.replace(esc, F.lit("*"), F.lit(".*"))
+    rx = F.regexp_replace(rx, r"\\\$\z", r"\$")
+    return F.concat(F.lit("^"), rx)
+
+
+def rep_match(path: Column, pattern: Column) -> Column:
+    """RFC 9309 §2.2.3 rule match: plain patterns are prefix matches
+    (the fast path — no regex compile); patterns containing ``*`` or
+    ending in ``$`` go through the wildcard regex. Pure column exprs —
+    evaluated under a broadcast join, rules arrays are per-host small."""
+    has_wild = pattern.contains("*") | pattern.endswith("$")
+    return F.when(has_wild, F.regexp_like(path, _rep_regex(pattern))) \
+        .otherwise(path.startswith(pattern))
+
+
+def rep_best_match(path: Column, rules: Column) -> Column:
+    """Longest matching rule's specificity (octet length of the PATTERN,
+    RFC 9309 §2.2.2 "most octets" — wildcard octets count, matching
+    Google's reference matcher), 0 when nothing matches / rules null."""
+    lens = F.transform(
+        F.coalesce(rules, F.array().cast("array<string>")),
+        lambda p: F.when(rep_match(path, p), F.length(p)).otherwise(F.lit(0)),
+    )
+    return F.coalesce(F.array_max(lens), F.lit(0))
+
+
+def rep_match_py(path: str, pattern: str) -> bool:
+    """Pure-Python twin of ``rep_match`` for the sequential oracle."""
+    import re
+
+    if "*" not in pattern and not pattern.endswith("$"):
+        return path.startswith(pattern)
+    rx = re.escape(pattern).replace(r"\*", ".*")
+    if rx.endswith(r"\$"):
+        rx = rx[:-2] + "$"
+    return re.match(rx, path) is not None
+
+
+def rep_best_py(path: str, rules: list[str]) -> int:
+    """Pure-Python twin of ``rep_best_match``."""
+    return max((len(p) for p in rules if rep_match_py(path, p)), default=0)
+
+
 def url_host_py(url: str) -> str:
     import re
 

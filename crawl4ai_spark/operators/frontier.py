@@ -624,10 +624,15 @@ class CrawlEngine:
         specific (longest) matching rule among allow+disallow wins, and
         allow wins length ties (RFC 9309 §2.2.2). Blocked iff the best
         matching disallow is strictly longer than the best matching
-        allow. Broadcast join — the robots table is one row per host;
-        rule evaluation is pure column exprs (filter/transform/max)."""
+        allow. Rules may use RFC 9309 §2.2.3 wildcards: ``*`` matches
+        any char run, a trailing ``$`` anchors end-of-path (plain
+        prefix rules keep the regex-free fast path). Broadcast join —
+        the robots table is one row per host; rule evaluation is pure
+        column exprs (functions.urls.rep_best_match)."""
         if not self.cfg.respect_robots or self.robots is None:
             return new_links.drop("u_path"), None
+        from ..functions.urls import rep_best_match
+
         cols = ["host", "disallow"]
         has_allow = "allow" in self.robots.columns
         if has_allow:
@@ -636,11 +641,7 @@ class CrawlEngine:
         j = new_links.join(r, "host", "left")
 
         def best(rules: str) -> F.Column:
-            matched = F.filter(
-                F.coalesce(F.col(rules), F.array().cast("array<string>")),
-                lambda p: F.col("u_path").startswith(p),
-            )
-            return F.coalesce(F.array_max(F.transform(matched, F.length)), F.lit(0))
+            return rep_best_match(F.col("u_path"), F.col(rules))
 
         blocked_pred = best("disallow") > (best("allow") if has_allow else F.lit(0))
         drop = ["disallow", "u_path"] + (["allow"] if has_allow else [])

@@ -20,7 +20,7 @@ from dataclasses import dataclass, field
 
 from .config import SOCIAL_DOMAINS, CrawlConfig, resolve_strategy
 from .functions.scoring import keyword_score_py, link_score_py
-from .functions.urls import canonicalize_py, url_host_py, url_path_py
+from .functions.urls import canonicalize_py, rep_best_py, url_host_py, url_path_py
 
 
 @dataclass
@@ -172,9 +172,10 @@ def run_oracle(
                 else:  # plain list = disallow-only (back-compat)
                     allow, dis = [], rules
                 path = url_path_py(u)
-                # REP longest-match: most specific rule wins, allow wins ties
-                best_dis = max((len(p) for p in dis if path.startswith(p)), default=0)
-                best_allow = max((len(p) for p in allow if path.startswith(p)), default=0)
+                # REP longest-match (incl. RFC 9309 *-/$-wildcards):
+                # most specific rule wins, allow wins ties
+                best_dis = rep_best_py(path, dis)
+                best_allow = rep_best_py(path, allow)
                 if best_dis > best_allow:
                     seen[u] = "robots_blocked"
                     continue

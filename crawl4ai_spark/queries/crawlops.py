@@ -348,6 +348,81 @@ def q_robots_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
+# F11b: RFC 9309 §2.2.3 wildcard rules — ``*`` any-run, trailing ``$``
+# end anchor, longest-PATTERN specificity (wildcard octets count). The
+# Spark side runs the engine's actual generic evaluator
+# (functions.urls.rep_best_match — the same exprs frontier._robots_split
+# broadcasts); the oracle hand-expands the literal ruleset to anchored
+# regexes, so a match-semantics bug in the evaluator cannot hide.
+# --------------------------------------------------------------------------- #
+@query(
+    "robots_eval_wildcard",
+    r"""
+    WITH urls AS (
+        SELECT doc_id::BIGINT AS doc_id, (doc_id % 7)::INT AS h,
+               (CASE WHEN doc_id % 4 = 0 THEN '/p/' || doc_id::VARCHAR || '/print'
+                     WHEN doc_id % 4 = 1 THEN '/p/' || doc_id::VARCHAR
+                     WHEN doc_id % 4 = 2 THEN '/dl/' || doc_id::VARCHAR || '.pdf'
+                     ELSE '/a/' || doc_id::VARCHAR END) AS path
+        FROM documents
+    ),
+    -- ruleset on even hosts: disallow ['/p/*/print' (10), '/dl/*.pdf$' (10),
+    -- '/a' (2)], allow ['/a/1' (4)]; odd hosts have no rules
+    scored AS (
+        SELECT doc_id, h, path,
+               (CASE WHEN h % 2 = 0 THEN greatest(
+                   CASE WHEN regexp_matches(path, '^/p/.*/print') THEN 10 ELSE 0 END,
+                   CASE WHEN regexp_matches(path, '^/dl/.*\.pdf$') THEN 10 ELSE 0 END,
+                   CASE WHEN starts_with(path, '/a') THEN 2 ELSE 0 END)
+                ELSE 0 END) AS best_dis,
+               (CASE WHEN h % 2 = 0 AND starts_with(path, '/a/1') THEN 4 ELSE 0 END) AS best_allow
+        FROM urls
+    )
+    SELECT doc_id,
+           'https://host' || h::VARCHAR || '.example.com' || path AS url,
+           best_dis::INT AS best_dis, best_allow::INT AS best_allow,
+           (CASE WHEN best_dis > best_allow THEN 'robots_blocked' ELSE 'allowed' END) AS state
+    FROM scored
+    """,
+)
+def q_robots_eval_wildcard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wildcard REP over a synthetic URL universe, evaluated by the
+    engine's generic rule machinery.
+
+    Scale shape identical to the engine's robots stage: the ruleset is a
+    per-host broadcast; wildcard rules compile a per-rule regex while
+    plain prefixes stay on the regex-free startswith path — all map-side
+    column exprs, no shuffle beyond the scan."""
+    from ..functions.urls import rep_best_match
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    h = F.pmod(i, F.lit(N_HOSTS)).cast("int")
+    cls = F.pmod(i, F.lit(4))
+    path = (
+        F.when(cls == 0, F.concat(F.lit("/p/"), i.cast("string"), F.lit("/print")))
+        .when(cls == 1, F.concat(F.lit("/p/"), i.cast("string")))
+        .when(cls == 2, F.concat(F.lit("/dl/"), i.cast("string"), F.lit(".pdf")))
+        .otherwise(F.concat(F.lit("/a/"), i.cast("string")))
+    )
+    empty = F.array().cast("array<string>")
+    on_host = F.pmod(h, F.lit(2)) == 0
+    dis = F.when(on_host, F.array(
+        F.lit("/p/*/print"), F.lit("/dl/*.pdf$"), F.lit("/a"))).otherwise(empty)
+    alw = F.when(on_host, F.array(F.lit("/a/1"))).otherwise(empty)
+    best_dis = rep_best_match(path, dis)
+    best_allow = rep_best_match(path, alw)
+    return d.select(
+        i.alias("doc_id"),
+        F.concat(F.lit("https://host"), h.cast("string"), F.lit(".example.com"), path).alias("url"),
+        best_dis.cast("int").alias("best_dis"),
+        best_allow.cast("int").alias("best_allow"),
+        F.when(best_dis > best_allow, F.lit("robots_blocked"))
+        .otherwise(F.lit("allowed")).alias("state"),
+    )
+
+
+# --------------------------------------------------------------------------- #
 # F12: redirect tracking — capped redirect-map walk, seen keyed on the
 # final canonical URL (reference records redirects, original-README.md:523).
 # Chain: rr/<d> → r/<d> → p/<d>; start depth varies by doc_id % 3.

@@ -75,6 +75,8 @@ _TAIL = [
     "chunk_fixed",
     "events_sessionize",
     "bm25_rank",
+    # rotated for robots_eval_wildcard (r03-certified, pytest-covered)
+    "keyword_score",
 ]
 
 

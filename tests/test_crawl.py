@@ -683,3 +683,42 @@ def test_score_threshold_conformance(spark, corpus_dir, tmp_path, strategy):
     _, _, got_s_all, _ = _run_both(
         spark, corpus_dir, tmp_path, cfg_all, f"nothresh_{strategy}")
     assert len(got_s_all) > len(got_s)
+
+
+def test_robots_wildcard_rules_match_oracle(spark, corpus_dir, tmp_path):
+    """RFC 9309 wildcard rules live in a real crawl: disallow '/*7$'
+    (path ends in 7) with a longer allow '/p/7$' carve-out, on every
+    host. Engine seen-set == sequential oracle; the rules demonstrably
+    fire (some ...7 URL blocked, the carved path passes)."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.functions.urls import url_host
+
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    pydocs = load_docs_pandas(f"{corpus_dir}/documents.parquet")
+    hosts = sorted(
+        r.h for r in docs.select(url_host("doc_id").alias("h")).distinct().collect()
+    )
+    robots = spark.createDataFrame(
+        [(h, ["/p/7$"], ["/*7$"]) for h in hosts],
+        "host string, allow array<string>, disallow array<string>",
+    )
+    pyrobots = {h: {"allow": ["/p/7$"], "disallow": ["/*7$"]} for h in hosts}
+    cfg = CrawlConfig(seeds=get_seeds(spark, corpus_dir), strategy="bfs",
+                      max_depth=6, max_pages=None, include_external=True)
+    eng = CrawlEngine(spark, docs, cfg, str(tmp_path / "repwild"), robots=robots)
+    eng.run()
+    got_seen = {(r.url, r.state) for r in eng.url_seen().collect()}
+    o = run_oracle(pydocs, cfg, robots=pyrobots)
+    assert got_seen == {(u, s) for u, s in o.seen.items()}
+    blocked = {u for u, s in got_seen if s == "robots_blocked"}
+    passed = {u for u, s in got_seen if s != "robots_blocked"}
+    assert blocked and all(u.endswith("7") for u in blocked)
+    assert not any(u.endswith("/p/7") for u in blocked)
+    # the longer allow rule ('/p/7$' beats '/*7$') lets that exact path through
+    assert any(u.endswith("/p/7") for u in passed), "allow carve-out never fired"
+    fetched = {r.url for r in eng.pages().where("status = 'fetched'").collect()}
+    assert not any(
+        u.endswith("7") and not u.endswith("/p/7")
+        for u in fetched if u not in cfg.seeds
+    )

@@ -102,3 +102,70 @@ def test_query_order_variants_dedup(spark):
     rows = q.groupBy("c").agg(F.countDistinct("raw").alias("nraw")).collect()
     assert rows, "fixture should contain query variants"
     assert all(r.c.endswith("?a=1&b=2") for r in rows)
+
+
+# --------------------------------------------------------------------------- #
+# RFC 9309 §2.2.3 wildcard rule matching (engine robots evaluator)
+# --------------------------------------------------------------------------- #
+REP_CASES = [
+    # (path, pattern, matches)
+    ("/p/5/print", "/p/*/print", True),
+    ("/p/5/print/x", "/p/*/print", True),      # no anchor → prefix semantics
+    ("/p/print", "/p/*/print", False),          # * cannot absorb the slash-less gap
+    ("/p/a/b/print", "/p/*/print", True),       # * spans multiple segments
+    ("/dl/a.pdf", "/dl/*.pdf$", True),
+    ("/dl/a.pdfx", "/dl/*.pdf$", False),        # trailing $ anchors
+    ("/dl/a.pdf/x", "/dl/*.pdf$", False),
+    ("/dl/xqpdf", "/dl/*.pdf$", False),         # '.' is literal, not regex any
+    ("/dl/x.pdf", "/dl/*.pdf$", True),
+    ("/exact", "/exact$", True),
+    ("/exact/sub", "/exact$", False),
+    ("/x$y/z", "/x$y", True),                   # mid-pattern $ is a literal octet
+    ("/x$y", "/x$y", True),
+    ("/p/foo", "/p/*", True),
+    ("/q", "/p/*", False),
+    ("/a(b)/c", "/a(b)*", True),                # regex metachars escaped
+    ("/aXb/c", "/a(b)*", False),
+    ("/login", "/login", True),                 # plain prefix fast path
+    ("/login2", "/login", True),
+    ("/log", "/login", False),
+]
+
+
+def test_rep_match_python():
+    from crawl4ai_spark.functions.urls import rep_match_py
+
+    for path, pat, want in REP_CASES:
+        assert rep_match_py(path, pat) == want, (path, pat)
+
+
+def test_rep_match_spark_matches_python(spark):
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.functions.urls import rep_match
+
+    df = spark.createDataFrame(
+        [(p, pat, want) for p, pat, want in REP_CASES], ["path", "pat", "want"])
+    rows = df.select(
+        "path", "pat", "want",
+        rep_match(F.col("path"), F.col("pat")).alias("got")).collect()
+    for r in rows:
+        assert r.got == r.want, (r.path, r.pat)
+
+
+def test_rep_best_match_longest_wins(spark):
+    """Specificity = pattern octet length; allow/disallow fold picks max."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.functions.urls import rep_best_match, rep_best_py
+
+    rules = ["/a", "/a/*7$", "/a/b"]
+    cases = [("/a/b/c", 4), ("/a/17", 6), ("/a/x", 2), ("/z", 0)]
+    for path, want in cases:
+        assert rep_best_py(path, rules) == want, path
+    df = spark.createDataFrame([(p,) for p, _ in cases], ["path"])
+    arr = F.array(*[F.lit(r) for r in rules])
+    got = {r.path: r.b for r in df.select(
+        "path", rep_best_match(F.col("path"), arr).alias("b")).collect()}
+    for path, want in cases:
+        assert got[path] == want, path
