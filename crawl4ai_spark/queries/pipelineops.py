@@ -934,3 +934,225 @@ def q_quality_c4(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join("kept", "\n").alias("clean_text"),
         ((F.size("kept") >= C4_MIN_KEPT_LINES) & ~F.col("has_badsub")).alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# url_blocklist — UT1/URL-blocklist gate (domain suffix + path-prefix rules)
+# --------------------------------------------------------------------------- #
+# RefinedWeb/FineWeb first-stage filtering drops documents whose URL hits
+# a curated blocklist (the UT1 "adult/ads/malware" lists): a host matches
+# a rule when it EQUALS the listed domain or is a subdomain of it
+# (host endswith '.'||domain — never a bare string suffix), optionally
+# narrowed by a path prefix. The generic operator takes the blocklist as
+# a DataFrame so a production run broadcasts the real UT1 dump.
+
+
+def apply_url_blocklist(urls: DataFrame, blocklist: DataFrame) -> DataFrame:
+    """Gate ``urls(doc_id, url, host, path)`` against
+    ``blocklist(domain, path_prefix, category)``; returns one row per
+    input with the matched ``category`` ('' when clean) and ``keep``.
+
+    Scale shape: the host's dot-suffixes (≥2 labels — a bare TLD never
+    matches a list entry) expand map-side (≤ label-count rows, ~3-5),
+    the blocklist joins as a broadcast, and ONE hash agg per doc folds
+    multi-rule hits to the deterministic min(category). Nothing beyond
+    the doc-keyed agg shuffles at any corpus size."""
+    labels = F.split(F.col("host"), r"\.")
+    n = F.size(labels)
+    sufs = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.array_join(F.slice(labels, i, n), "."),
+    )).otherwise(F.array().cast("array<string>"))
+    cand = urls.select(
+        "doc_id", "url", "path", F.explode_outer(sufs).alias("suf"))
+    b = F.broadcast(blocklist.select("domain", "path_prefix", "category"))
+    hit = cand.join(
+        b,
+        (F.col("suf") == F.col("domain"))
+        & (F.col("path_prefix").isNull()
+           | F.col("path").startswith(F.col("path_prefix"))),
+        "left",
+    )
+    return (
+        hit.groupBy("doc_id", "url")
+        .agg(F.min("category").alias("_cat"))
+        .select(
+            "doc_id", "url",
+            F.coalesce(F.col("_cat"), F.lit("")).alias("category"),
+            F.col("_cat").isNull().alias("keep"),
+        )
+    )
+
+
+@query(
+    "url_blocklist",
+    """
+    WITH urls AS (
+        SELECT doc_id::BIGINT AS doc_id,
+               (CASE WHEN doc_id % 5 = 0 THEN 'www.block' || (doc_id % 3)::VARCHAR || '.com'
+                     WHEN doc_id % 5 = 1 THEN 'block' || (doc_id % 3)::VARCHAR || '.com'
+                     WHEN doc_id % 5 = 2 THEN 'notblock' || (doc_id % 3)::VARCHAR || '.com'
+                     WHEN doc_id % 5 = 3 THEN 'ok' || (doc_id % 7)::VARCHAR || '.org'
+                     ELSE 'a.b.block' || (doc_id % 3)::VARCHAR || '.com' END) AS host,
+               (CASE WHEN doc_id % 2 = 0 THEN '/dl/' ELSE '/p/' END)
+                   || doc_id::VARCHAR AS path
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id, 'https://' || host || path AS url,
+               least(
+                   CASE WHEN host = 'block0.com' OR ends_with(host, '.block0.com')
+                        THEN 'ads' END,
+                   CASE WHEN host = 'block1.com' OR ends_with(host, '.block1.com')
+                        THEN 'adult' END,
+                   CASE WHEN host = 'block2.com' OR ends_with(host, '.block2.com')
+                        THEN 'tracker' END,
+                   CASE WHEN (host = 'ok0.org' OR ends_with(host, '.ok0.org'))
+                             AND starts_with(path, '/dl/')
+                        THEN 'malware' END) AS cat
+        FROM urls
+    )
+    SELECT doc_id, url, coalesce(cat, '') AS category, (cat IS NULL) AS keep
+    FROM m
+    """,
+)
+def q_url_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-shape URL gate over a synthetic host universe via the generic
+    broadcast suffix-join operator (the oracle hand-expands the literal
+    ruleset, so suffix/equality/path semantics are pinned independently
+    of the operator's own machinery). 'notblock0.com' is the string-
+    suffix trap: it ends with 'block0.com' but is NOT a subdomain and
+    must be kept."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    host = (
+        F.when(F.pmod(i, F.lit(5)) == 0,
+               F.concat(F.lit("www.block"), F.pmod(i, F.lit(3)).cast("string"), F.lit(".com")))
+        .when(F.pmod(i, F.lit(5)) == 1,
+              F.concat(F.lit("block"), F.pmod(i, F.lit(3)).cast("string"), F.lit(".com")))
+        .when(F.pmod(i, F.lit(5)) == 2,
+              F.concat(F.lit("notblock"), F.pmod(i, F.lit(3)).cast("string"), F.lit(".com")))
+        .when(F.pmod(i, F.lit(5)) == 3,
+              F.concat(F.lit("ok"), F.pmod(i, F.lit(7)).cast("string"), F.lit(".org")))
+        .otherwise(
+            F.concat(F.lit("a.b.block"), F.pmod(i, F.lit(3)).cast("string"), F.lit(".com")))
+    )
+    path = F.concat(
+        F.when(F.pmod(i, F.lit(2)) == 0, F.lit("/dl/")).otherwise(F.lit("/p/")),
+        i.cast("string"))
+    urls = d.select(
+        i.alias("doc_id"), host.alias("host"), path.alias("path"),
+        F.concat(F.lit("https://"), host, path).alias("url"))
+    bl = urls.sparkSession.createDataFrame(
+        [("block0.com", None, "ads"), ("block1.com", None, "adult"),
+         ("block2.com", None, "tracker"), ("ok0.org", "/dl/", "malware")],
+        "domain string, path_prefix string, category string")
+    return apply_url_blocklist(urls, bl)
+
+
+# --------------------------------------------------------------------------- #
+# perplexity_bucket — CCNet head/middle/tail split, histogram-CDF shape
+# --------------------------------------------------------------------------- #
+# CCNet buckets each language's documents by LM perplexity: best 30% =
+# head, next 30% = middle, rest = tail. The reference pipeline SORTS each
+# language shard; the scale-safe equivalent used here quantizes the score
+# to an integer and derives the 30%/60% cut points from a per-language
+# histogram CDF — the histogram is bounded by the quantization (≤1000
+# rows per language at ANY corpus size), so no global sort ever runs.
+# The LM itself is sandbox-deterministic: per-token score = h60(token)
+# mod 1000 (a trained deployment swaps in real logprobs, same plan).
+PPL_Q = 1000        # quantization buckets (hist rows per language ≤ this)
+PPL_HEAD_PCT = 3    # ×10%: head = best 30%
+PPL_MID_PCT = 6     # ×10%: middle = next 30%
+
+
+@query(
+    "perplexity_bucket",
+    f"""
+    WITH d AS MATERIALIZED (
+        SELECT doc_id::BIGINT AS doc_id, lang, {T.tokens_sql('text')} AS tk
+        FROM documents
+    ),
+    s AS MATERIALIZED (
+        SELECT doc_id, lang, len(tk)::BIGINT AS n_toks,
+               coalesce(list_aggregate(
+                   list_transform(tk, w -> {H.h60_sql('w')} % {PPL_Q}),
+                   'sum'), 0)::BIGINT AS sum_lp
+        FROM d
+    ),
+    sc AS MATERIALIZED (
+        SELECT doc_id, lang,
+               (CASE WHEN n_toks = 0 THEN {PPL_Q - 1}
+                     ELSE sum_lp // n_toks END)::INT AS ppl_q
+        FROM s
+    ),
+    hist AS (SELECT lang, ppl_q, count(*)::BIGINT AS cnt FROM sc GROUP BY 1, 2),
+    cum AS (
+        SELECT lang, ppl_q,
+               sum(cnt) OVER (PARTITION BY lang ORDER BY ppl_q)::BIGINT AS cum,
+               sum(cnt) OVER (PARTITION BY lang)::BIGINT AS total
+        FROM hist
+    ),
+    thr AS (
+        SELECT lang,
+               min(CASE WHEN cum * 10 >= {PPL_HEAD_PCT} * total THEN ppl_q END)::INT AS head_max,
+               min(CASE WHEN cum * 10 >= {PPL_MID_PCT} * total THEN ppl_q END)::INT AS middle_max
+        FROM cum GROUP BY lang
+    )
+    SELECT sc.doc_id, sc.lang, sc.ppl_q,
+           (CASE WHEN sc.ppl_q <= thr.head_max THEN 'head'
+                 WHEN sc.ppl_q <= thr.middle_max THEN 'middle'
+                 ELSE 'tail' END) AS bucket
+    FROM sc JOIN thr USING (lang)
+    """,
+)
+def q_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language perplexity bucketing without a per-language sort.
+
+    Plan: one map-side token fold (quantized integer score), ONE hash
+    agg to the (lang, ppl_q) histogram, a window over the bounded
+    histogram (≤{PPL_Q} rows per language — scale-free), a 1-row-per-
+    language threshold agg broadcast back onto the docs. Integer
+    arithmetic end to end, so both engines bucket identically."""
+    from .dataops import _wide
+
+    d = _t(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    base = _wide(d.select(
+        F.col("doc_id").cast("long").alias("doc_id"), "lang", "text"),
+        key="doc_id")
+    s = base.select(
+        "doc_id", "lang",
+        F.size(toks).cast("long").alias("n_toks"),
+        F.aggregate(
+            F.transform(toks, lambda w: F.pmod(H.h60(w), F.lit(PPL_Q))),
+            F.lit(0).cast("long"), lambda a, x: a + x).alias("sum_lp"),
+    )
+    sc = s.select(
+        "doc_id", "lang",
+        F.when(F.col("n_toks") == 0, F.lit(PPL_Q - 1))
+        .otherwise(F.expr("sum_lp div n_toks")).cast("int").alias("ppl_q"),
+    )
+    hist = sc.groupBy("lang", "ppl_q").agg(F.count("*").cast("long").alias("cnt"))
+    from pyspark.sql import Window
+
+    wq = Window.partitionBy("lang").orderBy("ppl_q") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wl = Window.partitionBy("lang")
+    cum = hist.select(
+        "lang", "ppl_q",
+        F.sum("cnt").over(wq).cast("long").alias("cum"),
+        F.sum("cnt").over(wl).cast("long").alias("total"),
+    )
+    thr = cum.groupBy("lang").agg(
+        F.min(F.when(F.col("cum") * 10 >= PPL_HEAD_PCT * F.col("total"),
+                     F.col("ppl_q"))).cast("int").alias("head_max"),
+        F.min(F.when(F.col("cum") * 10 >= PPL_MID_PCT * F.col("total"),
+                     F.col("ppl_q"))).cast("int").alias("middle_max"),
+    )
+    return sc.join(F.broadcast(thr), "lang").select(
+        "doc_id", "lang", "ppl_q",
+        F.when(F.col("ppl_q") <= F.col("head_max"), F.lit("head"))
+        .when(F.col("ppl_q") <= F.col("middle_max"), F.lit("middle"))
+        .otherwise(F.lit("tail")).alias("bucket"),
+    )

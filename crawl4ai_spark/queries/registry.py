@@ -77,6 +77,9 @@ _TAIL = [
     "bm25_rank",
     # rotated for robots_eval_wildcard (r03-certified, pytest-covered)
     "keyword_score",
+    # rotated for url_blocklist + perplexity_bucket (both r03-certified)
+    "dedup_exact",
+    "media_meta",
 ]
 
 

@@ -329,3 +329,72 @@ def test_quality_linear_model_semantics(spark):
         assert r.keep == (prob >= 0.5 and len(toks) > 0)
         kept += int(r.keep)
     assert 0 < kept < len(rows)
+
+
+def test_url_blocklist_semantics(spark):
+    """Subdomain matching (never bare string-suffix), path-prefix
+    narrowing, deterministic multi-rule fold, clean rows kept."""
+    from crawl4ai_spark.queries.pipelineops import apply_url_blocklist
+
+    urls = spark.createDataFrame(
+        [
+            (1, "https://block0.com/p/1", "block0.com", "/p/1"),
+            (2, "https://www.block0.com/p/2", "www.block0.com", "/p/2"),
+            (3, "https://notblock0.com/p/3", "notblock0.com", "/p/3"),
+            (4, "https://ok0.org/dl/4", "ok0.org", "/dl/4"),
+            (5, "https://ok0.org/p/5", "ok0.org", "/p/5"),
+            (6, "https://deep.a.block0.com/x", "deep.a.block0.com", "/x"),
+            (7, "https://clean.org/p/7", "clean.org", "/p/7"),
+            (8, "https://both.test/x", "both.test", "/x"),
+        ],
+        "doc_id long, url string, host string, path string",
+    )
+    bl = spark.createDataFrame(
+        [("block0.com", None, "ads"), ("ok0.org", "/dl/", "malware"),
+         ("both.test", None, "zz"), ("both.test", None, "aa")],
+        "domain string, path_prefix string, category string",
+    )
+    got = {r.doc_id: (r.category, r.keep)
+           for r in apply_url_blocklist(urls, bl).collect()}
+    assert got[1] == ("ads", False)          # exact domain
+    assert got[2] == ("ads", False)          # subdomain
+    assert got[3] == ("", True)              # string-suffix trap: kept
+    assert got[4] == ("malware", False)      # path prefix fires
+    assert got[5] == ("", True)              # path prefix doesn't
+    assert got[6] == ("ads", False)          # deep subdomain
+    assert got[7] == ("", True)
+    assert got[8] == ("aa", False)           # multi-rule fold = min(category)
+    assert len(got) == 8                     # one row per input
+
+
+def test_perplexity_bucket_shares_and_order(spark):
+    """Within each language: bucket boundaries respect the score order
+    (max head ppl <= min middle ppl <= min tail ppl) and the head/middle
+    cumulative shares clear 30%/60% at the bucket granularity."""
+    from collections import defaultdict
+
+    from crawl4ai_spark.queries.pipelineops import q_perplexity_bucket
+
+    rows = q_perplexity_bucket(spark, SF).collect()
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r.lang].append(r)
+    assert by_lang
+    for lang, rs in by_lang.items():
+        b = defaultdict(list)
+        for r in rs:
+            b[r.bucket].append(r.ppl_q)
+        if "middle" in b and "head" in b:
+            assert max(b["head"]) <= min(b["middle"]), lang
+        if "tail" in b and "middle" in b:
+            assert max(b["middle"]) <= min(b["tail"]), lang
+        n = len(rs)
+        n_head = len(b.get("head", []))
+        n_mid = len(b.get("middle", []))
+        # head crosses 30% (first bucket at/over the cut is included) and
+        # head-minus-its-last-ppl-class stays under 30%
+        assert n_head * 10 >= 3 * n, lang
+        if b.get("head"):
+            hm = max(b["head"])
+            assert (n_head - sum(1 for q in b["head"] if q == hm)) * 10 < 3 * n, lang
+        assert (n_head + n_mid) * 10 >= 6 * n, lang
