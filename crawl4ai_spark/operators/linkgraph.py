@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 PR_DAMPING = 0.85
 PR_ITERS = 5
+HITS_ITERS = 5
 
 
 def anchor_aggregate(links: DataFrame, src: str = "src_url", dst: str = "dst_url",
@@ -146,6 +147,92 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS, damping: float = PR_DAMPIN
         .select(
             "url",
             F.round("rank", 6).alias("rank"),
+            F.coalesce("indeg", F.lit(0)).cast("long").alias("indeg"),
+            F.coalesce("outdeg", F.lit(0)).cast("long").alias("outdeg"),
+        )
+    )
+    e.unpersist()
+    nodes.unpersist()
+    return out
+
+
+def hits(edges: DataFrame, iters: int = HITS_ITERS,
+         src: str = "src_url", dst: str = "dst_url") -> DataFrame:
+    """Kleinberg HITS over a distinct (src, dst) edge list: per
+    iteration, authority(n) = Σ hub(s) over in-edges, then hub(n) =
+    Σ authority(d) over out-edges (from the UPDATED authorities),
+    each score normalized by the global MAX.
+
+    Max-normalization (a standard HITS variant) is chosen over the
+    L1/L2 norm deliberately: a global float SUM is order-dependent, so
+    pinning it cross-engine would need one order-pinned fold over ALL
+    nodes — a single unbounded row, the exact shape this repo bans at
+    scale. max() is order-free and exact on any topology; the per-node
+    contribution sums stay order-pinned folds (sorted by the
+    contributing endpoint, bounded by degree) rounded to 9 decimals per
+    iteration, same trajectory-pinning as ``pagerank``.
+
+    Shape per iteration: two (join + hash agg) passes over the edge
+    list plus two 1-row max aggs broadcast back; lineage cut per
+    iteration. Returns nodes(url, authority, hub, indeg, outdeg),
+    scores rounded to 6.
+    """
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("url"))
+        .unionByName(e.select(F.col("dst").alias("url")))
+        .distinct()
+        .persist()
+    )
+
+    def _pinned_sum(df: DataFrame, key: str, order: str, val: str) -> DataFrame:
+        """Σ val per key as an order-pinned fold (sorted by ``order``)."""
+        return df.groupBy(key).agg(
+            F.aggregate(
+                F.array_sort(F.collect_list(F.struct(order, val))),
+                F.lit(0.0),
+                lambda acc, x: acc + x[val],
+            ).alias("_s")
+        )
+
+    def _norm(raw: DataFrame) -> DataFrame:
+        """round(raw/max, 9) via a 1-row broadcast — order-free, exact."""
+        mx = raw.agg(F.max("_raw").alias("_mx"))
+        return raw.crossJoin(F.broadcast(mx)).select(
+            "url", F.round(F.col("_raw") / F.col("_mx"), 9).alias("val"))
+
+    hub = nodes.withColumn("val", F.lit(1.0)).localCheckpoint()
+    auth = None
+    for _ in range(iters):
+        a_c = e.join(hub, e["src"] == hub["url"]).select(
+            e["dst"].alias("k"), e["src"].alias("o"), F.col("val").alias("v"))
+        a_raw = nodes.join(
+            _pinned_sum(a_c, "k", "o", "v"), nodes["url"] == F.col("k"), "left"
+        ).select("url", F.coalesce("_s", F.lit(0.0)).alias("_raw"))
+        auth = _norm(a_raw).localCheckpoint()
+        h_c = e.join(auth, e["dst"] == auth["url"]).select(
+            e["src"].alias("k"), e["dst"].alias("o"), F.col("val").alias("v"))
+        h_raw = nodes.join(
+            _pinned_sum(h_c, "k", "o", "v"), nodes["url"] == F.col("k"), "left"
+        ).select("url", F.coalesce("_s", F.lit(0.0)).alias("_raw"))
+        hub = _norm(h_raw).localCheckpoint()
+
+    indeg = e.groupBy(F.col("dst").alias("url")).agg(F.count("*").alias("indeg"))
+    outdeg = e.groupBy(F.col("src").alias("url")).agg(F.count("*").alias("outdeg"))
+    out = (
+        auth.withColumnRenamed("val", "authority")
+        .join(hub.withColumnRenamed("val", "hub"), "url")
+        .join(indeg, "url", "left")
+        .join(outdeg, "url", "left")
+        .select(
+            "url",
+            F.round("authority", 6).alias("authority"),
+            F.round("hub", 6).alias("hub"),
             F.coalesce("indeg", F.lit(0)).cast("long").alias("indeg"),
             F.coalesce("outdeg", F.lit(0)).cast("long").alias("outdeg"),
         )

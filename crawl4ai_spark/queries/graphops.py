@@ -21,7 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.linkgraph import PR_DAMPING, PR_ITERS, anchor_aggregate, pagerank
+from ..operators.linkgraph import (HITS_ITERS, PR_DAMPING, PR_ITERS,
+                                   anchor_aggregate, hits, pagerank)
 from .registry import query, table as _t
 from .spansops import _SP_SQL, _span_docs
 
@@ -184,3 +185,81 @@ def q_link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     string). Shape: one shuffle join + one hash agg per iteration,
     lineage cut per iteration; see operators/linkgraph.pagerank."""
     return pagerank(_links(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------- #
+# link_hits — Kleinberg HITS (hubs & authorities) over the outlink graph
+# --------------------------------------------------------------------------- #
+def _hits_oracle() -> str:
+    # Unrolled iterations; every *_raw CTE is referenced twice (values +
+    # the max-normalizer subquery), so MATERIALIZED is load-bearing —
+    # inlined CTEs would re-expand the whole prefix 2^(2·ITERS) times.
+    steps = []
+    for k in range(1, HITS_ITERS + 1):
+        steps.append(f"""
+    a{k}_raw AS MATERIALIZED (
+        SELECT n.url, coalesce(c.s, 0.0::DOUBLE) AS raw
+        FROM nodes n LEFT JOIN (
+            SELECT e.dst_url,
+                   list_reduce(
+                       list_prepend(0.0::DOUBLE,
+                           list(h.val ORDER BY e.src_url)),
+                       (x, y) -> x + y) AS s
+            FROM edges e JOIN h{k - 1} h ON h.url = e.src_url
+            GROUP BY e.dst_url
+        ) c ON c.dst_url = n.url
+    ),
+    a{k} AS MATERIALIZED (
+        SELECT url, round(raw / (SELECT max(raw) FROM a{k}_raw), 9) AS val
+        FROM a{k}_raw
+    ),
+    h{k}_raw AS MATERIALIZED (
+        SELECT n.url, coalesce(c.s, 0.0::DOUBLE) AS raw
+        FROM nodes n LEFT JOIN (
+            SELECT e.src_url,
+                   list_reduce(
+                       list_prepend(0.0::DOUBLE,
+                           list(a.val ORDER BY e.dst_url)),
+                       (x, y) -> x + y) AS s
+            FROM edges e JOIN a{k} a ON a.url = e.dst_url
+            GROUP BY e.src_url
+        ) c ON c.src_url = n.url
+    ),
+    h{k} AS MATERIALIZED (
+        SELECT url, round(raw / (SELECT max(raw) FROM h{k}_raw), 9) AS val
+        FROM h{k}_raw
+    )""")
+    return f"""
+    WITH {_LINKS_SQL},
+    edges AS (SELECT DISTINCT src_url, dst_url FROM links),
+    nodes AS (
+        SELECT src_url AS url FROM edges
+        UNION
+        SELECT dst_url FROM edges
+    ),
+    h0 AS (SELECT url, 1.0::DOUBLE AS val FROM nodes),
+    {','.join(steps)},
+    ind AS (SELECT dst_url AS url, count(*)::BIGINT AS indeg FROM edges GROUP BY dst_url),
+    od AS (SELECT src_url AS url, count(*)::BIGINT AS outdeg FROM edges GROUP BY src_url)
+    SELECT a.url,
+           round(a.val, 6) AS authority,
+           round(h.val, 6) AS hub,
+           coalesce(i.indeg, 0)::BIGINT AS indeg,
+           coalesce(o.outdeg, 0)::BIGINT AS outdeg
+    FROM a{HITS_ITERS} a
+    JOIN h{HITS_ITERS} h USING (url)
+    LEFT JOIN ind i ON i.url = a.url
+    LEFT JOIN od o ON o.url = a.url
+    """
+
+
+@query("link_hits", _hits_oracle())
+def q_link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities over the corpus outlink graph — the
+    complementary signal to PageRank for crawl prioritization (a high
+    HUB score marks index/listing pages whose outlinks are worth
+    enqueueing first; PageRank only says who is pointed AT). 5
+    iterations, authority-then-hub per round, max-normalized (see
+    operators/linkgraph.hits for why max, not an L1/L2 sum, is the
+    cross-engine-exact normalizer at scale)."""
+    return hits(_links(spark, sf_dir))

@@ -80,6 +80,8 @@ _TAIL = [
     # rotated for url_blocklist + perplexity_bucket (both r03-certified)
     "dedup_exact",
     "media_meta",
+    # rotated for link_hits (r03-certified, posexplode_outer pytest)
+    "iframe_merge",
 ]
 
 

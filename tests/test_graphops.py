@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from crawl4ai_spark.operators.linkgraph import anchor_aggregate, pagerank
+from crawl4ai_spark.operators.linkgraph import anchor_aggregate, hits, pagerank
 from crawl4ai_spark.queries import graphops as G
 from crawl4ai_spark.queries import spansops as S
 
@@ -72,6 +72,60 @@ def test_pagerank_cycle_is_uniform(spark):
     edges = [("A", "B"), ("B", "C"), ("C", "A")]
     got = {r.url: r.rank for r in pagerank(_edges_df(spark, edges)).collect()}
     assert set(got.values()) == {round(1.0 / 3, 6)}
+
+
+def _numpy_hits(edges, iters=5):
+    """Reference HITS with the operator's exact contract: authority from
+    hubs, then hub from the UPDATED authorities, each max-normalized and
+    rounded to 9 per iteration; contribution sums fold in sorted order
+    of the contributing endpoint."""
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    hub = {u: 1.0 for u in nodes}
+    auth = {}
+    for _ in range(iters):
+        raw = {u: 0.0 for u in nodes}
+        for u in nodes:
+            acc = 0.0
+            for s, _ in sorted((s, t) for s, t in edges if t == u):
+                acc += hub[s]
+            raw[u] = acc
+        mx = max(raw.values())
+        auth = {u: round(raw[u] / mx, 9) for u in nodes}
+        raw = {u: 0.0 for u in nodes}
+        for u in nodes:
+            acc = 0.0
+            # fold ordered by the contributing endpoint (dst)
+            for t in sorted(t for s, t in edges if s == u):
+                acc += auth[t]
+            raw[u] = acc
+        mx = max(raw.values())
+        hub = {u: round(raw[u] / mx, 9) for u in nodes}
+    return ({u: round(v, 6) for u, v in auth.items()},
+            {u: round(v, 6) for u, v in hub.items()})
+
+
+def test_hits_matches_numpy_reference(spark):
+    edges = [("A", "B"), ("A", "C"), ("B", "C"), ("C", "A"), ("D", "A"),
+             ("D", "C")]
+    rows = {r.url: r for r in hits(_edges_df(spark, edges)).collect()}
+    ref_auth, ref_hub = _numpy_hits(edges)
+    assert {u: r.authority for u, r in rows.items()} == ref_auth
+    assert {u: r.hub for u, r in rows.items()} == ref_hub
+    # D is a pure source: best hub candidate, zero authority
+    assert rows["D"].authority == 0.0
+    assert rows["D"].indeg == 0 and rows["D"].outdeg == 2
+
+
+def test_hits_star_topology(spark):
+    # hub h points at every leaf: h is THE hub (1.0), leaves tie at
+    # authority 1.0 (max-normalized), leaves have zero hub score.
+    edges = [("h", f"l{i}") for i in range(4)]
+    rows = {r.url: r for r in hits(_edges_df(spark, edges)).collect()}
+    assert rows["h"].hub == 1.0 and rows["h"].authority == 0.0
+    for i in range(4):
+        assert rows[f"l{i}"].authority == 1.0
+        assert rows[f"l{i}"].hub == 0.0
 
 
 def test_anchor_aggregate_dedup_and_order(spark):
