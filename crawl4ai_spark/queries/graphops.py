@@ -127,7 +127,7 @@ def q_anchor_texts_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------- #
 # link_pagerank — damped fixed-iteration PageRank over the outlink graph
 # --------------------------------------------------------------------------- #
-def _pr_oracle() -> str:
+def _pr_oracle(edges_sql: str = "SELECT DISTINCT src_url, dst_url FROM links") -> str:
     d = PR_DAMPING
     # Inline the Python-evaluated doubles so both engines use the exact
     # same binary constants (DuckDB decimal arithmetic on 1.0 - 0.85
@@ -154,7 +154,7 @@ def _pr_oracle() -> str:
     )""")
     return f"""
     WITH {_LINKS_SQL},
-    edges AS (SELECT DISTINCT src_url, dst_url FROM links),
+    edges AS ({edges_sql}),
     nodes AS (
         SELECT src_url AS url FROM edges
         UNION
@@ -263,3 +263,79 @@ def q_link_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/linkgraph.hits for why max, not an L1/L2 sum, is the
     cross-engine-exact normalizer at scale)."""
     return hits(_links(spark, sf_dir))
+
+
+# --------------------------------------------------------------------------- #
+# host_graph — host-level rollup of the page link graph
+# --------------------------------------------------------------------------- #
+_HOST_EDGES_SQL = """
+    hedges AS (
+        SELECT regexp_extract(src_url, '^https://([^/]+)', 1) AS src_host,
+               regexp_extract(dst_url, '^https://([^/]+)', 1) AS dst_host,
+               src_url, dst_url
+        FROM links
+    )
+"""
+
+
+def _host_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    links = _links(spark, sf_dir)
+    return links.select(
+        F.regexp_extract("src_url", "^https://([^/]+)", 1).alias("src_host"),
+        F.regexp_extract("dst_url", "^https://([^/]+)", 1).alias("dst_host"),
+        "src_url", "dst_url",
+    )
+
+
+@query(
+    "host_graph",
+    f"""
+    WITH {_LINKS_SQL},
+    {_HOST_EDGES_SQL}
+    SELECT src_host, dst_host,
+           count(*)::BIGINT AS n_links,
+           count(DISTINCT src_url)::BIGINT AS n_src_pages,
+           count(DISTINCT dst_url)::BIGINT AS n_dst_urls,
+           (src_host = dst_host) AS internal
+    FROM hedges GROUP BY src_host, dst_host
+    """,
+)
+def q_host_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level rollup of the outlink graph — the web-graph
+    aggregation a crawl scheduler actually consumes (which hosts feed
+    which, at what volume; internal vs cross-host link mass). One hash
+    groupBy on (src_host, dst_host): at 100 TB the host graph is ~6
+    orders of magnitude smaller than the page graph, so this rollup is
+    the cheap gateway to host-granularity analytics (host PageRank
+    below, budget allocation, spam-cluster detection)."""
+    he = _host_edges(spark, sf_dir)
+    return he.groupBy("src_host", "dst_host").agg(
+        F.count("*").alias("n_links"),
+        F.countDistinct("src_url").alias("n_src_pages"),
+        F.countDistinct("dst_url").alias("n_dst_urls"),
+    ).withColumn("internal", F.col("src_host") == F.col("dst_host"))
+
+
+# --------------------------------------------------------------------------- #
+# host_pagerank — PageRank over the host graph (self-loops dropped)
+# --------------------------------------------------------------------------- #
+@query(
+    "host_pagerank",
+    _pr_oracle(
+        f"""WITH {_HOST_EDGES_SQL}
+        SELECT DISTINCT src_host AS src_url, dst_host AS dst_url
+        FROM hedges WHERE src_host <> dst_host"""
+    ),
+)
+def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank at HOST granularity (self-loops dropped — intra-host
+    mass says nothing about cross-host authority): the host-priority
+    signal for frontier scheduling. Feeds the same engine hook as
+    yield-based budgets (schedops.host_budgets_from_yield /
+    CrawlEngine(host_budgets=...)): rank ∝ budget share. Runs the real
+    pagerank operator on a graph small enough that every iteration is a
+    broadcast-side join at any corpus scale."""
+    he = _host_edges(spark, sf_dir)
+    edges = he.where(F.col("src_host") != F.col("dst_host")).select(
+        F.col("src_host").alias("src_url"), F.col("dst_host").alias("dst_url"))
+    return pagerank(edges)

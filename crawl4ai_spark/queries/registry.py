@@ -82,6 +82,9 @@ _TAIL = [
     "media_meta",
     # rotated for link_hits (r03-certified, posexplode_outer pytest)
     "iframe_merge",
+    # rotated for host_graph + host_pagerank (both r03-certified)
+    "spans_bm25_fit",
+    "dedup_embedding",
 ]
 
 

@@ -319,3 +319,31 @@ def host_budgets_from_yield(pages: DataFrame,
         .withColumn("budget", budget)
         .select("host", "n_pages", "yield_docs", "budget")
     )
+
+
+def host_budgets_from_rank(host_rank: DataFrame,
+                           total_budget: int = TOTAL_BUDGET,
+                           budget_min: int = BUDGET_MIN,
+                           budget_max: int = BUDGET_MAX) -> DataFrame:
+    """Authority-driven twin of ``host_budgets_from_yield``: turn host
+    PageRank (graphops.host_pagerank — url is the host name, rank its
+    authority share) into politeness budgets, so discovered cross-host
+    structure steers the frontier the same way observed yield does.
+    Rank is already a share (sums to <= 1), so budget is the clamped
+    integer floor of ``total_budget * rank``; fixed-point scaling (1e9)
+    keeps the division integer-exact and order-free.
+
+    Bounded by the host vocabulary at any scale: the host graph is
+    ~6 orders smaller than the page graph, and this is one projection
+    over it — no shuffle at all."""
+    scaled = (F.col("rank") * F.lit(1_000_000_000)).cast("long")
+    budget = F.greatest(
+        F.lit(budget_min).cast("long"),
+        F.least(F.lit(budget_max).cast("long"),
+                F.expr(f"({total_budget} * _rank_fp) div 1000000000")),
+    ).cast("int")
+    return host_rank.withColumn("_rank_fp", scaled).select(
+        F.col("url").alias("host"),
+        F.col("rank"),
+        budget.alias("budget"),
+    )

@@ -175,6 +175,47 @@ def test_link_pagerank_query_shape(spark):
     assert any(r.outdeg == 0 and r.indeg > 0 for r in rows)
 
 
+def test_host_graph_conserves_link_mass(spark):
+    """Every page-level link lands in exactly one (src_host, dst_host)
+    cell: Σ n_links over the rollup == count of link edges."""
+    hg = G.q_host_graph(spark, SF).collect()
+    assert hg
+    n_edges = G._links(spark, SF).count()
+    assert sum(r.n_links for r in hg) == n_edges
+    for r in hg:
+        assert r.internal == (r.src_host == r.dst_host)
+        assert 1 <= r.n_src_pages <= r.n_links
+        assert 1 <= r.n_dst_urls <= r.n_links
+
+
+def test_host_pagerank_feeds_budgets(spark):
+    """Closed loop: host_pagerank → host_budgets_from_rank produces the
+    (host, budget) shape CrawlEngine(host_budgets=...) consumes, with
+    clamped fixed-point shares."""
+    from crawl4ai_spark.queries.schedops import (BUDGET_MAX, BUDGET_MIN,
+                                                 host_budgets_from_rank)
+
+    hr = G.q_host_pagerank(spark, SF)
+    rows = host_budgets_from_rank(hr, total_budget=10_000).collect()
+    assert rows
+    assert {c for c in ("host", "budget")} <= set(rows[0].asDict())
+    for r in rows:
+        assert BUDGET_MIN <= r.budget <= BUDGET_MAX
+        # fixed-point floor of the share, before clamping
+        raw = (10_000 * int(r.rank * 1_000_000_000)) // 1_000_000_000
+        assert r.budget == max(BUDGET_MIN, min(BUDGET_MAX, raw))
+    # the fixture host graph is a complete clique (uniform rank); a
+    # skewed rank table must spread budgets AND hit both clamps
+    skew = spark.createDataFrame(
+        [("big", 0.91), ("mid", 0.08), ("tiny", 0.000001)],
+        "url string, rank double")
+    b = {r.host: r.budget for r in host_budgets_from_rank(
+        skew, total_budget=10_000).collect()}
+    assert b["big"] == BUDGET_MAX          # clamped down from 9100
+    assert b["mid"] == 800                 # exact fixed-point floor
+    assert b["tiny"] == BUDGET_MIN         # clamped up from 0
+
+
 def test_media_freq_dedup_balances(spark):
     rows = S.q_media_freq_dedup(spark, SF).collect()
     assert rows
