@@ -85,6 +85,9 @@ _TAIL = [
     # rotated for host_graph + host_pagerank (both r03-certified)
     "spans_bm25_fit",
     "dedup_embedding",
+    # rotated for snapshot_diff + host_change_rates (both r03-certified)
+    "link_score",
+    "stats_rollup",
 ]
 
 

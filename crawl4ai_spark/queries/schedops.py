@@ -347,3 +347,118 @@ def host_budgets_from_rank(host_rank: DataFrame,
         F.col("rank"),
         budget.alias("budget"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# snapshot_diff / host_change_rates — cross-generation crawl diff
+# --------------------------------------------------------------------------- #
+# Two deterministic crawl generations derived from the documents table
+# (the same class-die style as _TRAP_PATH_SQL): generation A misses the
+# doc_id%13 slice (pages NEW in B), generation B misses the doc_id%17
+# slice (pages REMOVED since A), and the doc_id%10<3 slice changed
+# content between generations (fingerprint mismatch). The diff is the
+# analytic that DECIDES what reopen()/recrawl_schedule revisit.
+_DIFF_SQL = """
+    gen_a AS (
+        SELECT doc_id, md5(text) AS fp
+        FROM documents WHERE doc_id % 13 <> 0
+    ),
+    gen_b AS (
+        SELECT doc_id,
+               (CASE WHEN doc_id % 10 < 3 THEN md5(text || '#v2')
+                     ELSE md5(text) END) AS fp
+        FROM documents WHERE doc_id % 17 <> 0
+    ),
+    diff AS (
+        SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+               (CASE WHEN a.doc_id IS NULL THEN 'added'
+                     WHEN b.doc_id IS NULL THEN 'removed'
+                     WHEN a.fp <> b.fp THEN 'changed'
+                     ELSE 'stable' END) AS status
+        FROM gen_a a FULL OUTER JOIN gen_b b ON a.doc_id = b.doc_id
+    )
+"""
+
+
+def _diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    a = d.where(F.pmod(F.col("doc_id"), F.lit(13)) != 0).select(
+        "doc_id", F.md5("text").alias("fp_a"))
+    b = d.where(F.pmod(F.col("doc_id"), F.lit(17)) != 0).select(
+        "doc_id",
+        F.when(F.pmod(F.col("doc_id"), F.lit(10)) < 3,
+               F.md5(F.concat(F.col("text"), F.lit("#v2"))))
+        .otherwise(F.md5("text")).alias("fp_b"))
+    j = a.join(b, "doc_id", "full_outer")
+    return j.select(
+        F.col("doc_id"),
+        F.when(F.col("fp_a").isNull(), F.lit("added"))
+        .when(F.col("fp_b").isNull(), F.lit("removed"))
+        .when(F.col("fp_a") != F.col("fp_b"), F.lit("changed"))
+        .otherwise(F.lit("stable")).alias("status"),
+    )
+
+
+@query(
+    "snapshot_diff",
+    f"""
+    WITH {_DIFF_SQL}
+    SELECT 'https://host' || (doc_id % 7)::VARCHAR || '.example.com/p/'
+               || doc_id::VARCHAR AS url,
+           'host' || (doc_id % 7)::VARCHAR || '.example.com' AS host,
+           status
+    FROM diff
+    """,
+)
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-URL diff between two crawl generations (added / removed /
+    changed / stable by content fingerprint) — the incremental-crawl
+    analytic that feeds reopen(): 'changed' URLs are re-fetch
+    candidates, 'removed' feed forget(). One full-outer hash join
+    co-partitioned on the unique URL key (no skew possible); both
+    generation scans prune to (doc_id, text)."""
+    h = F.pmod(F.col("doc_id"), F.lit(7)).cast("string")
+    return _diff(spark, sf_dir).select(
+        F.concat(F.lit("https://host"), h, F.lit(".example.com/p/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.concat(F.lit("host"), h, F.lit(".example.com")).alias("host"),
+        "status",
+    )
+
+
+@query(
+    "host_change_rates",
+    f"""
+    WITH {_DIFF_SQL}
+    SELECT 'host' || (doc_id % 7)::VARCHAR || '.example.com' AS host,
+           count(*)::BIGINT AS n_urls,
+           sum(CASE WHEN status = 'added' THEN 1 ELSE 0 END)::BIGINT AS n_added,
+           sum(CASE WHEN status = 'removed' THEN 1 ELSE 0 END)::BIGINT AS n_removed,
+           sum(CASE WHEN status = 'changed' THEN 1 ELSE 0 END)::BIGINT AS n_changed,
+           sum(CASE WHEN status = 'stable' THEN 1 ELSE 0 END)::BIGINT AS n_stable,
+           round(sum(CASE WHEN status <> 'stable' THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*), 6) AS churn
+    FROM diff GROUP BY 1
+    """,
+)
+def q_host_change_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level churn between crawl generations: the per-host change
+    pressure that calibrates recrawl_schedule's λ priors and the
+    freshness share of host budgets. One hash agg over the diff (counts
+    fold map-side); churn is a single double division, identically
+    ordered in both engines."""
+    d = _diff(spark, sf_dir)
+    host = F.concat(F.lit("host"),
+                    F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+                    F.lit(".example.com")).alias("host")
+    c = lambda s: F.sum(F.when(F.col("status") == s, 1).otherwise(0)).cast("long")
+    return d.select(host, "status").groupBy("host").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        c("added").alias("n_added"),
+        c("removed").alias("n_removed"),
+        c("changed").alias("n_changed"),
+        c("stable").alias("n_stable"),
+        F.round(
+            F.sum(F.when(F.col("status") != "stable", 1).otherwise(0))
+            .cast("double") / F.count("*"), 6).alias("churn"),
+    )

@@ -117,3 +117,48 @@ def test_yield_budget_feedback_loop(spark, corpus_dir, tmp_path):
     for g in grants:
         if g.budget is not None:
             assert g["count"] <= g.budget, (g.host, g.fetch_round)
+
+
+def test_snapshot_diff_status_rules(spark):
+    """The diff statuses follow the generation membership dice exactly:
+    added ⇔ only-in-B (doc_id%13==0, %17!=0), removed ⇔ only-in-A,
+    changed ⇔ in both with the mutated-content die (%10<3)."""
+    from crawl4ai_spark.queries.schedops import q_host_change_rates, q_snapshot_diff
+
+    SF = "/root/testdata/sf0.001"
+    rows = q_snapshot_diff(spark, SF).collect()
+    assert rows
+    seen = set()
+    for r in rows:
+        i = int(r.url.rsplit("/", 1)[1])
+        assert i not in seen
+        seen.add(i)
+        in_a, in_b = i % 13 != 0, i % 17 != 0
+        if not in_a and in_b:
+            want = "added"
+        elif in_a and not in_b:
+            want = "removed"
+        elif i % 10 < 3:
+            want = "changed"
+        else:
+            want = "stable"
+        assert r.status == want, (i, r.status, want)
+        assert r.host == f"host{i % 7}.example.com"
+    # every document appears exactly once unless absent from both gens
+    statuses = {r.status for r in rows}
+    assert statuses == {"added", "removed", "changed", "stable"}
+
+    hr = {r.host: r for r in q_host_change_rates(spark, SF).collect()}
+    by_host = {}
+    for r in rows:
+        by_host.setdefault(r.host, []).append(r.status)
+    assert set(hr) == set(by_host)
+    for h, sts in by_host.items():
+        r = hr[h]
+        assert r.n_urls == len(sts)
+        assert r.n_added == sts.count("added")
+        assert r.n_removed == sts.count("removed")
+        assert r.n_changed == sts.count("changed")
+        assert r.n_stable == sts.count("stable")
+        assert r.n_urls == r.n_added + r.n_removed + r.n_changed + r.n_stable
+        assert r.churn == round((r.n_urls - r.n_stable) / r.n_urls, 6)
