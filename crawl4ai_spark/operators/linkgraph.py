@@ -87,6 +87,46 @@ def anchor_aggregate(links: DataFrame, src: str = "src_url", dst: str = "dst_url
         "url", "n_links", "n_src_docs", "n_anchors_total", "anchors", "top_anchor")
 
 
+def _edge_nodes(edges: DataFrame, src: str, dst: str) -> tuple[DataFrame, DataFrame]:
+    """Shared graph prep: null-filtered distinct (src, dst) edges and
+    the node set (union of both endpoints), both persisted — callers
+    unpersist when done."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .distinct()
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("url"))
+        .unionByName(e.select(F.col("dst").alias("url")))
+        .distinct()
+        .persist()
+    )
+    return e, nodes
+
+
+def _pinned_sum(df: DataFrame, key: str, order: str, val: str) -> DataFrame:
+    """Σ val per key as an order-pinned fold (contributions sorted by
+    ``order``) — the trajectory-pinning shared by pagerank and hits:
+    two engines, or two cluster topologies, sum identical doubles in an
+    identical sequence. Bounded by the key's degree, never by N."""
+    return df.groupBy(key).agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct(order, val))),
+            F.lit(0.0),
+            lambda acc, x: acc + x[val],
+        ).alias("_s")
+    )
+
+
+def _degrees(e: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(indeg, outdeg) per node url from the distinct edge list."""
+    indeg = e.groupBy(F.col("dst").alias("url")).agg(F.count("*").alias("indeg"))
+    outdeg = e.groupBy(F.col("src").alias("url")).agg(F.count("*").alias("outdeg"))
+    return indeg, outdeg
+
+
 def pagerank(edges: DataFrame, iters: int = PR_ITERS, damping: float = PR_DAMPING,
              src: str = "src_url", dst: str = "dst_url") -> DataFrame:
     """Damped PageRank, ``iters`` fixed iterations, over a distinct
@@ -97,23 +137,20 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS, damping: float = PR_DAMPIN
     contributions sorted by source id. Dangling mass is dropped (the
     common simplification — documented, mirrored by the oracle).
 
-    Returns nodes(url, rank, indeg, outdeg), rank rounded to 6.
+    Returns nodes(url, rank, indeg, outdeg), rank rounded to 6; an
+    empty edge list (e.g. a self-loop-only graph filtered upstream)
+    returns an empty frame with that schema instead of dividing by a
+    zero node count.
     """
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .distinct()
-    )
-    e = e.persist()
-    nodes = (
-        e.select(F.col("src").alias("url"))
-        .unionByName(e.select(F.col("dst").alias("url")))
-        .distinct()
-        .persist()
-    )
+    e, nodes = _edge_nodes(edges, src, dst)
     n = nodes.count()  # O(1) driver value: the 1/N normalizer
-    outdeg = e.groupBy("src").agg(F.count("*").alias("outdeg"))
-    eo = e.join(outdeg, "src")  # (src, dst, outdeg)
+    if n == 0:
+        e.unpersist()
+        nodes.unpersist()
+        return edges.sparkSession.createDataFrame(
+            [], "url string, rank double, indeg long, outdeg long")
+    indeg, outdeg = _degrees(e)
+    eo = e.join(outdeg.withColumnRenamed("url", "src"), "src")  # (src, dst, outdeg)
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     ranks = ranks.localCheckpoint()
@@ -123,27 +160,20 @@ def pagerank(edges: DataFrame, iters: int = PR_ITERS, damping: float = PR_DAMPIN
             eo["src"].alias("csrc"),
             (F.col("rank") / F.col("outdeg")).alias("c"),
         )
-        summed = contrib.groupBy("dst").agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct("csrc", "c"))),
-                F.lit(0.0),
-                lambda acc, x: acc + x["c"],
-            ).alias("s")
-        )
+        summed = _pinned_sum(contrib, "dst", "csrc", "c")
         ranks = nodes.join(summed, nodes["url"] == summed["dst"], "left").select(
             "url",
             F.round(
                 F.lit((1.0 - damping) / n)
-                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)),
+                + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0)),
                 9,
             ).alias("rank"),
         )
         ranks = ranks.localCheckpoint()
 
-    indeg = e.groupBy(F.col("dst").alias("url")).agg(F.count("*").alias("indeg"))
     out = (
         ranks.join(indeg, "url", "left")
-        .join(outdeg.withColumnRenamed("src", "url"), "url", "left")
+        .join(outdeg, "url", "left")
         .select(
             "url",
             F.round("rank", 6).alias("rank"),
@@ -175,30 +205,10 @@ def hits(edges: DataFrame, iters: int = HITS_ITERS,
     Shape per iteration: two (join + hash agg) passes over the edge
     list plus two 1-row max aggs broadcast back; lineage cut per
     iteration. Returns nodes(url, authority, hub, indeg, outdeg),
-    scores rounded to 6.
+    scores rounded to 6; ``iters=0`` returns the initial uniform scores
+    (authority = hub = 1.0), the same boundary contract as ``pagerank``.
     """
-    e = (
-        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
-        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
-        .distinct()
-        .persist()
-    )
-    nodes = (
-        e.select(F.col("src").alias("url"))
-        .unionByName(e.select(F.col("dst").alias("url")))
-        .distinct()
-        .persist()
-    )
-
-    def _pinned_sum(df: DataFrame, key: str, order: str, val: str) -> DataFrame:
-        """Σ val per key as an order-pinned fold (sorted by ``order``)."""
-        return df.groupBy(key).agg(
-            F.aggregate(
-                F.array_sort(F.collect_list(F.struct(order, val))),
-                F.lit(0.0),
-                lambda acc, x: acc + x[val],
-            ).alias("_s")
-        )
+    e, nodes = _edge_nodes(edges, src, dst)
 
     def _norm(raw: DataFrame) -> DataFrame:
         """round(raw/max, 9) via a 1-row broadcast — order-free, exact."""
@@ -207,7 +217,7 @@ def hits(edges: DataFrame, iters: int = HITS_ITERS,
             "url", F.round(F.col("_raw") / F.col("_mx"), 9).alias("val"))
 
     hub = nodes.withColumn("val", F.lit(1.0)).localCheckpoint()
-    auth = None
+    auth = hub
     for _ in range(iters):
         a_c = e.join(hub, e["src"] == hub["url"]).select(
             e["dst"].alias("k"), e["src"].alias("o"), F.col("val").alias("v"))
@@ -222,8 +232,7 @@ def hits(edges: DataFrame, iters: int = HITS_ITERS,
         ).select("url", F.coalesce("_s", F.lit(0.0)).alias("_raw"))
         hub = _norm(h_raw).localCheckpoint()
 
-    indeg = e.groupBy(F.col("dst").alias("url")).agg(F.count("*").alias("indeg"))
-    outdeg = e.groupBy(F.col("src").alias("url")).agg(F.count("*").alias("outdeg"))
+    indeg, outdeg = _degrees(e)
     out = (
         auth.withColumnRenamed("val", "authority")
         .join(hub.withColumnRenamed("val", "hub"), "url")

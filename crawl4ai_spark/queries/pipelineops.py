@@ -1111,7 +1111,7 @@ def q_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan: one map-side token fold (quantized integer score), ONE hash
     agg to the (lang, ppl_q) histogram, a window over the bounded
-    histogram (≤{PPL_Q} rows per language — scale-free), a 1-row-per-
+    histogram (at most PPL_Q = 1000 rows per language — scale-free), a 1-row-per-
     language threshold agg broadcast back onto the docs. Integer
     arithmetic end to end, so both engines bucket identically."""
     from .dataops import _wide

@@ -382,19 +382,24 @@ _DIFF_SQL = """
 
 def _diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
+    # explicit presence markers: membership must come from the join
+    # sides, not fingerprint nullability (md5(NULL text) is NULL and
+    # would misread a present-in-both page as added/removed — the
+    # oracle keys membership on the join column)
     a = d.where(F.pmod(F.col("doc_id"), F.lit(13)) != 0).select(
-        "doc_id", F.md5("text").alias("fp_a"))
+        "doc_id", F.md5("text").alias("fp_a"), F.lit(True).alias("in_a"))
     b = d.where(F.pmod(F.col("doc_id"), F.lit(17)) != 0).select(
         "doc_id",
         F.when(F.pmod(F.col("doc_id"), F.lit(10)) < 3,
                F.md5(F.concat(F.col("text"), F.lit("#v2"))))
-        .otherwise(F.md5("text")).alias("fp_b"))
+        .otherwise(F.md5("text")).alias("fp_b"),
+        F.lit(True).alias("in_b"))
     j = a.join(b, "doc_id", "full_outer")
     return j.select(
         F.col("doc_id"),
-        F.when(F.col("fp_a").isNull(), F.lit("added"))
-        .when(F.col("fp_b").isNull(), F.lit("removed"))
-        .when(F.col("fp_a") != F.col("fp_b"), F.lit("changed"))
+        F.when(F.col("in_a").isNull(), F.lit("added"))
+        .when(F.col("in_b").isNull(), F.lit("removed"))
+        .when(~F.col("fp_a").eqNullSafe(F.col("fp_b")), F.lit("changed"))
         .otherwise(F.lit("stable")).alias("status"),
     )
 

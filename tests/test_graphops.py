@@ -117,6 +117,41 @@ def test_hits_matches_numpy_reference(spark):
     assert rows["D"].indeg == 0 and rows["D"].outdeg == 2
 
 
+def test_pagerank_empty_graph_and_hits_zero_iters(spark):
+    """Boundary contracts: an all-self-loop graph filtered to nothing
+    yields an EMPTY pagerank frame (not ZeroDivisionError); hits with
+    iters=0 returns the initial uniform scores like pagerank does."""
+    empty = spark.createDataFrame([], "src_url string, dst_url string")
+    out = pagerank(empty)
+    assert out.count() == 0
+    assert out.columns == ["url", "rank", "indeg", "outdeg"]
+
+    edges = [("A", "B"), ("B", "C")]
+    rows = {r.url: r for r in hits(_edges_df(spark, edges), iters=0).collect()}
+    assert {r.authority for r in rows.values()} == {1.0}
+    assert {r.hub for r in rows.values()} == {1.0}
+    assert rows["C"].indeg == 1 and rows["C"].outdeg == 0
+
+
+def test_host_pagerank_all_internal_links_empty(spark):
+    """q_host_pagerank on a single-host corpus (every link intra-host)
+    must return empty, not crash — the self-loop filter empties the
+    host edge set."""
+    from crawl4ai_spark.queries.schedops import host_budgets_from_rank
+
+    one_host = spark.createDataFrame(
+        [("h.example.com", "h.example.com", "u1", "u2"),
+         ("h.example.com", "h.example.com", "u2", "u3")],
+        "src_host string, dst_host string, src_url string, dst_url string")
+    edges = one_host.where(F.col("src_host") != F.col("dst_host")).select(
+        F.col("src_host").alias("src_url"), F.col("dst_host").alias("dst_url"))
+    from crawl4ai_spark.operators.linkgraph import pagerank as pr
+    out = pr(edges)
+    assert out.count() == 0
+    # and the budget helper passes the empty frame through
+    assert host_budgets_from_rank(out).count() == 0
+
+
 def test_hits_star_topology(spark):
     # hub h points at every leaf: h is THE hub (1.0), leaves tie at
     # authority 1.0 (max-normalized), leaves have zero hub score.
