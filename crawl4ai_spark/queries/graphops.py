@@ -339,3 +339,97 @@ def q_host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = he.where(F.col("src_host") != F.col("dst_host")).select(
         F.col("src_host").alias("src_url"), F.col("dst_host").alias("dst_url"))
     return pagerank(edges)
+
+
+# --------------------------------------------------------------------------- #
+# mirror_detect — host pairs sharing content fingerprints (Bharat–Broder)
+# --------------------------------------------------------------------------- #
+# A fingerprint shared by more hosts than this is boilerplate (footer,
+# legal page), not mirror signal; dropping it also bounds the pair
+# blow-up of the fp self-join (pairs per fp <= MIRROR_FP_MAX_HOSTS^2).
+MIRROR_FP_MAX_HOSTS = 32
+MIRROR_MIN_JACCARD = 0.02
+
+
+def _mirror_oracle() -> str:
+    # Over the dedup-tier corpus (_CORPUS_SQL): its exact-copy slice
+    # (id + 2000000, same text) lands on host (h+2)%7 — the synthetic
+    # mirror. Host derivation from id keeps both variants one shape.
+    from .dataops import _CORPUS_SQL
+    return f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    fps AS (
+        SELECT DISTINCT 'host' || (id % 7)::VARCHAR || '.example.com' AS host,
+               md5(text) AS fp
+        FROM corpus WHERE text IS NOT NULL
+    ),
+    keep AS (
+        SELECT fp FROM fps GROUP BY fp
+        HAVING count(*) BETWEEN 2 AND {MIRROR_FP_MAX_HOSTS}
+    ),
+    sizes AS (SELECT host, count(*)::BIGINT AS n FROM fps GROUP BY host),
+    common AS (
+        SELECT a.host AS host_a, b.host AS host_b, count(*)::BIGINT AS n_common
+        FROM fps a JOIN fps b ON a.fp = b.fp AND a.host < b.host
+        WHERE a.fp IN (SELECT fp FROM keep)
+        GROUP BY a.host, b.host
+    )
+    SELECT host_a, host_b, n_common, sa.n AS n_a, sb.n AS n_b,
+           round(n_common::DOUBLE / (sa.n + sb.n - n_common), 6) AS jaccard,
+           (n_common::DOUBLE / (sa.n + sb.n - n_common)
+                >= {MIRROR_MIN_JACCARD!r}) AS is_mirror
+    FROM common
+    JOIN sizes sa ON sa.host = common.host_a
+    JOIN sizes sb ON sb.host = common.host_b
+    """
+
+
+@query("mirror_detect", _mirror_oracle())
+def q_mirror_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mirror-site detection (Bharat & Broder's content-overlap shape):
+    host pairs ranked by Jaccard overlap of their page content
+    fingerprints. Mirrors inflate a training corpus with near-identical
+    trees and waste crawl budget — detected pairs feed the blocklist /
+    domain_cap tier.
+
+    Scale shape: the only join is keyed on the FINGERPRINT (bucketed,
+    never all host pairs); fingerprints shared by more hosts than
+    MIRROR_FP_MAX_HOSTS are dropped as boilerplate BEFORE pairing,
+    bounding each fp's pair fan-out quadratically, and single-host fps
+    never pair at all. Host sizes join back as a broadcast (hosts are a
+    tiny dim). Runs over the dedup-tier corpus (dataops._corpus), whose
+    exact-copy slice models the mirrored tree."""
+    from .dataops import _corpus
+
+    d = _corpus(spark, sf_dir).where(F.col("text").isNotNull())
+    fps = d.select(
+        F.concat(F.lit("host"),
+                 F.pmod(F.col("id"), F.lit(7)).cast("string"),
+                 F.lit(".example.com")).alias("host"),
+        F.md5("text").alias("fp"),
+    ).distinct()
+    keep = (fps.groupBy("fp").agg(F.count("*").alias("_nh"))
+            .where((F.col("_nh") >= 2) & (F.col("_nh") <= MIRROR_FP_MAX_HOSTS))
+            .select("fp"))
+    kept = fps.join(keep, "fp")  # co-partitioned on fp
+    a = kept.select(F.col("fp"), F.col("host").alias("host_a"))
+    b = kept.select(F.col("fp"), F.col("host").alias("host_b"))
+    common = (
+        a.join(b, "fp")
+        .where(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    sizes = fps.groupBy("host").agg(F.count("*").cast("long").alias("n"))
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common
+        .join(F.broadcast(sizes.select(F.col("host").alias("host_a"),
+                                       F.col("n").alias("n_a"))), "host_a")
+        .join(F.broadcast(sizes.select(F.col("host").alias("host_b"),
+                                       F.col("n").alias("n_b"))), "host_b")
+        .select("host_a", "host_b", "n_common", "n_a", "n_b",
+                F.round(jac, 6).alias("jaccard"),
+                (jac >= F.lit(MIRROR_MIN_JACCARD)).alias("is_mirror"))
+    )

@@ -88,6 +88,8 @@ _TAIL = [
     # rotated for snapshot_diff + host_change_rates (both r03-certified)
     "link_score",
     "stats_rollup",
+    # rotated for mirror_detect (r03-certified; ann_ivf_probe stays)
+    "ann_lsh_bucket",
 ]
 
 

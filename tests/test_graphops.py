@@ -280,3 +280,55 @@ def test_pagerank_plan_no_python_udf(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_mirror_detect_matches_bruteforce(spark):
+    """mirror_detect equals a driver-side brute force at sf0.001:
+    per-host fingerprint sets → pairwise Jaccard over fps shared by
+    2..MAX hosts; boilerplate-frequency fps excluded from n_common but
+    NOT from host sizes."""
+    import hashlib
+    from collections import defaultdict
+
+    import duckdb
+
+    from crawl4ai_spark.queries.graphops import (MIRROR_MIN_JACCARD,
+                                                 q_mirror_detect)
+
+    from crawl4ai_spark.queries.dataops import NEAR_TAIL
+
+    SF = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    docs = con.sql(
+        f"SELECT doc_id, text FROM '{SF}/documents.parquet' WHERE text IS NOT NULL"
+    ).fetchall()
+    # the dedup-tier corpus: base + near-tail slice + exact-copy slice
+    corpus = [(i, t) for i, t in docs]
+    corpus += [(i + 1000000, t + NEAR_TAIL) for i, t in docs if i % 5 == 0]
+    corpus += [(i + 2000000, t) for i, t in docs if i % 7 == 0]
+    by_host = defaultdict(set)
+    for i, text in corpus:
+        by_host[f"host{i % 7}.example.com"].add(
+            hashlib.md5(text.encode()).hexdigest())
+    fp_hosts = defaultdict(set)
+    for h, fps in by_host.items():
+        for fp in fps:
+            fp_hosts[fp].add(h)
+    pair_common = defaultdict(int)
+    for fp, hosts in fp_hosts.items():
+        if not (2 <= len(hosts) <= 32):
+            continue
+        hs = sorted(hosts)
+        for i in range(len(hs)):
+            for j in range(i + 1, len(hs)):
+                pair_common[(hs[i], hs[j])] += 1
+    want = {}
+    for (a, b), nc in pair_common.items():
+        na, nb = len(by_host[a]), len(by_host[b])
+        jac = nc / (na + nb - nc)
+        want[(a, b)] = (nc, na, nb, round(jac, 6), jac >= MIRROR_MIN_JACCARD)
+
+    got = {(r.host_a, r.host_b): (r.n_common, r.n_a, r.n_b, r.jaccard, r.is_mirror)
+           for r in q_mirror_detect(spark, SF).collect()}
+    assert got == want
+    assert want  # the fixture corpus must actually contain cross-host dups
