@@ -399,28 +399,45 @@ def q_mirror_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     never pair at all. Host sizes join back as a broadcast (hosts are a
     tiny dim). Runs over the dedup-tier corpus (dataops._corpus), whose
     exact-copy slice models the mirrored tree."""
-    from .dataops import _corpus
+    from pyspark.sql import Window
+
+    from .dataops import _corpus, _wide
 
     d = _corpus(spark, sf_dir).where(F.col("text").isNotNull())
-    fps = d.select(
-        F.concat(F.lit("host"),
-                 F.pmod(F.col("id"), F.lit(7)).cast("string"),
-                 F.lit(".example.com")).alias("host"),
-        F.md5("text").alias("fp"),
-    ).distinct()
-    keep = (fps.groupBy("fp").agg(F.count("*").alias("_nh"))
-            .where((F.col("_nh") >= 2) & (F.col("_nh") <= MIRROR_FP_MAX_HOSTS))
-            .select("fp"))
-    kept = fps.join(keep, "fp")  # co-partitioned on fp
-    a = kept.select(F.col("fp"), F.col("host").alias("host_a"))
-    b = kept.select(F.col("fp"), F.col("host").alias("host_b"))
+    # Materialize the slim (host, fp, _nh) table ONCE (lazy local
+    # checkpoint): four consumers need it (both pair sides, the keep
+    # filter, the size agg), and Catalyst's inferred join-key null
+    # filters make their subtrees structurally distinct — exchange
+    # reuse can never fire, so without the checkpoint the corpus is
+    # re-scanned + re-hashed per consumer (measured: 12 parquet scans).
+    # In production the fingerprint table is a stored crawl artifact
+    # anyway; the checkpoint is its in-query stand-in. The fp's
+    # host-count rides the _wide(fp) partitioning as a window — no
+    # extra exchange.
+    ann = (
+        _wide(
+            d.select(
+                F.concat(F.lit("host"),
+                         F.pmod(F.col("id"), F.lit(7)).cast("string"),
+                         F.lit(".example.com")).alias("host"),
+                F.md5("text").alias("fp"),
+            ).distinct(),
+            key="fp",
+        )
+        .withColumn("_nh", F.count("*").over(Window.partitionBy("fp")))
+        .localCheckpoint(eager=False)
+    )
+    kept = ann.where(
+        (F.col("_nh") >= 2) & (F.col("_nh") <= MIRROR_FP_MAX_HOSTS))
+    a, b = kept.alias("a"), kept.alias("b")
     common = (
-        a.join(b, "fp")
-        .where(F.col("host_a") < F.col("host_b"))
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col("a.host") < F.col("b.host")))
+        .select(F.col("a.host").alias("host_a"), F.col("b.host").alias("host_b"))
         .groupBy("host_a", "host_b")
         .agg(F.count("*").cast("long").alias("n_common"))
     )
-    sizes = fps.groupBy("host").agg(F.count("*").cast("long").alias("n"))
+    sizes = ann.groupBy("host").agg(F.count("*").cast("long").alias("n"))
     jac = F.col("n_common").cast("double") / (
         F.col("n_a") + F.col("n_b") - F.col("n_common"))
     return (
