@@ -9,6 +9,8 @@ balances, interleaved packing respects its budget.
 
 from __future__ import annotations
 
+from decimal import ROUND_HALF_UP, Decimal
+
 from pyspark.sql import functions as F
 
 from crawl4ai_spark.operators.linkgraph import anchor_aggregate, hits, pagerank
@@ -16,6 +18,14 @@ from crawl4ai_spark.queries import graphops as G
 from crawl4ai_spark.queries import spansops as S
 
 SF = "/root/testdata/sf0.001"
+
+
+def _round(x, n):
+    """HALF_UP round matching Spark's `round` (BigDecimal.valueOf →
+    HALF_UP) and DuckDB's `round` — Python's builtin is half-even and
+    diverges by 1 ulp exactly on ties, which random graphs do hit."""
+    return float(Decimal(repr(x)).quantize(
+        Decimal(1).scaleb(-n), rounding=ROUND_HALF_UP))
 
 
 def _edges_df(spark, edges):
@@ -44,9 +54,9 @@ def _numpy_pagerank(edges, iters=5, d=0.85):
             acc = 0.0
             for _, c in sorted(incoming[u]):
                 acc += c
-            new[u] = round((1.0 - d) / n + d * acc, 9)
+            new[u] = _round((1.0 - d) / n + d * acc, 9)
         rank = new
-    return {u: round(r, 6) for u, r in rank.items()}
+    return {u: _round(r, 6) for u, r in rank.items()}
 
 
 def test_pagerank_matches_numpy_reference(spark):
@@ -60,7 +70,7 @@ def test_pagerank_source_only_node_floor(spark):
     edges = [("A", "B"), ("B", "A"), ("D", "A")]
     rows = {r.url: r for r in pagerank(_edges_df(spark, edges)).collect()}
     n = len(rows)
-    assert rows["D"].rank == round(round((1.0 - 0.85) / n, 9), 6)
+    assert rows["D"].rank == _round(_round((1.0 - 0.85) / n, 9), 6)
     assert rows["D"].indeg == 0 and rows["D"].outdeg == 1
     # ranks positive, conserved mass bounded by 1 (dangling mass drops)
     assert all(r.rank > 0 for r in rows.values())
@@ -71,7 +81,7 @@ def test_pagerank_cycle_is_uniform(spark):
     # A pure cycle is symmetric: every node keeps exactly 1/N.
     edges = [("A", "B"), ("B", "C"), ("C", "A")]
     got = {r.url: r.rank for r in pagerank(_edges_df(spark, edges)).collect()}
-    assert set(got.values()) == {round(1.0 / 3, 6)}
+    assert set(got.values()) == {_round(1.0 / 3, 6)}
 
 
 def _numpy_hits(edges, iters=5):
@@ -91,7 +101,7 @@ def _numpy_hits(edges, iters=5):
                 acc += hub[s]
             raw[u] = acc
         mx = max(raw.values())
-        auth = {u: round(raw[u] / mx, 9) for u in nodes}
+        auth = {u: _round(raw[u] / mx, 9) for u in nodes}
         raw = {u: 0.0 for u in nodes}
         for u in nodes:
             acc = 0.0
@@ -100,9 +110,9 @@ def _numpy_hits(edges, iters=5):
                 acc += auth[t]
             raw[u] = acc
         mx = max(raw.values())
-        hub = {u: round(raw[u] / mx, 9) for u in nodes}
-    return ({u: round(v, 6) for u, v in auth.items()},
-            {u: round(v, 6) for u, v in hub.items()})
+        hub = {u: _round(raw[u] / mx, 9) for u in nodes}
+    return ({u: _round(v, 6) for u, v in auth.items()},
+            {u: _round(v, 6) for u, v in hub.items()})
 
 
 def test_hits_matches_numpy_reference(spark):
@@ -332,3 +342,33 @@ def test_mirror_detect_matches_bruteforce(spark):
            for r in q_mirror_detect(spark, SF).collect()}
     assert got == want
     assert want  # the fixture corpus must actually contain cross-host dups
+
+
+def test_pagerank_and_hits_random_graph_sweep(spark):
+    """Seeded random-graph sweep (the property-test sweep without a
+    Spark session per example): 6 graphs across densities, both
+    operators must match the python references walking the identical
+    pinned trajectory — including disconnected parts, dangling chains,
+    and multi-edges (deduped)."""
+    import random
+
+    rng = random.Random(0xC4A317)
+    for case in range(6):
+        n = rng.randint(2, 9)
+        density = rng.choice([0.15, 0.3, 0.6])
+        nodes = [f"n{i}" for i in range(n)]
+        edges = [(a, b) for a in nodes for b in nodes
+                 if a != b and rng.random() < density]
+        if not edges:
+            edges = [(nodes[0], nodes[-1])]
+        # multi-edge noise: operators must distinct() these away
+        edges_noisy = edges + [edges[0]] * 2
+        df = _edges_df(spark, edges_noisy)
+
+        got_pr = {r.url: r.rank for r in pagerank(df).collect()}
+        assert got_pr == _numpy_pagerank(edges), (case, edges)
+
+        rows = {r.url: r for r in hits(df).collect()}
+        ref_auth, ref_hub = _numpy_hits(edges)
+        assert {u: r.authority for u, r in rows.items()} == ref_auth, (case, edges)
+        assert {u: r.hub for u, r in rows.items()} == ref_hub, (case, edges)
