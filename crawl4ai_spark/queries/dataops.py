@@ -1064,3 +1064,91 @@ def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(pre / PACK_BUDGET).cast("long").alias("pack_id"),
         F.pmod(pre, F.lit(PACK_BUDGET)).cast("long").alias("offset_in_pack"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+# cluster-then-prune. Embeddings are assigned to their max-cosine
+# cluster (PINNED centroids — the first SEM_CELLS corpus vectors by id,
+# no trained k-means state to ship cross-engine; production swaps in
+# trained centroids, same plan); within each cluster, pairs above the
+# cosine threshold form duplicate groups and the member CLOSEST to the
+# centroid is dropped (the paper keeps low-centroid-sim outliers —
+# they carry the cluster's diversity). Scale shape: candidate pairs are
+# Σ n_cell² (bounded by the clustering), never n²; centroid broadcast
+# is O(SEM_CELLS); only (id, cell, cent_sim, v) shuffles.
+# Complements dedup_embedding (LSH pair-finding): SemDeDup emits a
+# KEEP-LIST over semantic clusters, not a pair list.
+# --------------------------------------------------------------------------- #
+SEM_CELLS = 8
+SEMDEDUP_T = 0.92
+
+_SEM_SIMS_SQL = (
+    f"list_transform(generate_series(0, {SEM_CELLS - 1}), "
+    f"ci -> {_cos_sql('c.cent[ci + 1]', 'o.v')})"
+)
+
+
+@query(
+    "semdedup",
+    f"""
+    WITH corpus AS ({_ECORPUS_SQL}),
+    cents AS (
+        SELECT list(v ORDER BY id) AS cent FROM corpus WHERE id < {SEM_CELLS}
+    ),
+    cells AS MATERIALIZED (
+        SELECT id, v,
+               (list_position(sims, list_max(sims)) - 1)::INT AS cell,
+               list_max(sims) AS cent_sim
+        FROM (SELECT o.id, o.v, {_SEM_SIMS_SQL} AS sims FROM corpus o, cents c)
+    ),
+    drops AS (
+        SELECT DISTINCT CASE WHEN a.cent_sim > b.cent_sim THEN a.id
+                             WHEN b.cent_sim > a.cent_sim THEN b.id
+                             ELSE greatest(a.id, b.id) END AS id
+        FROM cells a JOIN cells b ON a.cell = b.cell AND a.id < b.id
+        WHERE {_cos_sql('a.v', 'b.v')} >= {SEMDEDUP_T}
+    )
+    SELECT c.id::BIGINT AS id, c.cell, round(c.cent_sim, 6) AS cent_sim,
+           (d.id IS NULL) AS keep
+    FROM cells c LEFT JOIN drops d ON c.id = d.id
+    """,
+)
+def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _ecorpus(spark, sf_dir)
+    cents = [
+        r.v for r in c.where(F.col("id") < SEM_CELLS).orderBy("id").collect()
+    ]
+    sims = F.array(*[
+        _cos(F.array(*[F.lit(float(x)) for x in cv]), F.col("v"))
+        for cv in cents
+    ])
+    par = spark.sparkContext.defaultParallelism
+    # fold-width exchange before the SEM_CELLS×DIM per-row centroid
+    # cosines (_wide), then a PINNED cell-keyed barrier after: the
+    # self-join's two sides and the final keep-join all consume `cells`
+    # through one ReusedExchange instead of re-folding per consumer,
+    # and AQE cannot coalesce the Σ n_cell² verify onto one task.
+    assigned = _wide(c, key="id").select("id", "v", sims.alias("sims"))
+    best = (F.array_position(F.col("sims"), F.array_max("sims")) - 1).cast("int")
+    cells = assigned.select(
+        "id", "v", best.alias("cell"), F.array_max("sims").alias("cent_sim")
+    ).repartition(par, "cell")
+    a, b = cells.alias("a"), cells.alias("b")
+    drops = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") < F.col("b.id")))
+        .where(_cos(F.col("a.v"), F.col("b.v")) >= SEMDEDUP_T)
+        .select(
+            F.when(F.col("a.cent_sim") > F.col("b.cent_sim"), F.col("a.id"))
+            .when(F.col("b.cent_sim") > F.col("a.cent_sim"), F.col("b.id"))
+            .otherwise(F.greatest(F.col("a.id"), F.col("b.id")))
+            .alias("id")
+        )
+        .distinct()
+        .withColumn("dropped", F.lit(True))
+    )
+    return cells.join(drops, "id", "left").select(
+        F.col("id").cast("long"), "cell",
+        F.round("cent_sim", 6).alias("cent_sim"),
+        F.col("dropped").isNull().alias("keep"),
+    )

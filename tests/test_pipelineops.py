@@ -398,3 +398,51 @@ def test_perplexity_bucket_shares_and_order(spark):
             hm = max(b["head"])
             assert (n_head - sum(1 for q in b["head"] if q == hm)) * 10 < 3 * n, lang
         assert (n_head + n_mid) * 10 >= 6 * n, lang
+
+
+def test_semdedup_matches_numpy_reference(spark):
+    """SemDeDup meaning (arXiv:2303.09540): within each max-cosine
+    cluster, every duplicate pair (cos >= T) drops its member CLOSER to
+    the centroid (tie: higher id) — the keep set equals a full numpy
+    recompute, and no two kept items in one cell are near-duplicates."""
+    import numpy as np
+
+    from crawl4ai_spark.queries.dataops import (
+        SEM_CELLS, SEMDEDUP_T, _ecorpus, q_semdedup,
+    )
+
+    got = {r.id: r for r in q_semdedup(spark, SF).collect()}
+    corpus = {r.id: np.array(r.v, dtype=np.float64)
+              for r in _ecorpus(spark, SF).collect()}
+    assert set(got) == set(corpus)
+
+    def cos(a, b):
+        return float(a @ b) / (float(np.sqrt(a @ a)) * float(np.sqrt(b @ b)))
+
+    cents = [corpus[i] for i in sorted(corpus) if i < SEM_CELLS]
+    cell, cent_sim = {}, {}
+    for i, v in corpus.items():
+        sims = [cos(c, v) for c in cents]
+        cell[i], cent_sim[i] = int(np.argmax(sims)), max(sims)
+        assert got[i].cell == cell[i]
+
+    drops = set()
+    ids = sorted(corpus)
+    for x, a in enumerate(ids):
+        for b in ids[x + 1:]:
+            if cell[a] != cell[b] or cos(corpus[a], corpus[b]) < SEMDEDUP_T:
+                continue
+            if cent_sim[a] > cent_sim[b]:
+                drops.add(a)
+            elif cent_sim[b] > cent_sim[a]:
+                drops.add(b)
+            else:
+                drops.add(max(a, b))
+    assert {i for i, r in got.items() if not r.keep} == drops
+    assert drops, "the planted near/exact dups must produce drops"
+    # no two kept members of one cell are near-duplicates
+    kept = [i for i, r in got.items() if r.keep]
+    for x, a in enumerate(kept):
+        for b in kept[x + 1:]:
+            if cell[a] == cell[b]:
+                assert cos(corpus[a], corpus[b]) < SEMDEDUP_T
