@@ -1,0 +1,97 @@
+"""Sitemap ingestion (S-tier source): sitemaps.org protocol XML →
+typed seed rows, entirely in column expressions.
+
+The reference crawls whatever URL it is handed (crawl_agent.py
+``crawl_url``); a production deep-crawl discovers its seed lists from
+``/sitemap.xml`` (and the robots ``Sitemap:`` directive) before the
+frontier ever spins. This module parses both document shapes of the
+protocol:
+
+- ``<urlset>`` leaves: ``<url><loc>…</loc><lastmod>…</lastmod>
+  <priority>…</priority></url>`` → kind='url' rows (lastmod/priority
+  nullable — real sitemaps omit them per entry);
+- ``<sitemapindex>`` hubs: ``<sitemap><loc>…</loc></sitemap>`` →
+  kind='sitemap' rows (the fetch loop enqueues these as further
+  sitemap documents).
+
+Scale shape: one regexp_extract_all + posexplode_outer per document —
+no Python, no shuffle until the caller aggregates; ``<loc>`` values are
+canonicalized with the same functions.urls rules as every frontier URL,
+so sitemap seeds join the URL-seen set without a second normal form.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from crawl4ai_spark.functions.urls import canonicalize
+
+# (?s): real sitemaps put newlines inside entry blocks; lazy match keeps
+# one entry per block. Identical RE2/Java-regex semantics (tested via
+# the DuckDB oracle twin of q_sitemap_ingest).
+_BLOCK_RX = "(?s)<{tag}>(.*?)</{tag}>"
+_LOC_RX = r"(?s)<loc>\s*(.*?)\s*</loc>"
+_LASTMOD_RX = r"(?s)<lastmod>\s*(.*?)\s*</lastmod>"
+_PRIORITY_RX = r"(?s)<priority>\s*(.*?)\s*</priority>"
+
+# The five predefined XML entities, &amp; LAST so '&amp;lt;' decodes to
+# the literal '&lt;' and not '<' (protocol requires <loc> values be
+# entity-escaped — query-string '&' arrives as '&amp;').
+_XML_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
+                 ("&apos;", "'"), ("&amp;", "&")]
+
+
+def _xml_unescape(c: F.Column) -> F.Column:
+    for ent, ch in _XML_ENTITIES:
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    return c
+
+
+def _entries(df: DataFrame, host_col: str, xml_col: str, tag: str,
+             kind: str) -> DataFrame:
+    blocks = F.regexp_extract_all(
+        F.col(xml_col), F.lit(_BLOCK_RX.format(tag=tag)), F.lit(1)
+    )
+    b = F.col("block")
+    loc = F.nullif(_xml_unescape(F.regexp_extract(b, _LOC_RX, 1)), F.lit(""))
+    lastmod = F.nullif(F.regexp_extract(b, _LASTMOD_RX, 1), F.lit(""))
+    priority = F.nullif(F.regexp_extract(b, _PRIORITY_RX, 1), F.lit("")).cast("double")
+    return (
+        df.select(
+            F.col(host_col).alias("src_host"),
+            F.posexplode_outer(blocks).alias("pos", "block"),
+        )
+        .select(
+            "src_host",
+            F.lit(kind).alias("kind"),
+            F.col("pos").cast("int").alias("pos"),
+            canonicalize(loc).alias("url"),
+            lastmod.alias("lastmod"),
+            priority.alias("priority"),
+        )
+        .where(F.col("url").isNotNull())
+    )
+
+
+def parse_sitemaps(sitemaps: DataFrame, host_col: str = "host",
+                   xml_col: str = "xml") -> DataFrame:
+    """Parse a (host, xml) table of sitemap documents.
+
+    Returns (src_host, kind: 'url'|'sitemap', pos: int order within the
+    file, url: canonical, lastmod: string|null, priority: double|null).
+    Blocks without a ``<loc>`` are dropped (protocol requires one).
+    """
+    leaves = _entries(sitemaps, host_col, xml_col, "url", "url")
+    hubs = _entries(sitemaps, host_col, xml_col, "sitemap", "sitemap")
+    return leaves.unionByName(hubs)
+
+
+def sitemap_seeds(parsed: DataFrame, seen: DataFrame | None = None) -> DataFrame:
+    """Distinct canonical leaf URLs, minus an optional seen set
+    (a frame with a canonical ``url`` column) — ready for
+    ``CrawlConfig(seeds=...)`` or a frontier union. The anti-join is the
+    same shape as the engine's first-discovery dedup: only URLs shuffle."""
+    urls = parsed.where(F.col("kind") == "url").select("url").distinct()
+    if seen is not None:
+        urls = urls.join(seen.select("url").distinct(), "url", "left_anti")
+    return urls

@@ -779,3 +779,132 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"),
         (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).cast("long").alias("duration_s"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# S-tier: sitemap ingestion (sitemaps.org protocol). A deterministic
+# per-host <urlset> (entries with optional lastmod/priority, messy
+# <loc> values exercising canonicalization) plus one <sitemapindex>
+# hub are synthesized from the documents table, then parsed back by
+# operators.sitemap.parse_sitemaps — the parse is the op under test;
+# the oracle re-parses the identical XML with DuckDB's RE2. Reference
+# scope note: crawl_agent.py crawls handed URLs only; sitemap seed
+# discovery is the standard production front door for a deep crawl.
+# --------------------------------------------------------------------------- #
+_SITEMAP_ENTRY_SQL = """
+      '<url><loc>HTTPS://HOST' || h::VARCHAR || '.EXAMPLE.COM:443/p/' || i::VARCHAR
+      || (CASE WHEN i % 3 = 0 THEN '?b=2&amp;a=1' ELSE '' END)
+      || (CASE WHEN i % 5 = 0 THEN '#frag' ELSE '' END)
+      || '</loc>'
+      || (CASE WHEN i % 2 = 0 THEN '<lastmod>2026-01-' || lpad(((i % 28) + 1)::VARCHAR, 2, '0') || '</lastmod>' ELSE '' END)
+      || (CASE WHEN i % 4 = 0 THEN '<priority>0.' || (i % 10)::VARCHAR || '</priority>' ELSE '' END)
+      || '</url>'
+"""
+
+_SITEMAP_INDEX_XML = (
+    "<sitemapindex>\n"
+    "<sitemap><loc>https://host0.example.com/s1.xml</loc></sitemap>\n"
+    "<sitemap><loc>HTTP://host1.EXAMPLE.com:80/s2.xml</loc></sitemap>\n"
+    "</sitemapindex>"
+)
+
+
+@query(
+    "sitemap_ingest",
+    rf"""
+    WITH docs AS (
+        SELECT doc_id::BIGINT AS i, (doc_id % {N_HOSTS})::BIGINT AS h FROM documents
+    ),
+    entries AS (
+        SELECT h, i, {_SITEMAP_ENTRY_SQL} AS e FROM docs
+    ),
+    xmls AS (
+        SELECT 'host' || h::VARCHAR || '.example.com' AS host,
+               '<urlset>' || chr(10) || string_agg(e, chr(10) ORDER BY i)
+                 || chr(10) || '</urlset>' AS xml
+        FROM entries GROUP BY h
+        UNION ALL
+        SELECT 'hub.example.com', '{_SITEMAP_INDEX_XML.replace(chr(10), "' || chr(10) || '")}'
+    ),
+    tagged AS (
+        SELECT host, 'url' AS kind,
+               regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1) AS blocks
+        FROM xmls
+        UNION ALL
+        SELECT host, 'sitemap',
+               regexp_extract_all(xml, '(?s)<sitemap>(.*?)</sitemap>', 1)
+        FROM xmls
+    ),
+    exploded AS (
+        SELECT host, kind, blocks,
+               unnest(generate_series(1, len(blocks)))::INT AS idx
+        FROM tagged
+    ),
+    parsed AS (
+        SELECT host AS src_host, kind, (idx - 1)::INT AS pos,
+               nullif(replace(replace(replace(replace(replace(regexp_extract(blocks[idx], '(?s)<loc>\s*(.*?)\s*</loc>', 1), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''), '&amp;', '&'), '') AS loc,
+               nullif(regexp_extract(blocks[idx], '(?s)<lastmod>\s*(.*?)\s*</lastmod>', 1), '') AS lastmod,
+               nullif(regexp_extract(blocks[idx], '(?s)<priority>\s*(.*?)\s*</priority>', 1), '')::DOUBLE AS priority
+        FROM exploded
+    )
+    SELECT src_host, kind, pos, {canonicalize_sql('loc', 'duckdb')} AS url,
+           lastmod, priority
+    FROM parsed WHERE loc IS NOT NULL
+    """,
+)
+def q_sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sitemap import parse_sitemaps
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    h = F.pmod(i, F.lit(N_HOSTS))
+    messy = F.concat(
+        F.lit("HTTPS://HOST"), h.cast("string"), F.lit(".EXAMPLE.COM:443/p/"),
+        i.cast("string"),
+        F.when(F.pmod(i, F.lit(3)) == 0, F.lit("?b=2&amp;a=1")).otherwise(F.lit("")),
+        F.when(F.pmod(i, F.lit(5)) == 0, F.lit("#frag")).otherwise(F.lit("")),
+    )
+    entry = F.concat(
+        F.lit("<url><loc>"), messy, F.lit("</loc>"),
+        F.when(
+            F.pmod(i, F.lit(2)) == 0,
+            F.concat(
+                F.lit("<lastmod>2026-01-"),
+                F.lpad((F.pmod(i, F.lit(28)) + 1).cast("string"), 2, "0"),
+                F.lit("</lastmod>"),
+            ),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.pmod(i, F.lit(4)) == 0,
+            F.concat(F.lit("<priority>0."), F.pmod(i, F.lit(10)).cast("string"),
+                     F.lit("</priority>")),
+        ).otherwise(F.lit("")),
+        F.lit("</url>"),
+    )
+    xmls = (
+        d.select(h.alias("h"), i.alias("i"), entry.alias("e"))
+        .groupBy("h")
+        .agg(
+            F.concat(
+                F.lit("<urlset>\n"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct(F.col("i"), F.col("e")))),
+                        lambda s: s["e"],
+                    ),
+                    "\n",
+                ),
+                F.lit("\n</urlset>"),
+            ).alias("xml")
+        )
+        .select(
+            F.concat(F.lit("host"), F.col("h").cast("string"),
+                     F.lit(".example.com")).alias("host"),
+            "xml",
+        )
+    )
+    index = spark.range(1).select(
+        F.lit("hub.example.com").alias("host"),
+        F.lit(_SITEMAP_INDEX_XML).alias("xml"),
+    )
+    return parse_sitemaps(xmls.unionByName(index))

@@ -90,6 +90,8 @@ _TAIL = [
     "stats_rollup",
     # rotated for mirror_detect (r03-certified; ann_ivf_probe stays)
     "ann_lsh_bucket",
+    # rotated for sitemap_ingest (r03-certified)
+    "stream_dedup_urls",
 ]
 
 

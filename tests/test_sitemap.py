@@ -1,0 +1,104 @@
+"""Sitemap ingestion (operators/sitemap.py): protocol parsing edge
+cases and the seed handoff into the crawl engine. The DuckDB oracle
+(sitemap_ingest) proves cross-engine parse equality; these pin meaning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crawl4ai_spark.operators.sitemap import parse_sitemaps, sitemap_seeds
+
+URLSET = """<?xml version="1.0" encoding="UTF-8"?>
+<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+  <url>
+    <loc>HTTPS://Example.COM:443/a?b=2&amp;a=1#frag</loc>
+    <lastmod>2026-01-05</lastmod>
+    <priority>0.8</priority>
+  </url>
+  <url><loc>https://example.com/bare</loc></url>
+  <url><lastmod>2026-01-06</lastmod></url>
+  <url>
+    <loc>
+      https://example.com/padded
+    </loc>
+  </url>
+</urlset>"""
+
+INDEX = """<sitemapindex>
+  <sitemap><loc>https://example.com/s1.xml</loc></sitemap>
+  <sitemap><loc>HTTP://EXAMPLE.com:80/s2.xml</loc></sitemap>
+</sitemapindex>"""
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "host string, xml string")
+
+
+def test_parse_urlset_semantics(spark):
+    out = parse_sitemaps(_df(spark, [("example.com", URLSET)]))
+    rows = {r.pos: r for r in out.where(F.col("kind") == "url").collect()}
+    # the loc-less block is dropped, positions keep file order
+    assert sorted(rows) == [0, 1, 3]
+    full = rows[0]
+    # canonicalized: lowercase host, default port stripped, the
+    # XML-escaped &amp; decoded BEFORE the query-param sort, fragment gone
+    assert full.url == "https://example.com/a?a=1&b=2"
+    assert full.lastmod == "2026-01-05" and full.priority == 0.8
+    bare = rows[1]
+    assert bare.url == "https://example.com/bare"
+    assert bare.lastmod is None and bare.priority is None
+    # whitespace-padded loc values are trimmed before canonicalization
+    assert rows[3].url == "https://example.com/padded"
+
+
+def test_parse_index_and_seed_handoff(spark):
+    parsed = parse_sitemaps(_df(spark, [
+        ("example.com", URLSET), ("hub.example.com", INDEX),
+    ]))
+    hubs = {r.url for r in parsed.where(F.col("kind") == "sitemap").collect()}
+    assert hubs == {"https://example.com/s1.xml", "http://example.com/s2.xml"}
+
+    # seeds: distinct leaf urls only; seen anti-join removes known ones
+    seeds = {r.url for r in sitemap_seeds(parsed).collect()}
+    assert seeds == {
+        "https://example.com/a?a=1&b=2",
+        "https://example.com/bare",
+        "https://example.com/padded",
+    }
+    seen = spark.createDataFrame(
+        [("https://example.com/bare",)], "url string")
+    left = {r.url for r in sitemap_seeds(parsed, seen=seen).collect()}
+    assert left == seeds - {"https://example.com/bare"}
+
+
+def test_sitemap_seeds_drive_the_engine(spark, tmp_path):
+    """A crawl seeded from a parsed sitemap equals a crawl seeded from
+    the explicit URL list — the handoff is lossless."""
+    from crawl4ai_spark.config import CrawlConfig
+    from crawl4ai_spark.fixtures import write_fixtures
+    from crawl4ai_spark.operators.frontier import CrawlEngine
+
+    fx = f"{tmp_path}/fx"
+    write_fixtures(spark, fx, n_docs=200, n_hosts=4)
+    docs = spark.read.parquet(f"{fx}/documents.parquet")
+    seed = (
+        docs.where(docs.doc_id.contains("host3")).orderBy("doc_id")
+        .limit(1).collect()[0].doc_id
+    )
+    # upper-case the host part only (paths are case-significant)
+    host_end = seed.index("/", len("https://"))
+    messy = "HTTPS://" + seed[len("https://"):host_end].upper() + seed[host_end:]
+    xml = f"<urlset><url><loc>{messy}</loc></url></urlset>"
+    sm = _df(spark, [("host3.example.com", xml)])
+    seeds = [r.url for r in sitemap_seeds(parse_sitemaps(sm)).collect()]
+    assert seeds == [seed]
+
+    a = CrawlEngine(spark, docs, CrawlConfig(seeds=seeds, max_pages=15),
+                    f"{tmp_path}/sa")
+    b = CrawlEngine(spark, docs, CrawlConfig(seeds=[seed], max_pages=15),
+                    f"{tmp_path}/sb")
+    a.run(), b.run()
+    pa = [(r.rank, r.url) for r in a.pages().orderBy("rank").collect()]
+    pb = [(r.rank, r.url) for r in b.pages().orderBy("rank").collect()]
+    assert pa == pb and len(pa) >= 5
