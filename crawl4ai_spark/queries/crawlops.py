@@ -908,3 +908,155 @@ def q_sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(_SITEMAP_INDEX_XML).alias("xml"),
     )
     return parse_sitemaps(xmls.unionByName(index))
+
+
+# --------------------------------------------------------------------------- #
+# F11c: robots.txt TEXT parsing (RFC 9309 groups) — raw fetched robots
+# bytes → the engine's structured rule table + site-wide Sitemap
+# directives (operators/robots.py). Synthetic per-host files exercise
+# group runs, agent-specific override (SparkBot groups beat '*' when
+# parsing as 'sparkbot'), comments, empty Disallow no-ops, lowercase
+# keys, stray lines, and group-independent Sitemap placement. The
+# oracle re-implements the full parse in DuckDB SQL over the identical
+# text, so a grouping/selection bug cannot hide in shared code.
+# --------------------------------------------------------------------------- #
+_ROBOTS_TXT_SQL = """
+      '# robots for host ' || h::VARCHAR || chr(10)
+      || (CASE WHEN h % 2 = 0 THEN
+            'User-Agent: FancyBot' || chr(10) || 'Disallow: /fancy' || chr(10)
+            || 'Sitemap: https://host' || h::VARCHAR || '.example.com/sitemap.xml'
+            || chr(10) || chr(10)
+          ELSE '' END)
+      || (CASE WHEN h % 6 = 0 THEN
+            'User-agent: SparkBot' || chr(10) || 'Disallow: /only-sparkbot'
+            || chr(10) || 'Crawl-delay: 9' || chr(10) || chr(10)
+          ELSE '' END)
+      || 'User-agent: *' || chr(10)
+      || (CASE WHEN h % 5 = 0 THEN
+            'Disallow: /login # keep out' || chr(10) || 'Allow: /login/p/1*' || chr(10)
+          ELSE '' END)
+      || (CASE WHEN h % 3 = 0 THEN 'disallow: /tmp/' || chr(10) ELSE '' END)
+      || (CASE WHEN h % 4 = 0 THEN 'Disallow:' || chr(10) ELSE '' END)
+      || 'Crawl-delay: ' || ((h % 4) + 1)::VARCHAR || chr(10)
+      || 'stray line without a colon' || chr(10)
+"""
+
+
+@query(
+    "robots_txt_parse",
+    rf"""
+    WITH hosts AS (
+        SELECT DISTINCT (doc_id % {N_HOSTS})::BIGINT AS h FROM documents
+    ),
+    txt AS (
+        SELECT 'host' || h::VARCHAR || '.example.com' AS host,
+               {_ROBOTS_TXT_SQL} AS text
+        FROM hosts
+    ),
+    ex AS (
+        SELECT host, parts, unnest(generate_series(1, len(parts)))::INT AS i
+        FROM (SELECT host, string_split(text, chr(10)) AS parts FROM txt)
+    ),
+    kv AS (
+        SELECT host, ln,
+               lower(regexp_extract(clean, '^([A-Za-z-]+)\s*:', 1)) AS key,
+               trim(regexp_replace(clean, '^[A-Za-z-]+\s*:', '')) AS val
+        FROM (SELECT host, i AS ln,
+                     trim(regexp_replace(parts[i], '#.*$', '')) AS clean
+              FROM ex)
+        WHERE regexp_extract(clean, '^([A-Za-z-]+)\s*:', 1) <> ''
+    ),
+    ng AS (
+        SELECT host, ln, key, val,
+               CASE WHEN key = 'user-agent' AND NOT coalesce(
+                        lag(key = 'user-agent') OVER (PARTITION BY host ORDER BY ln),
+                        false)
+                    THEN 1 ELSE 0 END AS ngf
+        FROM kv
+    ),
+    g AS (
+        SELECT host, ln, key, val,
+               sum(ngf) OVER (PARTITION BY host ORDER BY ln
+                              ROWS UNBOUNDED PRECEDING) AS grp
+        FROM ng
+    ),
+    fl AS (
+        SELECT host, grp, key, val,
+               max(CASE WHEN key = 'user-agent' AND lower(val) = '*'
+                        THEN 1 ELSE 0 END) OVER (PARTITION BY host, grp) AS g_star,
+               max(CASE WHEN key = 'user-agent' AND lower(val) = 'sparkbot'
+                        THEN 1 ELSE 0 END) OVER (PARTITION BY host, grp) AS g_agent
+        FROM g WHERE grp > 0
+    ),
+    m AS (
+        SELECT * FROM (
+            SELECT *, max(g_agent) OVER (PARTITION BY host) AS h_agent FROM fl
+        ) WHERE CASE WHEN h_agent = 1 THEN g_agent = 1 ELSE g_star = 1 END
+    ),
+    rules AS (
+        SELECT host,
+               list_sort(list_filter(
+                   list(CASE WHEN key = 'allow' AND val <> '' THEN val END),
+                   x -> x IS NOT NULL)) AS allow,
+               list_sort(list_filter(
+                   list(CASE WHEN key = 'disallow' AND val <> '' THEN val END),
+                   x -> x IS NOT NULL)) AS disallow,
+               min(CASE WHEN key = 'crawl-delay'
+                        THEN TRY_CAST(val AS DOUBLE) END) AS crawl_delay
+        FROM m GROUP BY host
+    ),
+    sm AS (
+        SELECT host, list_sort(list_distinct(list(val))) AS sitemaps
+        FROM kv WHERE key = 'sitemap' AND val <> '' GROUP BY host
+    )
+    SELECT t.host,
+           coalesce(r.allow, CAST([] AS VARCHAR[])) AS allow,
+           coalesce(r.disallow, CAST([] AS VARCHAR[])) AS disallow,
+           r.crawl_delay,
+           coalesce(s.sitemaps, CAST([] AS VARCHAR[])) AS sitemaps
+    FROM txt t LEFT JOIN rules r ON t.host = r.host
+               LEFT JOIN sm s ON t.host = s.host
+    """,
+)
+def q_robots_txt_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.robots import parse_robots_txt
+
+    d = _t(spark, sf_dir, "documents")
+    h = F.col("h")
+    nl = F.lit("\n")
+
+    def when_block(cond, *pieces):
+        return F.when(cond, F.concat(*pieces)).otherwise(F.lit(""))
+
+    text = F.concat(
+        F.lit("# robots for host "), h.cast("string"), nl,
+        when_block(
+            F.pmod(h, F.lit(2)) == 0,
+            F.lit("User-Agent: FancyBot"), nl, F.lit("Disallow: /fancy"), nl,
+            F.lit("Sitemap: https://host"), h.cast("string"),
+            F.lit(".example.com/sitemap.xml"), nl, nl,
+        ),
+        when_block(
+            F.pmod(h, F.lit(6)) == 0,
+            F.lit("User-agent: SparkBot"), nl, F.lit("Disallow: /only-sparkbot"),
+            nl, F.lit("Crawl-delay: 9"), nl, nl,
+        ),
+        F.lit("User-agent: *"), nl,
+        when_block(
+            F.pmod(h, F.lit(5)) == 0,
+            F.lit("Disallow: /login # keep out"), nl, F.lit("Allow: /login/p/1*"), nl,
+        ),
+        when_block(F.pmod(h, F.lit(3)) == 0, F.lit("disallow: /tmp/"), nl),
+        when_block(F.pmod(h, F.lit(4)) == 0, F.lit("Disallow:"), nl),
+        F.lit("Crawl-delay: "), (F.pmod(h, F.lit(4)) + 1).cast("string"), nl,
+        F.lit("stray line without a colon"), nl,
+    )
+    txt = (
+        d.select(F.pmod(F.col("doc_id").cast("long"), F.lit(N_HOSTS)).alias("h"))
+        .distinct()
+        .select(
+            F.concat(F.lit("host"), h.cast("string"), F.lit(".example.com")).alias("host"),
+            text.alias("text"),
+        )
+    )
+    return parse_robots_txt(txt, agent="sparkbot")

@@ -92,6 +92,9 @@ _TAIL = [
     "ann_lsh_bucket",
     # rotated for sitemap_ingest (r03-certified)
     "stream_dedup_urls",
+    # rotated for robots_txt_parse (r03-certified; the stronger
+    # robots_eval_wildcard variant stays in the head)
+    "robots_eval",
 ]
 
 
