@@ -406,13 +406,36 @@ def _tokenize_selector(selector: str) -> list[tuple[str, str]]:
     return out
 
 
+def _split_selector_list(selector: str) -> list[str]:
+    """Split a selector LIST on top-level commas ('h1, .x > li');
+    commas inside [attr…] or pseudo parens are protected."""
+    sel = re.sub(
+        r"\[[^\]]*\]|\([^)]*\)", lambda m: m.group(0).replace(",", "\x04"),
+        selector,
+    )
+    return [p.replace("\x04", ",").strip() for p in sel.split(",") if p.strip()]
+
+
 def css_select(root: Node, selector: str) -> list[Node]:
     """CSS subset in document order: simple selectors (tag/#id/.cls/
     [attr]/[attr{=,^=,$=,*=,~=,|=}v]/:nth-child/:first-child/
     :last-child/:only-child/:nth-of-type/:first-of-type/:last-of-type/
     :not(compound), chained on one base), descendant chains, child '>',
-    and the sibling combinators '+' / '~' (reference schemas use full
-    cssselect — e.g. 'section.x .y > div', original-README.md:353-387)."""
+    the sibling combinators '+' / '~', and selector lists 'a, b'
+    (deduped union in document order) — reference schemas use full
+    cssselect, e.g. 'section.x .y > div' (original-README.md:353-387)."""
+    groups = _split_selector_list(selector)
+    if len(groups) > 1:
+        seen: set[int] = set()
+        out = []
+        for g in groups:
+            for n in css_select(root, g):
+                if id(n) not in seen:
+                    seen.add(id(n))
+                    out.append(n)
+        order = {id(n): i for i, n in enumerate(root.walk())}
+        out.sort(key=lambda n: order.get(id(n), 1 << 30))
+        return out
     steps = _tokenize_selector(selector)
     if not steps:
         return []

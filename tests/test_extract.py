@@ -472,3 +472,30 @@ def test_bm25_fit_ladder(spark):
     assert "unrelated" not in rows["d1"]["md"]
     assert rows["d2"]["n_fit"] == 0
     assert "nothing about the topic" in rows["d2"]["md"]  # ladder fallback
+
+
+class TestSelectorList:
+    """Selector lists 'a, b' (CSS grouping): deduped union in document
+    order; commas inside [attr] / pseudo parens never split."""
+
+    def setup_method(self):
+        self.root = parse_html(GRAMMAR_HTML)
+
+    def test_union_document_order(self):
+        hits = css_select(self.root, "h2, p.lead, li.special")
+        assert [h.tag for h in hits] == ["li", "h2", "p"]
+        assert [h.text() for h in hits] == ["two", "Title", "lead para"]
+
+    def test_overlapping_groups_dedupe(self):
+        # 'p' matches all three paras; 'p.lead' re-matches the first
+        hits = css_select(self.root, "p, p.lead")
+        assert [h.text() for h in hits] == [
+            "lead para", "second para", "third para"]
+
+    def test_protected_commas_and_whitespace(self):
+        one = css_select(self.root, ' li:nth-child(2) , a[href$=".tar.gz"] ')
+        assert [h.text() for h in one] == ["two", "tarball"]
+
+    def test_group_with_combinators(self):
+        hits = css_select(self.root, "h2 + p, #menu > li.special")
+        assert [h.text() for h in hits] == ["two", "lead para"]
