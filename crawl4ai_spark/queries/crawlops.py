@@ -34,7 +34,7 @@ from ..functions.scoring import (
     link_score,
     link_score_sql,
 )
-from ..functions.urls import canonicalize, canonicalize_sql
+from ..functions.urls import canonicalize, canonicalize_sql, surt_key_sql
 from .registry import query, table as _t
 
 
@@ -1060,3 +1060,47 @@ def q_robots_txt_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return parse_robots_txt(txt, agent="sparkbot")
+
+
+# --------------------------------------------------------------------------- #
+# F10b: SURT index keys (Sort-friendly URI Reordering Transform — the
+# CDX/Common-Crawl index key). Composes canonicalize → surt_key over
+# messy URLs (subdomains + a non-default port on every 5th doc exercise
+# label reversal and port retention). Range-partitioning frontier/page
+# tables by this key clusters a domain and all its subdomains
+# contiguously — per-domain scans and politeness audits become
+# partition-pruned range reads at 10^10-URL scale.
+# --------------------------------------------------------------------------- #
+_SURT_MESSY_SQL = (
+    "(CASE WHEN doc_id % 5 = 0 THEN "
+    "'HTTP://a.b.Host' || (doc_id % 7)::VARCHAR || '.Example.COM:8080/' "
+    "|| source || '/' || doc_id::VARCHAR "
+    f"ELSE {_MESSY_URL_SQL} END)"
+)
+
+
+@query(
+    "surt_key",
+    f"""
+    WITH canon AS (
+        SELECT doc_id::BIGINT AS doc_id,
+               {canonicalize_sql(_SURT_MESSY_SQL, 'duckdb')} AS url
+        FROM documents
+    )
+    SELECT doc_id, url, {surt_key_sql('url', 'duckdb')} AS surt FROM canon
+    """,
+)
+def q_surt_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.urls import surt_key
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    messy = F.when(
+        F.pmod(i, F.lit(5)) == 0,
+        F.concat(
+            F.lit("HTTP://a.b.Host"), F.pmod(i, F.lit(N_HOSTS)).cast("string"),
+            F.lit(".Example.COM:8080/"), F.col("source"), F.lit("/"), i.cast("string"),
+        ),
+    ).otherwise(_messy_url(i, F.col("source")))
+    canon = d.select(i.alias("doc_id"), canonicalize(messy).alias("url"))
+    return canon.select("doc_id", "url", surt_key(F.col("url")).alias("surt"))

@@ -95,6 +95,9 @@ _TAIL = [
     # rotated for robots_txt_parse (r03-certified; the stronger
     # robots_eval_wildcard variant stays in the head)
     "robots_eval",
+    # rotated for surt_key, which composes and so re-certifies the same
+    # canonicalization in the driver (url_seen_fold also keeps covering it)
+    "url_canonicalize",
 ]
 
 

@@ -169,3 +169,37 @@ def test_rep_best_match_longest_wins(spark):
         "path", rep_best_match(F.col("path"), arr).alias("b")).collect()}
     for path, want in cases:
         assert got[path] == want, path
+
+
+def test_surt_key_spark_and_duckdb_agree(spark):
+    """SURT keys: host labels reversed, non-default port kept, scheme
+    dropped; the Spark and DuckDB forms agree on tricky canonical URLs,
+    and lexicographic SURT order clusters a domain's subdomains."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.functions.urls import surt_key, surt_key_sql
+
+    cases = [
+        ("https://sub.example.com/p?a=1&b=2", "com,example,sub)/p?a=1&b=2"),
+        ("https://example.com/", "com,example)/"),
+        ("http://a.b.host1.example.com:8080/x", "com,example,host1,b,a:8080)/x"),
+        ("https://example.co.uk/y", "uk,co,example)/y"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = {r.url: r.surt for r in df.select(
+        "url", surt_key(F.col("url")).alias("surt")).collect()}
+    for url, want in cases:
+        assert got[url] == want, url
+
+    con = duckdb.connect()
+    for url, want in cases:
+        (dk,) = con.execute(
+            "SELECT " + surt_key_sql(f"'{url}'", "duckdb")).fetchone()
+        assert dk == want, url
+
+    # domain clustering: every example.com URL sorts inside one range
+    surts = sorted(got.values())
+    com_example = [s for s in surts if s.startswith("com,example")]
+    lo, hi = surts.index(com_example[0]), surts.index(com_example[-1])
+    assert hi - lo + 1 == len(com_example)
