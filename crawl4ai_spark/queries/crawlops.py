@@ -1104,3 +1104,41 @@ def q_surt_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).otherwise(_messy_url(i, F.col("source")))
     canon = d.select(i.alias("doc_id"), canonicalize(messy).alias("url"))
     return canon.select("doc_id", "url", surt_key(F.col("url")).alias("surt"))
+
+
+# --------------------------------------------------------------------------- #
+# S6b: WARC export formatting (ISO 28500) — the archive record format
+# crawl ecosystems exchange; sinks.warc_format renders it in the scan
+# projection, the oracle rebuilds the byte-identical record in SQL.
+# --------------------------------------------------------------------------- #
+@query(
+    "warc_export",
+    f"""
+    SELECT doc_id::BIGINT AS doc_id,
+           {_graph_url_sql('doc_id')} AS url,
+           strlen(coalesce(text, ''))::BIGINT AS content_length,
+           'WARC/1.0' || chr(13) || chr(10)
+           || 'WARC-Type: response' || chr(13) || chr(10)
+           || 'WARC-Record-ID: <urn:h60:'
+           || {H.h60_sql(_graph_url_sql('doc_id'))}::VARCHAR || '>' || chr(13) || chr(10)
+           || 'WARC-Date: 2026-01-01T00:00:00Z' || chr(13) || chr(10)
+           || 'WARC-Target-URI: ' || {_graph_url_sql('doc_id')} || chr(13) || chr(10)
+           || 'Content-Type: text/plain' || chr(13) || chr(10)
+           || 'Content-Length: ' || strlen(coalesce(text, ''))::VARCHAR
+           || chr(13) || chr(10) || chr(13) || chr(10)
+           || coalesce(text, '') || chr(13) || chr(10) || chr(13) || chr(10) AS warc
+    FROM documents
+    """,
+)
+def q_warc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sinks import warc_format
+
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _graph_url(F.col("doc_id").cast("long")).alias("url"),
+        F.col("text"),
+    )
+    return warc_format(pages, url_col="url", payload_col="text").select(
+        "doc_id", "url", "content_length", "warc",
+    )

@@ -98,6 +98,8 @@ _TAIL = [
     # rotated for surt_key, which composes and so re-certifies the same
     # canonicalization in the driver (url_seen_fold also keeps covering it)
     "url_canonicalize",
+    # rotated for warc_export (r03-certified; the dedup flagships stay)
+    "ann_ivf_probe",
 ]
 
 
