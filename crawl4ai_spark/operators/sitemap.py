@@ -95,3 +95,32 @@ def sitemap_seeds(parsed: DataFrame, seen: DataFrame | None = None) -> DataFrame
     if seen is not None:
         urls = urls.join(seen.select("url").distinct(), "url", "left_anti")
     return urls
+
+
+def stale_from_sitemap(parsed: DataFrame, fetch_log: DataFrame,
+                       url_col: str = "url",
+                       fetched_col: str = "fetch_date") -> DataFrame:
+    """Freshness loop, sitemap edition: URLs whose sitemap ``lastmod``
+    is NEWER than their last fetch — the ``CrawlEngine.reopen`` set.
+    The protocol allows date or datetime lastmod values; the date
+    prefix is compared. Leaf entries without lastmod and never-fetched
+    URLs drop out (unknown staleness is recrawl_schedule's job, not
+    this comparator's). One groupBy + one join, both keyed on the
+    canonical url — only (url, date) pairs shuffle."""
+    sm = (
+        parsed.where((F.col("kind") == "url") & F.col("lastmod").isNotNull())
+        .select(
+            "url",
+            F.to_date(F.substring("lastmod", 1, 10)).alias("_lm"),
+        )
+        .groupBy("url")
+        .agg(F.max("_lm").alias("lastmod_date"))
+    )
+    fl = fetch_log.select(
+        F.col(url_col).alias("url"), F.col(fetched_col).cast("date").alias("_fd")
+    )
+    return (
+        sm.join(fl, "url")
+        .where(F.col("lastmod_date") > F.col("_fd"))
+        .select("url", "lastmod_date", F.col("_fd").alias("fetched_date"))
+    )

@@ -1142,3 +1142,86 @@ def q_warc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warc_format(pages, url_col="url", payload_col="text").select(
         "doc_id", "url", "content_length", "warc",
     )
+
+
+# --------------------------------------------------------------------------- #
+# S-tier + freshness: sitemap lastmod vs fetch log — the reopen set
+# (operators.sitemap.stale_from_sitemap feeds CrawlEngine.reopen).
+# Sitemap XML and the fetch log are both synthesized from documents;
+# the oracle re-parses the XML and re-derives staleness in SQL.
+# --------------------------------------------------------------------------- #
+@query(
+    "sitemap_stale",
+    rf"""
+    WITH docs AS (
+        SELECT doc_id::BIGINT AS i FROM documents
+    ),
+    xmls AS (
+        SELECT 'host' || (i % {N_HOSTS})::VARCHAR || '.example.com' AS host,
+               '<urlset>' || string_agg(
+                   '<url><loc>' || {_graph_url_sql('i')} || '</loc>'
+                   || '<lastmod>2026-01-' || lpad(((i % 28) + 1)::VARCHAR, 2, '0')
+                   || '</lastmod></url>', '' ORDER BY i)
+               || '</urlset>' AS xml
+        FROM docs GROUP BY 1
+    ),
+    entries AS (
+        SELECT unnest(regexp_extract_all(xml, '(?s)<url>(.*?)</url>', 1)) AS block
+        FROM xmls
+    ),
+    sm AS (
+        SELECT regexp_extract(block, '(?s)<loc>\s*(.*?)\s*</loc>', 1) AS url,
+               max((regexp_extract(block, '(?s)<lastmod>\s*(.*?)\s*</lastmod>', 1))::DATE)
+                   AS lastmod_date
+        FROM entries GROUP BY 1
+    ),
+    fl AS (
+        SELECT {_graph_url_sql('i')} AS url,
+               ('2026-01-' || lpad((((i * 2) % 28) + 1)::VARCHAR, 2, '0'))::DATE AS fd
+        FROM docs
+    )
+    SELECT sm.url, sm.lastmod_date, fl.fd AS fetched_date
+    FROM sm JOIN fl ON sm.url = fl.url
+    WHERE sm.lastmod_date > fl.fd
+    """,
+)
+def q_sitemap_stale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sitemap import parse_sitemaps, stale_from_sitemap
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    day = F.lpad((F.pmod(i, F.lit(28)) + 1).cast("string"), 2, "0")
+    entry = F.concat(
+        F.lit("<url><loc>"), _graph_url(i), F.lit("</loc><lastmod>2026-01-"),
+        day, F.lit("</lastmod></url>"),
+    )
+    xmls = (
+        d.select(F.pmod(i, F.lit(N_HOSTS)).alias("h"), i.alias("i"), entry.alias("e"))
+        .groupBy("h")
+        .agg(
+            F.concat(
+                F.lit("<urlset>"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct(F.col("i"), F.col("e")))),
+                        lambda s: s["e"],
+                    ),
+                    "",
+                ),
+                F.lit("</urlset>"),
+            ).alias("xml")
+        )
+        .select(
+            F.concat(F.lit("host"), F.col("h").cast("string"),
+                     F.lit(".example.com")).alias("host"),
+            "xml",
+        )
+    )
+    fetch_log = d.select(
+        _graph_url(i).alias("url"),
+        F.concat(
+            F.lit("2026-01-"),
+            F.lpad((F.pmod(i * 2, F.lit(28)) + 1).cast("string"), 2, "0"),
+        ).alias("fetch_date"),
+    )
+    return stale_from_sitemap(parse_sitemaps(xmls), fetch_log)

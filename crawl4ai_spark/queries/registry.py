@@ -100,6 +100,9 @@ _TAIL = [
     "url_canonicalize",
     # rotated for warc_export (r03-certified; the dedup flagships stay)
     "ann_ivf_probe",
+    # rotated for sitemap_stale (r03-certified; engine politeness keeps
+    # pytest + the host-budget queries in the head)
+    "politeness_select",
 ]
 
 

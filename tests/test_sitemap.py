@@ -102,3 +102,55 @@ def test_sitemap_seeds_drive_the_engine(spark, tmp_path):
     pa = [(r.rank, r.url) for r in a.pages().orderBy("rank").collect()]
     pb = [(r.rank, r.url) for r in b.pages().orderBy("rank").collect()]
     assert pa == pb and len(pa) >= 5
+
+
+def test_sitemap_lastmod_drives_reopen(spark, tmp_path):
+    """Freshness loop, sitemap edition: lastmod newer than the fetch
+    date selects exactly those pages, reopen re-dispatches them, and the
+    pages log grows one new resolved generation per stale URL."""
+    from crawl4ai_spark.config import CrawlConfig
+    from crawl4ai_spark.fixtures import write_fixtures
+    from crawl4ai_spark.operators.frontier import CrawlEngine
+    from crawl4ai_spark.operators.sitemap import parse_sitemaps, stale_from_sitemap
+
+    fx = f"{tmp_path}/fx"
+    write_fixtures(spark, fx, n_docs=300, n_hosts=5)
+    docs = spark.read.parquet(f"{fx}/documents.parquet")
+    seed = (
+        docs.where(docs.doc_id.contains("host4")).orderBy("doc_id")
+        .limit(1).collect()[0].doc_id
+    )
+    eng = CrawlEngine(spark, docs, CrawlConfig(seeds=[seed], max_pages=25),
+                      f"{tmp_path}/state")
+    eng.run()
+    fetched = sorted(r.url for r in eng.pages().collect())
+    assert len(fetched) >= 5
+    stale_urls, fresh_urls = fetched[:2], fetched[2:]
+
+    # the site re-publishes its sitemap: the two stale pages carry a
+    # lastmod AFTER the crawl date, the rest before it
+    entries = "".join(
+        f"<url><loc>{u}</loc><lastmod>{'2026-02-01' if u in stale_urls else '2026-01-01'}</lastmod></url>"
+        for u in fetched
+    )
+    sm = parse_sitemaps(
+        spark.createDataFrame(
+            [("host4.example.com", f"<urlset>{entries}</urlset>")],
+            "host string, xml string"),
+    )
+    fetch_log = spark.createDataFrame(
+        [(u, "2026-01-15") for u in fetched], "url string, fetch_date string")
+    due = stale_from_sitemap(sm, fetch_log)
+    assert sorted(r.url for r in due.collect()) == stale_urls
+
+    n_before = eng.pages(resolved=True).count()
+    assert eng.reopen(due.select("url")) == len(stale_urls)
+    eng2 = CrawlEngine(spark, docs, CrawlConfig(seeds=[seed], max_pages=25),
+                       f"{tmp_path}/state")
+    eng2.run(resume=True)
+    after = eng2.pages(resolved=True)
+    assert after.count() == n_before + len(stale_urls)
+    # the new generation rows are exactly the stale URLs
+    from pyspark.sql import functions as F2
+    gen2 = (after.groupBy("url").count().where(F2.col("count") > 1))
+    assert sorted(r.url for r in gen2.collect()) == stale_urls
