@@ -43,6 +43,11 @@ class CrawlConfig:
     # enqueued, never in the seen set. None = keep all (default).
     score_threshold: float | None = None
     politeness: bool = False          # per-host per-round budgets (hosts table)
+    # F8 pacing: with politeness on and NO explicit host_budgets table,
+    # a robots frame carrying crawl_delay derives budgets as
+    # round_period_s / crawl_delay (see CrawlEngine.__init__). None =
+    # never derive (explicit budgets or unbounded).
+    round_period_s: float | None = None
     politeness_salts: int = 1         # >1: split hot-host budget across salts (scale mode)
     # Adaptive salting (skew handling): when set, a host's budget is
     # split across ceil(budget / salt_min_grants) salt queues, capped at

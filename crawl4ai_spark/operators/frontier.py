@@ -112,6 +112,24 @@ class CrawlEngine:
         self.ckp = Checkpoint(state_dir)
         self.robots = robots
         self.host_budgets = host_budgets
+        # F8 completion: with politeness on, no explicit budgets table,
+        # and a robots frame carrying crawl_delay, derive the per-round
+        # budgets from the robots-declared pacing (budget =
+        # round_period_s / crawl_delay) — the rate limit the reference
+        # honors by sleeping between same-host fetches becomes the
+        # rank-and-limit grant of the batch round model.
+        if (
+            cfg.politeness
+            and host_budgets is None
+            and robots is not None
+            and cfg.round_period_s is not None
+            and "crawl_delay" in robots.columns
+        ):
+            from ..fixtures import budgets_from_crawl_delay
+
+            self.host_budgets = budgets_from_crawl_delay(
+                robots, round_period_s=cfg.round_period_s
+            )
         self.redirects = redirects
         self.max_redirect_hops = max_redirect_hops
         # (host, template) classes to never enqueue — the crawl_traps

@@ -722,3 +722,38 @@ def test_robots_wildcard_rules_match_oracle(spark, corpus_dir, tmp_path):
         u.endswith("7") and not u.endswith("/p/7")
         for u in fetched if u not in cfg.seeds
     )
+
+
+def test_politeness_auto_derives_budgets_from_robots_delay(spark, corpus_dir, tmp_path):
+    """F8 completion: politeness=True + round_period_s + a robots frame
+    carrying crawl_delay and NO explicit budgets table derives the
+    budgets inside the engine — the crawl is identical to passing
+    budgets_from_crawl_delay explicitly."""
+    from crawl4ai_spark.fixtures import budgets_from_crawl_delay
+
+    docs, robots, _, _, _, _ = _load(spark, corpus_dir)
+    cfg_auto = CrawlConfig(seeds=get_seeds(spark, corpus_dir), strategy="bfs",
+                           max_depth=3, max_pages=40, politeness=True,
+                           round_period_s=2.0)
+    auto = CrawlEngine(spark, docs, cfg_auto, str(tmp_path / "auto"),
+                       robots=robots)
+    assert auto.host_budgets is not None, "engine must derive budgets"
+    auto.run()
+
+    cfg_exp = CrawlConfig(seeds=get_seeds(spark, corpus_dir), strategy="bfs",
+                          max_depth=3, max_pages=40, politeness=True)
+    exp = CrawlEngine(spark, docs, cfg_exp, str(tmp_path / "exp"),
+                      robots=robots,
+                      host_budgets=budgets_from_crawl_delay(robots, 2.0))
+    exp.run()
+    got = [(r.rank, r.url) for r in auto.pages().orderBy("rank").collect()]
+    want = [(r.rank, r.url) for r in exp.pages().orderBy("rank").collect()]
+    assert got == want and got
+
+    # explicit budgets still take precedence over derivation
+    both = CrawlEngine(spark, docs, cfg_auto, str(tmp_path / "both"),
+                       robots=robots,
+                       host_budgets=budgets_from_crawl_delay(robots, 4.0))
+    b = {r.host: r.budget for r in both.host_budgets.collect()}
+    assert b == {r.host: r.budget
+                 for r in budgets_from_crawl_delay(robots, 4.0).collect()}
