@@ -425,6 +425,8 @@ def css_select(root: Node, selector: str) -> list[Node]:
     (deduped union in document order) — reference schemas use full
     cssselect, e.g. 'section.x .y > div' (original-README.md:353-387)."""
     groups = _split_selector_list(selector)
+    if not groups:
+        return []
     if len(groups) > 1:
         seen: set[int] = set()
         out = []
@@ -436,7 +438,9 @@ def css_select(root: Node, selector: str) -> list[Node]:
         order = {id(n): i for i, n in enumerate(root.walk())}
         out.sort(key=lambda n: order.get(id(n), 1 << 30))
         return out
-    steps = _tokenize_selector(selector)
+    # groups[0], not the original: a tolerated stray comma ('h1,') must
+    # not reach the simple-selector tokenizer as part of the token
+    steps = _tokenize_selector(groups[0])
     if not steps:
         return []
     matched = [n for n in root.walk() if n.tag != "[document]" and _match_simple(n, steps[0][1])]

@@ -49,9 +49,13 @@ def parse_robots_txt(robots_docs: DataFrame, host_col: str = "host",
     agent_lc = agent.lower()
     host = F.col(host_col)
 
+    # \r?\n: RFC 9309 §2.2 allows CRLF line endings (common in the
+    # wild); a literal-\n split would leave every value with a trailing
+    # \r that F.trim (spaces only) never removes — '*\r' then fails the
+    # exact ua match and the host silently parses as allow-all.
     lines = robots_docs.select(
         host.alias("host"),
-        F.posexplode(F.split(F.col(text_col), "\n")).alias("ln", "raw"),
+        F.posexplode(F.split(F.col(text_col), "\r?\n")).alias("ln", "raw"),
     )
     clean = F.trim(F.regexp_replace(F.col("raw"), "#.*$", ""))
     key = F.lower(F.regexp_extract(clean, _KEY_RX, 1))

@@ -99,15 +99,21 @@ def collect_downloads(
 
 def warc_format(df: DataFrame, url_col: str = "url", payload_col: str = "raw_md",
                 date: str = "2026-01-01T00:00:00Z",
-                content_type: str = "text/plain") -> DataFrame:
-    """S6b: render each page as an ISO 28500 (WARC/1.0) response record
-    — the archive format every crawl ecosystem (Common Crawl, IA)
-    exchanges. Adds ``content_length`` (payload octets) and ``warc``
-    (the full record). Record IDs are deterministic (urn:h60: over the
-    target URI — the cross-engine content hash used by the dedup tier);
-    ``date`` is the caller's crawl-start stamp (a real deployment passes
-    wall clock; the default keeps runs reproducible). Pure column
-    expressions appended in the scan projection — no Python, no shuffle."""
+                content_type: str = "text/plain",
+                record_type: str = "resource") -> DataFrame:
+    """S6b: render each page as an ISO 28500 (WARC/1.0) record — the
+    archive format every crawl ecosystem (Common Crawl, IA) exchanges.
+    Adds ``content_length`` (payload octets) and ``warc`` (the full
+    record). Record IDs are deterministic (urn:h60: over the target URI
+    — the cross-engine content hash used by the dedup tier); ``date``
+    is the caller's crawl-start stamp (a real deployment passes wall
+    clock; the default keeps runs reproducible). The default type is
+    ``resource``: per ISO 28500 a ``response`` record must carry a full
+    protocol response (application/http; msgtype=response) — bare page
+    content is a resource record, which standard tooling (warcio, CDX
+    indexers) ingests without an HTTP status line. Pure column
+    expressions appended in the scan projection — no Python, no
+    shuffle."""
     from ..functions.hashing import h60
 
     url = F.col(url_col)
@@ -116,7 +122,7 @@ def warc_format(df: DataFrame, url_col: str = "url", payload_col: str = "raw_md"
     n = F.octet_length(payload)
     rec = F.concat(
         F.lit("WARC/1.0"), crlf,
-        F.lit("WARC-Type: response"), crlf,
+        F.lit(f"WARC-Type: {record_type}"), crlf,
         F.lit("WARC-Record-ID: <urn:h60:"), h60(url).cast("string"), F.lit(">"), crlf,
         F.lit("WARC-Date: "), F.lit(date), crlf,
         F.lit("WARC-Target-URI: "), url, crlf,
@@ -130,9 +136,17 @@ def warc_format(df: DataFrame, url_col: str = "url", payload_col: str = "raw_md"
 def write_warc(df: DataFrame, out_dir: str, url_col: str = "url",
                payload_col: str = "raw_md", **fmt_kwargs) -> None:
     """Bulk WARC export: executor-parallel ``write.text`` of the
-    formatted records (records already carry their CRLF framing, so
-    parts concatenate into valid WARC streams). Same scale posture as
-    save_markdown_bulk — no driver iteration."""
-    warc_format(df, url_col, payload_col, **fmt_kwargs).select("warc").write.mode(
-        "overwrite"
-    ).text(out_dir)
+    formatted records. The text writer appends a line separator per
+    row, so the stored value drops the record's final CRLF and
+    ``lineSep='\\r\\n'`` restores it — parts then concatenate into
+    streams framed EXACTLY per ISO 28500 (two CRLFs between records,
+    no stray LF). Same scale posture as save_markdown_bulk — no driver
+    iteration."""
+    body = F.expr("substring(warc, 1, length(warc) - 2)")
+    (
+        warc_format(df, url_col, payload_col, **fmt_kwargs)
+        .select(body.alias("warc"))
+        .write.mode("overwrite")
+        .option("lineSep", "\r\n")
+        .text(out_dir)
+    )

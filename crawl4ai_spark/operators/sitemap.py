@@ -34,16 +34,25 @@ _LOC_RX = r"(?s)<loc>\s*(.*?)\s*</loc>"
 _LASTMOD_RX = r"(?s)<lastmod>\s*(.*?)\s*</lastmod>"
 _PRIORITY_RX = r"(?s)<priority>\s*(.*?)\s*</priority>"
 
-# The five predefined XML entities, &amp; LAST so '&amp;lt;' decodes to
-# the literal '&lt;' and not '<' (protocol requires <loc> values be
-# entity-escaped — query-string '&' arrives as '&amp;').
-_XML_ENTITIES = [("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'),
-                 ("&apos;", "'"), ("&amp;", "&")]
+# The five predefined XML entities plus their numeric character
+# references (&#38; / &#x26; are equally legal escapes for '&' in <loc>
+# values). Every '&' form decodes LAST so '&amp;lt;' / '&#38;lt;'
+# decode to the literal '&lt;' and not '<' (protocol requires <loc>
+# values be entity-escaped — query-string '&' arrives as '&amp;').
+_XML_DECODE = [
+    ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"),
+    (r"&#0*60;|&#[xX]0*3[cC];", "<"), (r"&#0*62;|&#[xX]0*3[eE];", ">"),
+    (r"&#0*34;|&#[xX]0*22;", '"'), (r"&#0*39;|&#[xX]0*27;", "'"),
+    ("&amp;", "&"), (r"&#0*38;|&#[xX]0*26;", "&"),
+]
 
 
 def _xml_unescape(c: F.Column) -> F.Column:
-    for ent, ch in _XML_ENTITIES:
-        c = F.replace(c, F.lit(ent), F.lit(ch))
+    for pat, ch in _XML_DECODE:
+        if pat.startswith("&#") or "|" in pat:
+            c = F.regexp_replace(c, pat, ch)
+        else:
+            c = F.replace(c, F.lit(pat), F.lit(ch))
     return c
 
 
@@ -55,7 +64,12 @@ def _entries(df: DataFrame, host_col: str, xml_col: str, tag: str,
     b = F.col("block")
     loc = F.nullif(_xml_unescape(F.regexp_extract(b, _LOC_RX, 1)), F.lit(""))
     lastmod = F.nullif(F.regexp_extract(b, _LASTMOD_RX, 1), F.lit(""))
-    priority = F.nullif(F.regexp_extract(b, _PRIORITY_RX, 1), F.lit("")).cast("double")
+    # try_cast: a real-world <priority>high</priority> must null out,
+    # not kill the job under ANSI mode (robots.py does the same for
+    # crawl_delay)
+    priority = F.nullif(
+        F.regexp_extract(b, _PRIORITY_RX, 1), F.lit("")
+    ).try_cast("double")
     return (
         df.select(
             F.col(host_col).alias("src_host"),
@@ -105,19 +119,33 @@ def stale_from_sitemap(parsed: DataFrame, fetch_log: DataFrame,
     The protocol allows date or datetime lastmod values; the date
     prefix is compared. Leaf entries without lastmod and never-fetched
     URLs drop out (unknown staleness is recrawl_schedule's job, not
-    this comparator's). One groupBy + one join, both keyed on the
-    canonical url — only (url, date) pairs shuffle."""
+    this comparator's). Unparseable lastmod/fetch dates null out and
+    drop (try-casts — untrusted text must not kill the job under ANSI
+    mode). One groupBy per side + one join, all keyed on the canonical
+    url — only (url, date) pairs shuffle.
+
+    The fetch log may be a multi-generation pages log (one row per
+    visit, the shape ``eng.pages(resolved=True)`` has after a reopen);
+    staleness compares against the LAST fetch, so an already-refetched
+    page does not re-flag every cycle."""
     sm = (
         parsed.where((F.col("kind") == "url") & F.col("lastmod").isNotNull())
         .select(
             "url",
-            F.to_date(F.substring("lastmod", 1, 10)).alias("_lm"),
+            F.try_to_date(F.substring("lastmod", 1, 10)).alias("_lm"),
         )
+        .where(F.col("_lm").isNotNull())
         .groupBy("url")
         .agg(F.max("_lm").alias("lastmod_date"))
     )
-    fl = fetch_log.select(
-        F.col(url_col).alias("url"), F.col(fetched_col).cast("date").alias("_fd")
+    fl = (
+        fetch_log.select(
+            F.col(url_col).alias("url"),
+            F.col(fetched_col).try_cast("date").alias("_fd"),
+        )
+        .where(F.col("_fd").isNotNull())
+        .groupBy("url")
+        .agg(F.max("_fd").alias("_fd"))
     )
     return (
         sm.join(fl, "url")

@@ -955,7 +955,7 @@ _ROBOTS_TXT_SQL = """
     ),
     ex AS (
         SELECT host, parts, unnest(generate_series(1, len(parts)))::INT AS i
-        FROM (SELECT host, string_split(text, chr(10)) AS parts FROM txt)
+        FROM (SELECT host, string_split_regex(text, '\r?\n') AS parts FROM txt)
     ),
     kv AS (
         SELECT host, ln,
@@ -1118,7 +1118,7 @@ def q_surt_key(spark: SparkSession, sf_dir: str) -> DataFrame:
            {_graph_url_sql('doc_id')} AS url,
            strlen(coalesce(text, ''))::BIGINT AS content_length,
            'WARC/1.0' || chr(13) || chr(10)
-           || 'WARC-Type: response' || chr(13) || chr(10)
+           || 'WARC-Type: resource' || chr(13) || chr(10)
            || 'WARC-Record-ID: <urn:h60:'
            || {H.h60_sql(_graph_url_sql('doc_id'))}::VARCHAR || '>' || chr(13) || chr(10)
            || 'WARC-Date: 2026-01-01T00:00:00Z' || chr(13) || chr(10)

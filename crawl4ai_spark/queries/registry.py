@@ -103,6 +103,9 @@ _TAIL = [
     # rotated for sitemap_stale (r03-certified; engine politeness keeps
     # pytest + the host-budget queries in the head)
     "politeness_select",
+    # rotated for semdedup (r03-certified; engine redirects keep the
+    # resume-exact pytest coverage and the crawl suite)
+    "redirects_resolve",
 ]
 
 

@@ -499,3 +499,9 @@ class TestSelectorList:
     def test_group_with_combinators(self):
         hits = css_select(self.root, "h2 + p, #menu > li.special")
         assert [h.text() for h in hits] == ["two", "lead para"]
+
+    def test_single_group_with_stray_comma(self):
+        # 'h1,' must tolerate the trailing comma exactly like 'h1, h2,'
+        one = parse_html("<body><h2>Title</h2></body>")
+        assert [h.text() for h in css_select(one, "h2,")] == ["Title"]
+        assert css_select(one, ",") == []

@@ -120,3 +120,14 @@ def test_raw_bytes_to_engine_loop(spark, tmp_path):
     assert len(fetched) > 1, "the crawl must discover beyond the seed"
     blocked = eng.url_seen().where(F.col("state") == "robots_blocked")
     assert blocked.count() > 0
+
+
+def test_crlf_line_endings(spark):
+    """RFC 9309 allows CRLF; values must not carry a trailing \\r (a
+    '*\\r' user-agent silently parses as allow-all otherwise)."""
+    crlf = TXT.replace("\n", "\r\n")
+    df = _df(spark, [("a.com", crlf)])
+    r = {x.host: x for x in parse_robots_txt(df, agent="*").collect()}["a.com"]
+    assert r.disallow == ["/login"] and r.allow == ["/login/p/1*"]
+    assert r.crawl_delay == 2.0
+    assert r.sitemaps == ["https://a.com/sm1.xml", "https://a.com/sm2.xml"]

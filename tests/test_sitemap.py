@@ -154,3 +154,47 @@ def test_sitemap_lastmod_drives_reopen(spark, tmp_path):
     from pyspark.sql import functions as F2
     gen2 = (after.groupBy("url").count().where(F2.col("count") > 1))
     assert sorted(r.url for r in gen2.collect()) == stale_urls
+
+
+def test_parse_hardening_numeric_refs_and_bad_values(spark):
+    """Review hardening: numeric character references decode like their
+    named twins; a non-numeric <priority> nulls out instead of raising
+    under ANSI mode; '&amp;lt;' stays a literal '&lt;'."""
+    xml = (
+        "<urlset>"
+        "<url><loc>https://e.com/p?a=1&#38;b=2</loc>"
+        "<priority>high</priority></url>"
+        "<url><loc>https://e.com/q?x=1&#x26;y=2</loc></url>"
+        "<url><loc>https://e.com/amp&amp;lt;</loc></url>"
+        "</urlset>"
+    )
+    rows = {r.pos: r for r in parse_sitemaps(
+        _df(spark, [("e.com", xml)])).collect()}
+    assert rows[0].url == "https://e.com/p?a=1&b=2"
+    assert rows[0].priority is None
+    assert rows[1].url == "https://e.com/q?x=1&y=2"
+    assert rows[2].url == "https://e.com/amp&lt;"
+
+
+def test_stale_uses_last_fetch_generation(spark):
+    """A multi-generation fetch log (the pages-log shape after a reopen)
+    compares against the LAST fetch — an already-refetched page must not
+    re-flag, and unparseable dates drop instead of raising."""
+    from crawl4ai_spark.operators.sitemap import stale_from_sitemap
+
+    sm = parse_sitemaps(_df(spark, [(
+        "e.com",
+        "<urlset><url><loc>https://e.com/a</loc><lastmod>2026-02-01</lastmod></url>"
+        "<url><loc>https://e.com/b</loc><lastmod>2026-02-01</lastmod></url>"
+        "<url><loc>https://e.com/c</loc><lastmod>not a date</lastmod></url></urlset>",
+    )]))
+    fetch_log = spark.createDataFrame(
+        [("https://e.com/a", "2026-01-01"),
+         ("https://e.com/a", "2026-02-05"),   # refetched after lastmod
+         ("https://e.com/b", "2026-01-01"),
+         ("https://e.com/c", "2026-01-01"),
+         ("https://e.com/b", "garbage")],     # bad date drops, row 3 stands
+        "url string, fetch_date string")
+    got = {r.url: r for r in stale_from_sitemap(sm, fetch_log).collect()}
+    assert set(got) == {"https://e.com/b"}
+    assert str(got["https://e.com/b"].fetched_date) == "2026-01-01"

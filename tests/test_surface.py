@@ -217,7 +217,8 @@ class TestWarcSink:
         assert out["https://a.com/2"].content_length == len("héllo\nworld".encode())
         assert out["https://a.com/3"].content_length == 0
         rec = out["https://a.com/1"].warc
-        assert rec.startswith("WARC/1.0\r\n") and rec.endswith("\r\n\r\n")
+        assert rec.startswith("WARC/1.0\r\nWARC-Type: resource\r\n")
+        assert rec.endswith("\r\n\r\n")
         assert "WARC-Target-URI: https://a.com/1\r\n" in rec
         assert re.search(r"WARC-Record-ID: <urn:h60:\d+>", rec)
         # determinism: same URL -> same record id
@@ -226,7 +227,15 @@ class TestWarcSink:
 
         write_warc(df.repartition(1), str(tmp_path / "warc"))
         stream = "".join(
-            open(p).read() for p in sorted(glob.glob(f"{tmp_path}/warc/part-*")))
+            open(p, newline="").read()
+            for p in sorted(glob.glob(f"{tmp_path}/warc/part-*")))
+        # exact ISO 28500 framing: every record ends with two CRLFs and
+        # the next begins immediately — no stray writer LF between
+        # records (payload bytes may of course contain \n)
+        assert "\r\n\r\n\n" not in stream
+        assert stream.endswith("\r\n\r\n")
+        for part in stream.split("WARC/1.0")[1:]:
+            assert part.endswith("\r\n\r\n")
         # a minimal reader: split on the version line
         records = ["WARC/1.0" + r for r in stream.split("WARC/1.0") if r.strip()]
         assert len(records) == 3
