@@ -1225,3 +1225,45 @@ def q_sitemap_stale(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("fetch_date"),
     )
     return stale_from_sitemap(parse_sitemaps(xmls), fetch_log)
+
+
+# --------------------------------------------------------------------------- #
+# S6c: CDXJ capture index (the Common-Crawl/IA lookup index over WARC
+# stores): one line per capture — SURT key + timestamp + a JSON blob
+# (url, digest, record length). Composes surt_key (domain-clustered
+# sort/range order) with warc_format's record accounting: sorting and
+# range-partitioning THIS table is what makes point lookups and
+# per-domain scans over a 100 TB WARC store partition-pruned. The
+# timestamp is the deterministic crawl-start stamp (wall clock in a
+# real deployment); digest = the cross-engine h60 content hash.
+# --------------------------------------------------------------------------- #
+@query(
+    "cdx_index",
+    f"""
+    WITH pages AS (
+        SELECT doc_id::BIGINT AS doc_id, {_graph_url_sql('doc_id')} AS url,
+               coalesce(text, '') AS payload
+        FROM documents
+    )
+    SELECT doc_id, {surt_key_sql('url', 'duckdb')} AS surt,
+           '20260101000000' AS ts, url,
+           {H.h60_sql('payload')}::BIGINT AS digest,
+           strlen(payload)::BIGINT AS length
+    FROM pages
+    """,
+)
+def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.urls import surt_key
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    payload = F.coalesce(F.col("text"), F.lit(""))
+    url = _graph_url(i)
+    return d.select(
+        i.alias("doc_id"),
+        surt_key(url).alias("surt"),
+        F.lit("20260101000000").alias("ts"),
+        url.alias("url"),
+        H.h60(payload).alias("digest"),
+        F.octet_length(payload).cast("long").alias("length"),
+    )

@@ -106,6 +106,9 @@ _TAIL = [
     # rotated for semdedup (r03-certified; engine redirects keep the
     # resume-exact pytest coverage and the crawl suite)
     "redirects_resolve",
+    # new this round, deliberately local-tier (the driver head keeps the
+    # engine core; tools/check_oracle.py certifies it every round)
+    "cdx_index",
 ]
 
 
