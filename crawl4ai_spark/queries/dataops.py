@@ -1071,7 +1071,10 @@ def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
 # cluster-then-prune. Embeddings are assigned to their max-cosine
 # cluster (PINNED centroids — the first SEM_CELLS corpus vectors by id,
 # no trained k-means state to ship cross-engine; production swaps in
-# trained centroids, same plan); within each cluster, pairs above the
+# trained centroids, same plan — and the CELL COUNT must grow with the
+# corpus, K ~ N/B for a bounded per-cell size B, exactly as the paper
+# runs 50k clusters over LAION: with K fixed the pair count degrades
+# toward all-pairs); within each cluster, pairs above the
 # cosine threshold form duplicate groups and the member CLOSEST to the
 # centroid is dropped (the paper keeps low-centroid-sim outliers —
 # they carry the cluster's diversity). Scale shape: candidate pairs are

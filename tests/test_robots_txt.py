@@ -131,3 +131,56 @@ def test_crlf_line_endings(spark):
     assert r.disallow == ["/login"] and r.allow == ["/login/p/1*"]
     assert r.crawl_delay == 2.0
     assert r.sitemaps == ["https://a.com/sm1.xml", "https://a.com/sm2.xml"]
+
+
+def test_text_roundtrip_drives_identical_crawl(spark, corpus_dir, tmp_path):
+    """Capstone equivalence: render the fixture's STRUCTURED robots
+    rules back to robots.txt text, re-parse with parse_robots_txt, and
+    a politeness crawl using the parsed frame + auto-derived budgets
+    (round_period_s) equals the crawl using the structured frame +
+    explicit budgets_from_crawl_delay — the text front door is lossless
+    end-to-end."""
+    from tests.test_crawl import _load, get_seeds
+
+    from crawl4ai_spark.config import CrawlConfig
+    from crawl4ai_spark.fixtures import budgets_from_crawl_delay
+    from crawl4ai_spark.operators.frontier import CrawlEngine
+
+    docs, robots, _, _, _, _ = _load(spark, corpus_dir)
+
+    # render: one robots.txt per host (CRLF endings, comments, for spice)
+    def render(r):
+        lines = ["# generated", "User-agent: *"]
+        lines += [f"Allow: {a}" for a in (r.allow or [])]
+        lines += [f"Disallow: {d}" for d in (r.disallow or [])]
+        if r.crawl_delay is not None:
+            lines.append(f"Crawl-delay: {r.crawl_delay}")
+        return (r.host, "\r\n".join(lines) + "\r\n")
+
+    txt = spark.createDataFrame(
+        [render(r) for r in robots.collect()], "host string, text string")
+    parsed = parse_robots_txt(txt)
+
+    # round-trip exactness (parse sorts rule arrays; fixture arrays are
+    # compared as sets)
+    want = {r.host: r for r in robots.collect()}
+    got = {r.host: r for r in parsed.collect()}
+    assert set(got) == set(want)
+    for h, r in got.items():
+        assert sorted(want[h].allow or []) == r.allow, h
+        assert sorted(want[h].disallow or []) == r.disallow, h
+        assert want[h].crawl_delay == r.crawl_delay, h
+
+    seeds = get_seeds(spark, corpus_dir)
+    base = dict(seeds=seeds, strategy="bfs", max_depth=3, max_pages=60,
+                politeness=True, respect_robots=True)
+    a = CrawlEngine(spark, docs, CrawlConfig(**base), str(tmp_path / "a"),
+                    robots=robots,
+                    host_budgets=budgets_from_crawl_delay(robots, 2.0))
+    b = CrawlEngine(spark, docs, CrawlConfig(**base, round_period_s=2.0),
+                    str(tmp_path / "b"),
+                    robots=parsed.select("host", "allow", "disallow", "crawl_delay"))
+    a.run(), b.run()
+    pa = [(r.rank, r.url) for r in a.pages().orderBy("rank").collect()]
+    pb = [(r.rank, r.url) for r in b.pages().orderBy("rank").collect()]
+    assert pa == pb and len(pa) >= 20
