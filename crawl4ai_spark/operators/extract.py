@@ -13,12 +13,15 @@ DOM (tree of tag/attrs/children) plus:
   is merged inline, crawl_agent.py:160).
 * ``css_select`` — selector subset: ``tag``, ``.class``, ``#id``,
   ``tag.class``, descendant chains ("div p a"), child ``>`` and sibling
-  ``+``/``~`` combinators, ``[attr]``/``[attr=v]`` plus the substring
-  operators ``^=``/``$=``/``*=``/``~=``/``|=``, the structural pseudos
-  ``:nth-child(an+b|odd|even|k)``/``:first-child``/``:last-child``/
-  ``:only-child`` and their of-type twins ``:nth-of-type``/
-  ``:first-of-type``/``:last-of-type``, and ``:not(compound)``
-  (argument may not itself carry pseudo parens).
+  ``+``/``~`` combinators, selector lists ``a, b``, ``[attr]``/
+  ``[attr=v]`` plus the substring operators
+  ``^=``/``$=``/``*=``/``~=``/``|=`` and the case-insensitivity flag
+  ``[attr=v i]``, the structural pseudos
+  ``:nth-child(an+b|odd|even|k)``/``:nth-last-child``/``:first-child``/
+  ``:last-child``/``:only-child``/``:empty`` and the of-type twins
+  ``:nth-of-type``/``:nth-last-of-type``/``:first-of-type``/
+  ``:last-of-type``, and ``:not(compound)`` (argument may not itself
+  carry pseudo parens).
 * ``xpath_select`` — subset: ``//tag``, ``/a/b`` absolute chains,
   chained predicates ``[@attr='v']``/``[@attr]``/
   ``[contains(@attr,'v')]``/``[contains(text(),'v')]``/``[n]``/
@@ -306,16 +309,24 @@ def _match_pseudo(node: Node, pseudo: str) -> bool:
     p, n = _elem_position(node)
     if name == "nth-child":
         return _nth_match(arg, p)
+    if name == "nth-last-child":
+        return _nth_match(arg, n - p + 1)
     if name == "first-child":
         return p == 1
     if name == "last-child":
         return p == n
     if name == "only-child":
         return n == 1
-    if name in ("nth-of-type", "first-of-type", "last-of-type"):
+    if name == "empty":
+        # no element children and no non-whitespace text (whitespace-only
+        # runs are dropped at parse time already)
+        return not node.children and not node.text_parts
+    if name in ("nth-of-type", "nth-last-of-type", "first-of-type", "last-of-type"):
         tp, tn = _typed_position(node)
         if name == "nth-of-type":
             return _nth_match(arg, tp)
+        if name == "nth-last-of-type":
+            return _nth_match(arg, tn - tp + 1)
         return tp == 1 if name == "first-of-type" else tp == tn
     if name == "not":
         # CSS :not() over a compound selector; argument pseudos with
@@ -350,9 +361,18 @@ def _match_simple(node: Node, sel: str) -> bool:
                     return False
             else:
                 got = node.attrs.get(k)
-                want = v.strip("'\"")
+                raw = v.strip()
+                # case-insensitivity flag: [attr=v i] (CSS Selectors 4);
+                # unquoted values cannot contain spaces, so a trailing
+                # whitespace+i is unambiguous
+                ci = re.fullmatch(r"(.*?)\s+[iI]", raw, flags=re.S)
+                if ci:
+                    raw = ci.group(1)
+                want = raw.strip("'\"")
                 if got is None:
                     return False
+                if ci:
+                    got, want = got.lower(), want.lower()
                 if op == "=":
                     ok = got == want
                 elif op == "^=":

@@ -505,3 +505,34 @@ class TestSelectorList:
         one = parse_html("<body><h2>Title</h2></body>")
         assert [h.text() for h in css_select(one, "h2,")] == ["Title"]
         assert css_select(one, ",") == []
+
+
+class TestSelectorGrammarR4S2:
+    """Session-2 grammar growth: :nth-last-child / :nth-last-of-type /
+    :empty / the [attr=v i] case-insensitivity flag."""
+
+    def setup_method(self):
+        self.root = parse_html(
+            '<body><ul><li>a</li><li>b</li><li>c</li><li>d</li></ul>'
+            '<div Lang="EN-us"></div><p>text</p><span></span></body>')
+
+    def test_nth_last_child(self):
+        hits = css_select(self.root, "li:nth-last-child(2)")
+        assert [h.text() for h in hits] == ["c"]
+        odd = css_select(self.root, "li:nth-last-child(odd)")
+        assert [h.text() for h in odd] == ["b", "d"]
+
+    def test_nth_last_of_type(self):
+        assert [h.text() for h in
+                css_select(self.root, "li:nth-last-of-type(1)")] == ["d"]
+
+    def test_empty(self):
+        hits = css_select(self.root, ":empty")
+        assert {h.tag for h in hits} == {"div", "span"}
+        assert not css_select(self.root, "p:empty")
+
+    def test_attr_case_insensitive_flag(self):
+        assert not css_select(self.root, '[lang="en-US"]')
+        hits = css_select(self.root, '[lang="en-US" i]')
+        assert [h.tag for h in hits] == ["div"]
+        assert [h.tag for h in css_select(self.root, "[lang^=EN i]")] == ["div"]
