@@ -25,7 +25,8 @@ DOM (tree of tag/attrs/children) plus:
 * ``xpath_select`` — subset: ``//tag``, ``/a/b`` absolute chains,
   chained predicates ``[@attr='v']``/``[@attr]``/
   ``[contains(@attr,'v')]``/``[contains(text(),'v')]``/``[n]``/
-  ``[last()]``, trailing ``/@attr`` and ``/text()``.
+  ``[last()]``, trailing ``/@attr`` and ``/text()``, and union
+  expressions ``a | b``.
 * ``extract_with_schema`` — JsonCss/JsonXPath schema shape
   (baseSelector + fields[{name, selector, type: text|attribute|html}])
   applied per document; Spark operator = Arrow-batched pandas UDF
@@ -528,11 +529,36 @@ def xpath_select(root: Node, expr: str) -> list:
     [contains(text(),'v')] / [n] / [last()], plus trailing /@attr or
     /text(). Returns Nodes or strings (for @attr / text()).
 
+    Union expressions ``a | b`` evaluate each branch and concatenate
+    (Node hits deduped by identity and re-sorted to document order;
+    string hits keep branch order — documented subset semantics).
+
     Positional predicates rank within each context node's candidate
     list — exact XPath semantics on the child axis; on ``//`` this is
     the per-context-descendant ranking, i.e. ``(//div)[2]`` rather than
     lxml's per-parent ``//div[2]`` (documented subset deviation)."""
     expr = expr.strip()
+    # top-level union: '|' inside quoted predicate strings is shielded
+    shielded = re.sub(r"'[^']*'|\"[^\"]*\"",
+                      lambda m: m.group(0).replace("|", "\x05"), expr)
+    if "|" in shielded:
+        out: list = []
+        seen_ids: set[int] = set()
+        any_node = False
+        for part in shielded.split("|"):
+            for h in xpath_select(root, part.replace("\x05", "|").strip()):
+                if isinstance(h, Node):
+                    any_node = True
+                    if id(h) not in seen_ids:
+                        seen_ids.add(id(h))
+                        out.append(h)
+                else:
+                    out.append(h)
+        if any_node:
+            order = {id(n): i for i, n in enumerate(root.walk())}
+            out.sort(key=lambda n: order.get(id(n), 1 << 30)
+                     if isinstance(n, Node) else 1 << 30)
+        return out
     steps = re.findall(r"(/{1,2})([^/]+)", expr)
     ctx: list[Node] = [root]
     for i, (axis, step) in enumerate(steps):

@@ -536,3 +536,31 @@ class TestSelectorGrammarR4S2:
         hits = css_select(self.root, '[lang="en-US" i]')
         assert [h.tag for h in hits] == ["div"]
         assert [h.tag for h in css_select(self.root, "[lang^=EN i]")] == ["div"]
+
+
+class TestXpathUnion:
+    def setup_method(self):
+        self.root = parse_html(GRAMMAR_HTML)
+
+    def test_node_union_document_order(self):
+        hits = xpath_select(self.root, "//h2 | //p[@class='lead']")
+        assert [h.tag for h in hits] == ["h2", "p"]
+        # overlap dedupes
+        hits2 = xpath_select(self.root, "//p | //p[@class='lead']")
+        assert [h.text() for h in hits2] == [
+            "lead para", "second para", "third para"]
+
+    def test_attr_union_keeps_branch_order(self):
+        vals = xpath_select(self.root, "//a/@href | //div/@rel")
+        assert vals == [
+            "https://cdn.example.com/pkg.tar.gz",
+            "https://example.com/docs/page.html",
+            "/local/path",
+            "nofollow sponsored",
+        ]
+
+    def test_shielded_pipe_in_quotes(self):
+        # a literal '|' inside a predicate string must not split
+        root = parse_html('<body><a title="x|y">t</a></body>')
+        hits = xpath_select(root, "//a[contains(@title,'x|y')]")
+        assert [h.text() for h in hits] == ["t"]
