@@ -201,17 +201,25 @@ def canonicalize_py(url: str) -> str:
     return f"{scheme}://{host}{portpart}{path}{qpart}"
 
 
+# canonicalize lowercases schemes of shape [a-zA-Z][a-zA-Z0-9+.-]* —
+# the SURT splitter must accept the same charset (s3://, svn+ssh://…)
+_SURT_SCHEME = "[a-z][a-z0-9+.-]*"
+
+
 def surt_key_sql(canon_expr: str, dialect: str = "spark") -> str:
     """SQL twin of ``surt_key`` over an ALREADY-canonical URL."""
-    hostport = f"regexp_extract({canon_expr}, {_lit('^[a-z]+://([^/]+)', dialect)}, 1)"
+    hostport = f"regexp_extract({canon_expr}, {_lit('^' + _SURT_SCHEME + '://([^/]+)', dialect)}, 1)"
     host = f"regexp_replace({hostport}, {_lit(':[0-9]+$', dialect)}, '')"
     port = f"regexp_extract({hostport}, {_lit('(:[0-9]+)$', dialect)}, 1)"
-    rest = f"regexp_replace({canon_expr}, {_lit('^[a-z]+://[^/]*', dialect)}, '')"
+    rest = f"regexp_replace({canon_expr}, {_lit('^' + _SURT_SCHEME + '://[^/]*', dialect)}, '')"
     if dialect == "spark":
         rev = f"array_join(reverse(split({host}, '\\\\.')), ',')"
     else:
         rev = f"array_to_string(list_reverse(string_split({host}, '.')), ',')"
-    return f"concat({rev}, {port}, ')', {rest})"
+    surt = f"concat({rev}, {port}, ')', {rest})"
+    # non-absolute values (canonicalize's lower(trim) pass-through) keep
+    # their own text as the key instead of collapsing into one ')…' range
+    return f"(CASE WHEN {hostport} = '' THEN {canon_expr} ELSE {surt} END)"
 
 
 def surt_key(canon_url: Column | str) -> Column:
@@ -227,9 +235,10 @@ def surt_key(canon_url: Column | str) -> Column:
     and index lookups become partition-pruned range reads instead of
     full scans — the same reason CDX indexes sort this way."""
     c = F.col(canon_url) if isinstance(canon_url, str) else canon_url
-    hostport = F.regexp_extract(c, "^[a-z]+://([^/]+)", 1)
+    hostport = F.regexp_extract(c, f"^{_SURT_SCHEME}://([^/]+)", 1)
     host = F.regexp_replace(hostport, ":[0-9]+$", "")
     port = F.regexp_extract(hostport, "(:[0-9]+)$", 1)
-    rest = F.regexp_replace(c, "^[a-z]+://[^/]*", "")
+    rest = F.regexp_replace(c, f"^{_SURT_SCHEME}://[^/]*", "")
     rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
-    return F.concat(rev, port, F.lit(")"), rest)
+    return F.when(hostport == "", c).otherwise(
+        F.concat(rev, port, F.lit(")"), rest))

@@ -57,7 +57,8 @@ _MEDIA_TAGS = {"video", "audio", "embed"}
 
 
 class Node:
-    __slots__ = ("tag", "attrs", "children", "parent", "text_parts")
+    __slots__ = ("tag", "attrs", "children", "parent", "text_parts",
+                 "has_char_data")
 
     def __init__(self, tag: str, attrs: dict, parent: "Node | None"):
         self.tag = tag
@@ -65,6 +66,10 @@ class Node:
         self.children: list[Node] = []
         self.parent = parent
         self.text_parts: list[str] = []
+        # CSS :empty semantics: ANY character data (even whitespace)
+        # makes an element non-empty, though whitespace-only runs are
+        # dropped from text_parts at parse time
+        self.has_char_data = False
 
     def text(self) -> str:
         parts = list(self.text_parts)
@@ -105,6 +110,8 @@ class _TreeBuilder(HTMLParser):
             n = n.parent
 
     def handle_data(self, data):
+        if data:
+            self.cur.has_char_data = True
         if data.strip():
             self.cur.text_parts.append(data)
 
@@ -319,9 +326,9 @@ def _match_pseudo(node: Node, pseudo: str) -> bool:
     if name == "only-child":
         return n == 1
     if name == "empty":
-        # no element children and no non-whitespace text (whitespace-only
-        # runs are dropped at parse time already)
-        return not node.children and not node.text_parts
+        # CSS semantics (matching cssselect/browsers): any character
+        # data, INCLUDING whitespace-only runs, makes a node non-empty
+        return not node.children and not node.has_char_data
     if name in ("nth-of-type", "nth-last-of-type", "first-of-type", "last-of-type"):
         tp, tn = _typed_position(node)
         if name == "nth-of-type":
@@ -546,7 +553,10 @@ def xpath_select(root: Node, expr: str) -> list:
         seen_ids: set[int] = set()
         any_node = False
         for part in shielded.split("|"):
-            for h in xpath_select(root, part.replace("\x05", "|").strip()):
+            part = part.replace("\x05", "|").strip()
+            if not part:
+                continue  # stray '|' must not resolve to the document root
+            for h in xpath_select(root, part):
                 if isinstance(h, Node):
                     any_node = True
                     if id(h) not in seen_ids:

@@ -27,9 +27,11 @@ from pyspark.sql import DataFrame, functions as F
 from crawl4ai_spark.functions.urls import canonicalize
 
 # (?s): real sitemaps put newlines inside entry blocks; lazy match keeps
-# one entry per block. Identical RE2/Java-regex semantics (tested via
-# the DuckDB oracle twin of q_sitemap_ingest).
-_BLOCK_RX = "(?s)<{tag}>(.*?)</{tag}>"
+# one entry per block. One alternation pass extracts BOTH shapes (valid
+# documents never nest them, so the first closing tag of either kind
+# ends the block); no backreference, so the DuckDB (RE2) oracle twin
+# can mirror the per-block extraction exactly.
+_BLOCK_RX = r"(?s)<(?:url|sitemap)>.*?</(?:url|sitemap)>"
 _LOC_RX = r"(?s)<loc>\s*(.*?)\s*</loc>"
 _LASTMOD_RX = r"(?s)<lastmod>\s*(.*?)\s*</lastmod>"
 _PRIORITY_RX = r"(?s)<priority>\s*(.*?)\s*</priority>"
@@ -43,24 +45,32 @@ _XML_DECODE = [
     ("&lt;", "<"), ("&gt;", ">"), ("&quot;", '"'), ("&apos;", "'"),
     (r"&#0*60;|&#[xX]0*3[cC];", "<"), (r"&#0*62;|&#[xX]0*3[eE];", ">"),
     (r"&#0*34;|&#[xX]0*22;", '"'), (r"&#0*39;|&#[xX]0*27;", "'"),
-    ("&amp;", "&"), (r"&#0*38;|&#[xX]0*26;", "&"),
+    # every '&' form in ONE pass: sequential passes would double-decode
+    # '&amp;#38;' (one XML decode yields the literal '&#38;', not '&')
+    (r"&amp;|&#0*38;|&#[xX]0*26;", "&"),
 ]
 
 
 def _xml_unescape(c: F.Column) -> F.Column:
     for pat, ch in _XML_DECODE:
-        if pat.startswith("&#") or "|" in pat:
+        if "&#" in pat or "|" in pat:
             c = F.regexp_replace(c, pat, ch)
         else:
             c = F.replace(c, F.lit(pat), F.lit(ch))
     return c
 
 
-def _entries(df: DataFrame, host_col: str, xml_col: str, tag: str,
-             kind: str) -> DataFrame:
-    blocks = F.regexp_extract_all(
-        F.col(xml_col), F.lit(_BLOCK_RX.format(tag=tag)), F.lit(1)
-    )
+def parse_sitemaps(sitemaps: DataFrame, host_col: str = "host",
+                   xml_col: str = "xml") -> DataFrame:
+    """Parse a (host, xml) table of sitemap documents.
+
+    Returns (src_host, kind: 'url'|'sitemap', pos: int block order
+    within the file, url: canonical, lastmod: string|null,
+    priority: double|null). Blocks without a ``<loc>`` are dropped
+    (protocol requires one). ONE regexp pass + one posexplode_outer per
+    document — a 50 MB / 50k-entry sitemap is scanned once, with the
+    block's leading tag deciding its kind."""
+    blocks = F.regexp_extract_all(F.col(xml_col), F.lit(_BLOCK_RX), F.lit(0))
     b = F.col("block")
     loc = F.nullif(_xml_unescape(F.regexp_extract(b, _LOC_RX, 1)), F.lit(""))
     lastmod = F.nullif(F.regexp_extract(b, _LASTMOD_RX, 1), F.lit(""))
@@ -70,14 +80,15 @@ def _entries(df: DataFrame, host_col: str, xml_col: str, tag: str,
     priority = F.nullif(
         F.regexp_extract(b, _PRIORITY_RX, 1), F.lit("")
     ).try_cast("double")
+    kind = F.when(b.startswith("<url>"), F.lit("url")).otherwise(F.lit("sitemap"))
     return (
-        df.select(
+        sitemaps.select(
             F.col(host_col).alias("src_host"),
             F.posexplode_outer(blocks).alias("pos", "block"),
         )
         .select(
             "src_host",
-            F.lit(kind).alias("kind"),
+            kind.alias("kind"),
             F.col("pos").cast("int").alias("pos"),
             canonicalize(loc).alias("url"),
             lastmod.alias("lastmod"),
@@ -85,19 +96,6 @@ def _entries(df: DataFrame, host_col: str, xml_col: str, tag: str,
         )
         .where(F.col("url").isNotNull())
     )
-
-
-def parse_sitemaps(sitemaps: DataFrame, host_col: str = "host",
-                   xml_col: str = "xml") -> DataFrame:
-    """Parse a (host, xml) table of sitemap documents.
-
-    Returns (src_host, kind: 'url'|'sitemap', pos: int order within the
-    file, url: canonical, lastmod: string|null, priority: double|null).
-    Blocks without a ``<loc>`` are dropped (protocol requires one).
-    """
-    leaves = _entries(sitemaps, host_col, xml_col, "url", "url")
-    hubs = _entries(sitemaps, host_col, xml_col, "sitemap", "sitemap")
-    return leaves.unionByName(hubs)
 
 
 def sitemap_seeds(parsed: DataFrame, seen: DataFrame | None = None) -> DataFrame:

@@ -564,3 +564,15 @@ class TestXpathUnion:
         root = parse_html('<body><a title="x|y">t</a></body>')
         hits = xpath_select(root, "//a[contains(@title,'x|y')]")
         assert [h.text() for h in hits] == ["t"]
+
+    def test_empty_whitespace_is_a_child(self):
+        # CSS/cssselect: '<div> </div>' is NOT :empty
+        r = parse_html("<body><div> </div><div></div></body>")
+        hits = css_select(r, "div:empty")
+        assert len(hits) == 1
+
+    def test_xpath_union_stray_pipe(self):
+        # a trailing '|' must not resolve to the [document] root
+        r = parse_html("<body><h2>T</h2></body>")
+        assert [h.tag for h in xpath_select(r, "//h2 | ")] == ["h2"]
+        assert xpath_select(r, " | ") == []

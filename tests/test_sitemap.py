@@ -198,3 +198,17 @@ def test_stale_uses_last_fetch_generation(spark):
     got = {r.url: r for r in stale_from_sitemap(sm, fetch_log).collect()}
     assert set(got) == {"https://e.com/b"}
     assert str(got["https://e.com/b"].fetched_date) == "2026-01-01"
+
+
+def test_mixed_amp_escape_single_pass(spark):
+    """'&amp;#38;' is ONE XML decode away from the literal '&#38;' —
+    sequential amp passes would double-decode it to '&'. (Downstream
+    URL canonicalization then legitimately treats the literal '#' as a
+    fragment start; the decode layer itself must not over-decode.)"""
+    from crawl4ai_spark.operators.sitemap import _xml_unescape
+
+    df = spark.createDataFrame(
+        [("a&amp;#38;b",), ("x&#38;y",), ("p&amp;q",), ("&amp;lt;",)],
+        ["s"])
+    got = [r.d for r in df.select(_xml_unescape(F.col("s")).alias("d")).collect()]
+    assert got == ["a&#38;b", "x&y", "p&q", "&lt;"]

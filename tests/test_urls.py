@@ -203,3 +203,31 @@ def test_surt_key_spark_and_duckdb_agree(spark):
     com_example = [s for s in surts if s.startswith("com,example")]
     lo, hi = surts.index(com_example[0]), surts.index(com_example[-1])
     assert hi - lo + 1 == len(com_example)
+
+
+def test_surt_key_nonstandard_schemes_and_relative():
+    """Schemes with digits/plus/dot keep real SURT keys; non-absolute
+    values pass through as their own key (no ')…' collapse). Both
+    engines agree."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.functions.urls import surt_key, surt_key_sql
+    cases = [
+        ("s3://bucket.name/key", "name,bucket)/key"),
+        ("svn+ssh://host.example.com/repo", "com,example,host)/repo"),
+        ("mailto:someone", "mailto:someone"),
+        ("/relative/path", "/relative/path"),
+    ]
+    import tests.conftest  # session fixture owns the SparkSession
+    from crawl4ai_spark.session import get_spark
+    spark = get_spark()
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["url"])
+    got = {r.url: r.s for r in df.select(
+        "url", surt_key(F.col("url")).alias("s")).collect()}
+    con = duckdb.connect()
+    for url, want in cases:
+        assert got[url] == want, url
+        (dk,) = con.execute(
+            "SELECT " + surt_key_sql(f"'{url}'", "duckdb")).fetchone()
+        assert dk == want, url
