@@ -241,3 +241,50 @@ class TestWarcSink:
         assert len(records) == 3
         uris = {re.search(r"WARC-Target-URI: (\S+)", r).group(1) for r in records}
         assert uris == {u for u, _ in rows}
+
+    def test_parse_warc_length_respecting_roundtrip(self, spark, tmp_path):
+        """S6b read path: parse(export(X)) == X even when payloads embed
+        a full decoy record header and blank lines — a regex/split
+        reader mis-frames these; the Content-Length walk must not."""
+        import glob
+
+        from crawl4ai_spark.operators.sinks import parse_warc, write_warc
+
+        decoy = ("WARC/1.0\r\nWARC-Type: resource\r\nWARC-Target-URI: "
+                 "https://evil.example/fake\r\nContent-Length: 0\r\n\r\n\r\n\r\n")
+        rows = [
+            ("https://a.com/1", "plain"),
+            ("https://a.com/2", f"before {decoy} after"),       # embedded record
+            ("https://a.com/3", "para one\r\n\r\npara two"),    # blank line in body
+            ("https://a.com/4", ""),
+            ("https://a.com/5", "héllo wörld ünïcode"),         # multi-byte octets
+        ]
+        df = spark.createDataFrame(rows, "url string, raw_md string")
+        write_warc(df.repartition(1), str(tmp_path / "warc"))
+        parts = sorted(glob.glob(f"{tmp_path}/warc/part-*"))
+        stream = "".join(open(p, newline="").read() for p in parts)
+        streams = spark.createDataFrame([("s0", stream)], "stream_id string, stream string")
+
+        recs = parse_warc(streams).collect()
+        assert len(recs) == len(rows)  # decoy did NOT become a 6th record
+        got = {r.url: r for r in recs}
+        assert set(got) == {u for u, _ in rows}
+        for url, payload in rows:
+            r = got[url]
+            assert r.payload == payload
+            assert r.content_length == len(payload.encode())
+            assert r.warc_type == "resource"
+            assert r.warc_date == "2026-01-01T00:00:00Z"
+        # rec_idx preserves stream order; stream_id passes through
+        assert [r.stream_id for r in recs] == ["s0"] * len(rows)
+        assert sorted(r.rec_idx for r in recs) == list(range(len(rows)))
+
+    def test_parse_warc_rejects_misframed_stream(self, spark):
+        from crawl4ai_spark.operators.sinks import parse_warc
+
+        bad = spark.createDataFrame(
+            [("s0", "HTTP/1.1 200 OK\r\n\r\nnot a warc")],
+            "stream_id string, stream string")
+        import pytest as _pytest
+        with _pytest.raises(Exception, match="bad record start"):
+            parse_warc(bad).collect()

@@ -28,7 +28,7 @@ sys.path.insert(0, ".")
 UDF_QUERIES = {
     "chunk_fixed", "chunk_overlapping", "chunk_sentence", "chunk_semantic",
     "media_meta", "media_frames", "media_features_hist", "media_phash_dedup",
-    "media_caption_score", "interleave_assemble",
+    "media_caption_score", "interleave_assemble", "warc_parse",
     "stream_tumbling", "stream_sessionize", "stream_dedup_urls", "stream_sliding",
 }
 # queries whose FINAL step is a global rank over an already-reduced set
