@@ -34,7 +34,12 @@ from ..functions.scoring import (
     link_score,
     link_score_sql,
 )
-from ..functions.urls import canonicalize, canonicalize_sql, surt_key_sql
+from ..functions.urls import (
+    canonicalize,
+    canonicalize_sql,
+    registrable_domain_sql,
+    surt_key_sql,
+)
 from .registry import query, table as _t
 
 
@@ -1266,4 +1271,180 @@ def q_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         url.alias("url"),
         H.h60(payload).alias("digest"),
         F.octet_length(payload).cast("long").alias("length"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# S6b read path: WARC parse — the ROUND TRIP of warc_export. Records
+# are rendered (warc_format), concatenated into per-host streams in
+# doc_id order (exactly the byte stream write_warc parts hold), then
+# parse_warc recovers every record length-respectingly (Content-Length
+# octets, like warcio — not a regex split). The oracle is the ground
+# truth of what the parse MUST recover, derived straight from
+# documents: round-trip identity, not a SQL re-implementation of the
+# parser. Scale: one stream row per part file (production rotates at
+# ~1 GiB → thousands of parts at 100 TB); stream bytes stay map-side.
+# --------------------------------------------------------------------------- #
+@query(
+    "warc_parse",
+    f"""
+    WITH pages AS (
+        SELECT doc_id::BIGINT AS i, {_graph_url_sql('doc_id')} AS url,
+               coalesce(text, '') AS payload
+        FROM documents
+    )
+    SELECT 'host' || (i % {N_HOSTS})::VARCHAR AS stream_id,
+           (row_number() OVER (PARTITION BY i % {N_HOSTS} ORDER BY i) - 1)::INT
+               AS rec_idx,
+           'resource' AS warc_type,
+           '<urn:h60:' || {H.h60_sql('url')}::VARCHAR || '>' AS record_id,
+           '2026-01-01T00:00:00Z' AS warc_date,
+           url,
+           'text/plain' AS content_type,
+           strlen(payload)::BIGINT AS content_length,
+           {H.h60_sql('payload')}::BIGINT AS digest
+    FROM pages
+    """,
+)
+def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sinks import parse_warc, warc_format
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    pages = d.select(i.alias("i"), _graph_url(i).alias("url"), F.col("text"))
+    recs = warc_format(pages, url_col="url", payload_col="text")
+    streams = (
+        recs.select(F.pmod(F.col("i"), F.lit(N_HOSTS)).alias("h"), "i", "warc")
+        .groupBy("h")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("i"), F.col("warc")))),
+                    lambda s: s["warc"],
+                ),
+                "",
+            ).alias("stream")
+        )
+        .select(
+            F.concat(F.lit("host"), F.col("h").cast("string")).alias("stream_id"),
+            "stream",
+        )
+    )
+    return parse_warc(streams).select(
+        "stream_id",
+        F.col("rec_idx").cast("int").alias("rec_idx"),
+        "warc_type",
+        "record_id",
+        "warc_date",
+        "url",
+        "content_type",
+        "content_length",
+        H.h60(F.col("payload")).alias("digest"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# F8/F10 adjunct: registrable-domain (public-suffix eTLD+1) extraction —
+# the grouping key politeness budgets, crawl-trap stats, and blocklists
+# want: subdomain-sharded sites fold to one registrant, multi-tenant
+# suffixes (github.io) do NOT. Host shapes cover www/deep subdomains,
+# 2-label public suffixes, private-registry suffixes, IP literals, and
+# single-label hosts.
+# --------------------------------------------------------------------------- #
+@query(
+    "registrable_domain",
+    f"""
+    WITH hosts AS (
+        SELECT doc_id::BIGINT AS doc_id,
+               CASE doc_id % 6
+                 WHEN 0 THEN 'www.host' || (doc_id % 7)::VARCHAR || '.example.com'
+                 WHEN 1 THEN 'a.b.host' || (doc_id % 7)::VARCHAR || '.example.co.uk'
+                 WHEN 2 THEN 'user' || (doc_id % 7)::VARCHAR || '.github.io'
+                 WHEN 3 THEN 'blog.site' || (doc_id % 7)::VARCHAR || '.com.au'
+                 WHEN 4 THEN '10.0.' || (doc_id % 7)::VARCHAR || '.' || (doc_id % 250)::VARCHAR
+                 ELSE 'localhost'
+               END AS host
+        FROM documents
+    )
+    SELECT doc_id, host,
+           {{RD}} AS domain
+    FROM hosts
+    """.replace("{RD}", __import__('crawl4ai_spark.functions.urls', fromlist=['x']).registrable_domain_sql('host', 'duckdb')),
+)
+def q_registrable_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.urls import registrable_domain
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    h = F.pmod(i, F.lit(N_HOSTS)).cast("string")
+    host = (
+        F.when(F.pmod(i, F.lit(6)) == 0, F.concat(F.lit("www.host"), h, F.lit(".example.com")))
+        .when(F.pmod(i, F.lit(6)) == 1, F.concat(F.lit("a.b.host"), h, F.lit(".example.co.uk")))
+        .when(F.pmod(i, F.lit(6)) == 2, F.concat(F.lit("user"), h, F.lit(".github.io")))
+        .when(F.pmod(i, F.lit(6)) == 3, F.concat(F.lit("blog.site"), h, F.lit(".com.au")))
+        .when(F.pmod(i, F.lit(6)) == 4,
+              F.concat(F.lit("10.0."), h, F.lit("."), F.pmod(i, F.lit(250)).cast("string")))
+        .otherwise(F.lit("localhost"))
+    )
+    hosts = d.select(i.alias("doc_id"), host.alias("host"))
+    return hosts.select(
+        "doc_id", "host", registrable_domain(F.col("host")).alias("domain"))
+
+
+# --------------------------------------------------------------------------- #
+# S6d: WARC revisit records — ISO 28500 storage dedup across crawl
+# generations: a later capture whose payload digest equals an earlier
+# capture of the same URL is stored as a slim 'revisit' record
+# referencing the original capture's timestamp instead of re-storing
+# the payload (the Common-Crawl/IA digest-dedup policy; composes
+# cdx_index's digest accounting with snapshot_diff's two-generation
+# model: the doc_id%10<3 slice changes content between generations, so
+# ~70% of generation-B captures dedup away). Scale: one bounded window
+# per (url, digest) — group size = number of generations, never corpus-
+# sized; payload bytes are represented by the digest only.
+# --------------------------------------------------------------------------- #
+@query(
+    "warc_revisit",
+    f"""
+    WITH caps AS (
+        SELECT {_graph_url_sql('doc_id')} AS url, '20260101000000' AS ts,
+               {H.h60_sql("coalesce(text, '')")}::BIGINT AS digest
+        FROM documents
+        UNION ALL
+        SELECT {_graph_url_sql('doc_id')} AS url, '20260201000000' AS ts,
+               {H.h60_sql("(CASE WHEN doc_id % 10 < 3 THEN coalesce(text, '') || '#v2' "
+                          "ELSE coalesce(text, '') END)")}::BIGINT AS digest
+        FROM documents
+    ),
+    marked AS (
+        SELECT url, ts, digest,
+               min(ts) OVER (PARTITION BY url, digest) AS first_ts
+        FROM caps
+    )
+    SELECT url, ts, digest,
+           (CASE WHEN ts > first_ts THEN 'revisit' ELSE 'resource' END) AS warc_type,
+           (CASE WHEN ts > first_ts THEN first_ts END) AS ref_ts
+    FROM marked
+    """,
+)
+def q_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    payload = F.coalesce(F.col("text"), F.lit(""))
+    a = d.select(
+        _graph_url(i).alias("url"), F.lit("20260101000000").alias("ts"),
+        H.h60(payload).alias("digest"))
+    b = d.select(
+        _graph_url(i).alias("url"), F.lit("20260201000000").alias("ts"),
+        H.h60(
+            F.when(F.pmod(i, F.lit(10)) < 3, F.concat(payload, F.lit("#v2")))
+            .otherwise(payload)).alias("digest"))
+    caps = a.unionByName(b)
+    w = Window.partitionBy("url", "digest")
+    marked = caps.withColumn("first_ts", F.min("ts").over(w))
+    is_rv = F.col("ts") > F.col("first_ts")
+    return marked.select(
+        "url", "ts", "digest",
+        F.when(is_rv, F.lit("revisit")).otherwise(F.lit("resource")).alias("warc_type"),
+        F.when(is_rv, F.col("first_ts")).alias("ref_ts"),
     )

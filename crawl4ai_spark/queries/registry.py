@@ -109,6 +109,15 @@ _TAIL = [
     # new this round, deliberately local-tier (the driver head keeps the
     # engine core; tools/check_oracle.py certifies it every round)
     "cdx_index",
+    # rotated for warc_parse (r03-certified; its banded twin
+    # dedup_minhash_lsh stays in the head)
+    "dedup_simhash",
+    # new this round, deliberately local-tier (driver head stays at the
+    # 50-entry budget; tools/check_oracle.py certifies these every round)
+    "boilerplate_strip",
+    "registrable_domain",
+    "warc_revisit",
+    "dedup_intradoc",
 ]
 
 
