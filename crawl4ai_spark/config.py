@@ -48,6 +48,16 @@ class CrawlConfig:
     # round_period_s / crawl_delay (see CrawlEngine.__init__). None =
     # never derive (explicit budgets or unbounded).
     round_period_s: float | None = None
+    # Politeness grouping key: "host" (default — one budget per hostname)
+    # or "domain" (PSL registrable domain, functions.urls.registrable_
+    # domain): subdomain-sharded sites (img1…img9.example.com) share ONE
+    # budget instead of multiplying it, multi-tenant suffixes
+    # (*.github.io) correctly do NOT fold. In domain mode the
+    # host_budgets table's ``host`` column carries DOMAIN values;
+    # robots-derived budgets (round_period_s) roll up per domain with
+    # min(budget) — the most conservative member host paces the whole
+    # registrant.
+    politeness_key: str = "host"
     politeness_salts: int = 1         # >1: split hot-host budget across salts (scale mode)
     # Adaptive salting (skew handling): when set, a host's budget is
     # split across ceil(budget / salt_min_grants) salt queues, capped at

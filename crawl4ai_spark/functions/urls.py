@@ -242,3 +242,86 @@ def surt_key(canon_url: Column | str) -> Column:
     rev = F.array_join(F.reverse(F.split(host, r"\.")), ",")
     return F.when(hostport == "", c).otherwise(
         F.concat(rev, port, F.lit(")"), rest))
+
+
+# --------------------------------------------------------------------------- #
+# Registrable domain (public-suffix rule)
+# --------------------------------------------------------------------------- #
+# Representative multi-label public suffixes (the shape of the Mozilla
+# Public Suffix List; a production deployment broadcasts the full PSL —
+# same expressions, longer IN list). Rule: if the host's last TWO labels
+# form a public suffix, the registrable domain is the last THREE labels;
+# otherwise the last two. Single-label hosts and IP literals are their
+# own key.
+PUBLIC_SUFFIXES_2 = [
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk",
+    "com.au", "net.au", "org.au", "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "co.in", "co.kr", "co.za",
+    "com.ar", "com.tr", "co.nz", "web.id",
+    # private-registry suffixes the PSL also carries: every user site is
+    # an independent registrant, so politeness must NOT group them
+    "github.io", "gitlab.io", "blogspot.com", "herokuapp.com",
+]
+
+_IP_RX = r"^[0-9]{1,3}(\.[0-9]{1,3}){3}$"
+
+
+def registrable_domain(host: Column | str) -> Column:
+    """Registrable domain (PSL eTLD+1) of an already-lowercased host:
+    ``a.b.news.example.co.uk`` → ``example.co.uk``; ``x.github.io`` →
+    ``x.github.io`` stays its own registrant. Why it exists: per-host
+    politeness under-throttles a site that shards itself across
+    subdomains (img1…img9.example.com are ONE origin server farm), and
+    over-throttles multi-tenant suffixes (every *.github.io is a
+    DIFFERENT owner) — budgets, crawl-trap stats, and blocklists group
+    by THIS key. Pure column expressions (whole-stage codegen)."""
+    h = F.col(host) if isinstance(host, str) else host
+    labels = F.split(h, r"\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.get(labels, n - 2), F.get(labels, n - 1))
+    last3 = F.concat_ws(
+        ".", F.get(labels, n - 3), F.get(labels, n - 2), F.get(labels, n - 1))
+    is_ps2 = last2.isin(PUBLIC_SUFFIXES_2)
+    return (
+        F.when(h.rlike(_IP_RX) | (n <= 1), h)
+        .when(is_ps2 & (n >= 3), last3)
+        .when(is_ps2, h)          # host IS a public suffix: its own key
+        .otherwise(last2)
+    )
+
+
+def registrable_domain_sql(host_expr: str, dialect: str = "spark") -> str:
+    """SQL twin of ``registrable_domain`` (DuckDB lists are 1-based)."""
+    in_list = ", ".join(f"'{s}'" for s in PUBLIC_SUFFIXES_2)
+    if dialect == "spark":
+        labels, n = f"split({host_expr}, '\\\\.')", f"size(split({host_expr}, '\\\\.'))"
+        get = lambda i: f"get({labels}, {n} - {i})"  # noqa: E731  0-based
+        ip = f"{host_expr} rlike '{_IP_RX}'"
+    else:
+        labels, n = f"string_split({host_expr}, '.')", f"len(string_split({host_expr}, '.'))"
+        get = lambda i: f"{labels}[{n} - {i} + 1]"  # noqa: E731  1-based
+        ip = f"regexp_matches({host_expr}, '{_IP_RX}')"
+    last2 = f"concat_ws('.', {get(2)}, {get(1)})"
+    last3 = f"concat_ws('.', {get(3)}, {get(2)}, {get(1)})"
+    return (
+        f"(CASE WHEN {ip} OR {n} <= 1 THEN {host_expr} "
+        f"WHEN {last2} IN ({in_list}) AND {n} >= 3 THEN {last3} "
+        f"WHEN {last2} IN ({in_list}) THEN {host_expr} "
+        f"ELSE {last2} END)"
+    )
+
+
+def registrable_domain_py(host: str) -> str:
+    """Pure-Python mirror of ``registrable_domain`` for the sequential
+    crawl oracle (tests assert Spark == DuckDB == this)."""
+    import re
+
+    if re.match(_IP_RX, host):
+        return host
+    labels = host.split(".")
+    if len(labels) <= 1:
+        return host
+    last2 = ".".join(labels[-2:])
+    if last2 in PUBLIC_SUFFIXES_2:
+        return ".".join(labels[-3:]) if len(labels) >= 3 else host
+    return last2

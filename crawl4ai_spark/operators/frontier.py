@@ -130,6 +130,15 @@ class CrawlEngine:
             self.host_budgets = budgets_from_crawl_delay(
                 robots, round_period_s=cfg.round_period_s
             )
+            if cfg.politeness_key == "domain":
+                # roll host-level pacing up to the registrable domain:
+                # min(budget) — the most conservative member host paces
+                # the whole registrant (shared origin infrastructure)
+                from ..functions.urls import registrable_domain
+
+                self.host_budgets = self.host_budgets.groupBy(
+                    registrable_domain(F.col("host")).alias("host")
+                ).agg(F.min("budget").alias("budget"))
         self.redirects = redirects
         self.max_redirect_hops = max_redirect_hops
         # (host, template) classes to never enqueue — the crawl_traps
@@ -258,6 +267,15 @@ class CrawlEngine:
         if self.cfg.politeness and self.host_budgets is not None:
             salts = max(1, self.cfg.politeness_salts)
             mg = self.cfg.salt_min_grants
+            # politeness grouping key: the host column, or (domain mode)
+            # the PSL registrable domain computed over it — budgets,
+            # debits, and the rank windows all group on this key
+            hk = "host"
+            if self.cfg.politeness_key == "domain":
+                from ..functions.urls import registrable_domain
+
+                hk = "_pk"
+                cand = cand.withColumn(hk, registrable_domain(F.col("host")))
             if retry_debits is not None:
                 debit = F.coalesce(F.col("_debit"), F.lit(0)).cast("long")
             else:
@@ -266,7 +284,7 @@ class CrawlEngine:
             def _join_debits(df: DataFrame) -> DataFrame:
                 if retry_debits is None:
                     return df
-                return df.join(F.broadcast(retry_debits), "host", "left")
+                return df.join(F.broadcast(retry_debits), hk, "left")
 
             if mg:
                 # adaptive salting: queues scale with the host's budget —
@@ -278,14 +296,15 @@ class CrawlEngine:
                 # the queue id via a second pmod, so the mapping is a pure
                 # function of (url, budget) — the python oracle mirrors it.
                 budgets = F.broadcast(self.host_budgets.select(
-                    "host", F.col("budget").cast("long").alias("_b")))
-                w = Window.partitionBy("host", "_q").orderBy(*pri)
+                    F.col("host").alias(hk),
+                    F.col("budget").cast("long").alias("_b")))
+                w = Window.partitionBy(hk, "_q").orderBy(*pri)
                 # _ns (queue count) stays a pure function of (url, budget)
                 # — the python oracle mirrors it — only the per-queue
                 # GRANT shrinks by the debit. debit == 0 reduces exactly
                 # to the undebited formula (greatest(1, ceil(_b/_ns))).
                 cand = (
-                    _join_debits(cand.join(budgets, "host", "left"))
+                    _join_debits(cand.join(budgets, hk, "left"))
                     .withColumn("_b", F.coalesce("_b", F.lit(1_000_000_000)))
                     .withColumn("_ns", F.least(
                         F.lit(salts),
@@ -300,14 +319,16 @@ class CrawlEngine:
                     .withColumn("_hr", F.row_number().over(w))
                     .where(F.col("_hr") <= F.col("_budget"))
                     .drop("_hr", "_budget", "_b", "_ns", "_q", *(
+                        [hk] if hk != "host" else []), *(
                         ["_debit"] if retry_debits is not None else []))
                 )
             else:
                 budgets = F.broadcast(self.host_budgets.select(
-                    "host", F.col("budget").cast("long").alias("_b")))
-                w = Window.partitionBy("host", "host_salt").orderBy(*pri)
+                    F.col("host").alias(hk),
+                    F.col("budget").cast("long").alias("_b")))
+                w = Window.partitionBy(hk, "host_salt").orderBy(*pri)
                 cand = (
-                    _join_debits(cand.join(budgets, "host", "left"))
+                    _join_debits(cand.join(budgets, hk, "left"))
                     .withColumn("_b", F.coalesce("_b", F.lit(1_000_000_000)))
                     .withColumn("_budget", F.when(
                         debit >= F.col("_b"), F.lit(0)
@@ -317,6 +338,7 @@ class CrawlEngine:
                     .withColumn("_hr", F.row_number().over(w))
                     .where(F.col("_hr") <= F.col("_budget"))
                     .drop("_hr", "_budget", "_b", *(
+                        [hk] if hk != "host" else []), *(
                         ["_debit"] if retry_debits is not None else []))
                 )
         if limit is not None:
@@ -785,8 +807,15 @@ class CrawlEngine:
                         # _select_batch (ADVICE r3: retries must not ride
                         # on top of the budget). Snapshot is coalesce(1)
                         # and tiny — the agg broadcasts.
-                        due_debits = due.groupBy("host").agg(
-                            F.count("*").cast("long").alias("_debit"))
+                        if cfg.politeness_key == "domain":
+                            from ..functions.urls import registrable_domain
+
+                            due_debits = due.groupBy(
+                                registrable_domain(F.col("host")).alias("_pk")
+                            ).agg(F.count("*").cast("long").alias("_debit"))
+                        else:
+                            due_debits = due.groupBy("host").agg(
+                                F.count("*").cast("long").alias("_debit"))
             if sweep:
                 # delta-only selection: last round's appended links
                 delta = self._read_delta(self.frontier_tbl)

@@ -83,14 +83,22 @@ def run_oracle(
 
         cand = sorted(frontier, key=prio_key)
         if cfg.politeness and budgets is not None:
+            from .functions.urls import registrable_domain_py
             from .functions.xxhash import xxhash64_str
 
             salts = max(1, cfg.politeness_salts)
             mg = getattr(cfg, "salt_min_grants", None)
+            # politeness grouping key mirror: host, or (domain mode) the
+            # PSL registrable domain — budgets dict is keyed the same way
+            if getattr(cfg, "politeness_key", "host") == "domain":
+                pol_key = registrable_domain_py
+            else:
+                pol_key = lambda h: h  # noqa: E731
             by_key: dict[tuple[str, int], int] = {}
             kept = []
             for n in cand:
-                b = budgets.get(n["host"], 1_000_000_000)
+                pk = pol_key(n["host"])
+                b = budgets.get(pk, 1_000_000_000)
                 salt = xxhash64_str(n["url"]) % salts
                 if mg:
                     # adaptive salting — mirrors the engine exactly:
@@ -98,10 +106,10 @@ def run_oracle(
                     # the stored salt folded by a second modulus; per-queue
                     # budget = ceil(budget/ns)
                     ns = min(salts, max(1, math.ceil(b / mg)))
-                    key = (n["host"], salt % ns)
+                    key = (pk, salt % ns)
                     qb = max(1, math.ceil(b / ns))
                 else:
-                    key = (n["host"], salt)
+                    key = (pk, salt)
                     qb = max(1, math.ceil(b / salts))
                 c = by_key.get(key, 0)
                 if c < qb:

@@ -757,3 +757,40 @@ def test_politeness_auto_derives_budgets_from_robots_delay(spark, corpus_dir, tm
     b = {r.host: r.budget for r in both.host_budgets.collect()}
     assert b == {r.host: r.budget
                  for r in budgets_from_crawl_delay(robots, 4.0).collect()}
+
+
+def test_politeness_domain_key(spark, corpus_dir, tmp_path):
+    """politeness_key='domain': every fixture host folds to the one
+    registrable domain example.com, so a single domain budget caps the
+    WHOLE crawl's per-round dispatch — and the engine still reproduces
+    the sequential oracle exactly with the same domain-keyed budgets."""
+    from crawl4ai_spark.functions.urls import registrable_domain_py, url_host_py
+
+    docs, robots, _, pydocs, pyrobots, _ = _load(spark, corpus_dir)
+    b = 5
+    cfg = CrawlConfig(seeds=get_seeds(spark, corpus_dir), strategy="bfs",
+                      max_depth=3, max_pages=40, politeness=True,
+                      politeness_key="domain")
+    budgets = spark.createDataFrame([("example.com", b)], "host string, budget int")
+    eng = CrawlEngine(spark, docs, cfg, str(tmp_path / "domkey"),
+                      robots=robots, host_budgets=budgets)
+    eng.run()
+    got = [(r.rank, r.url, r.depth, r.status, r.title)
+           for r in eng.pages().orderBy("rank").collect()]
+    o = run_oracle(pydocs, cfg, robots=pyrobots, budgets={"example.com": b})
+    want = [(p["rank"], p["url"], p["depth"], p["status"], p["title"])
+            for p in o.pages]
+    assert got == want
+    assert {(r.url, r.state) for r in eng.url_seen().collect()} == set(o.seen.items())
+    # the cap binds globally: no round dispatches more than the domain budget
+    rounds: dict[int, int] = {}
+    for r in eng.pages().collect():
+        assert registrable_domain_py(url_host_py(r.url)) == "example.com"
+        rounds[r.fetch_round] = rounds.get(r.fetch_round, 0) + 1
+    assert rounds and max(rounds.values()) <= b
+    # the fold is restrictive: with every host sharing one budget the
+    # crawl needs at least ceil(total/b) rounds (per-host budgeting
+    # would pack a multiple of b per round across the ~7 hosts)
+    total = sum(rounds.values())
+    assert total > b  # multiple rounds actually exercised the cap
+    assert len(rounds) >= -(-total // b)

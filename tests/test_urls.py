@@ -231,3 +231,36 @@ def test_surt_key_nonstandard_schemes_and_relative():
         (dk,) = con.execute(
             "SELECT " + surt_key_sql(f"'{url}'", "duckdb")).fetchone()
         assert dk == want, url
+
+
+def test_registrable_domain_psl_rules(spark):
+    """PSL eTLD+1: 2-label public suffixes take three labels, private
+    registry suffixes stay per-tenant, IPs and single labels are their
+    own key — Spark and DuckDB twins agree on every case."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.functions.urls import (
+        registrable_domain, registrable_domain_sql)
+
+    cases = [
+        ("www.example.com", "example.com"),
+        ("img3.cdn.example.com", "example.com"),
+        ("a.b.news.example.co.uk", "example.co.uk"),
+        ("example.co.uk", "example.co.uk"),
+        ("co.uk", "co.uk"),                      # host IS a public suffix
+        ("alice.github.io", "alice.github.io"),  # per-tenant registrant
+        ("deep.sub.alice.github.io", "alice.github.io"),
+        ("shop.site.com.au", "site.com.au"),
+        ("192.168.10.250", "192.168.10.250"),
+        ("localhost", "localhost"),
+    ]
+    df = spark.createDataFrame([(h,) for h, _ in cases], ["host"])
+    got = {r.host: r.d for r in df.select(
+        "host", registrable_domain(F.col("host")).alias("d")).collect()}
+    con = duckdb.connect()
+    for host, want in cases:
+        assert got[host] == want, host
+        (dk,) = con.execute(
+            "SELECT " + registrable_domain_sql(f"'{host}'", "duckdb")).fetchone()
+        assert dk == want, host
