@@ -1156,3 +1156,206 @@ def q_perplexity_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("ppl_q") <= F.col("middle_max"), F.lit("middle"))
         .otherwise(F.lit("tail")).alias("bucket"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# boilerplate_strip — per-site template-line removal (the cleaning step
+# between raw extraction and quality gating: nav bars, footers, cookie
+# banners repeat on every page of a host; body prose does not). A line
+# is template iff it appears on >= BP_MIN pages of the SAME host and on
+# >= BP_RATIO_PCT% of them — the host-frequency rule CCNet/RefinedWeb
+# style pipelines apply before doc-level filters. Distinct from
+# dedup_lines (corpus-global, any 2 docs): the denominator here is the
+# host's page count, so a 2-page microsite and a 1M-page portal get the
+# same RATIO semantics.
+#
+# Scale: shuffles only on (host, line-hash) — never on document text;
+# the per-host page count is a slim broadcastable rollup; per-doc
+# reassembly is the bounded collect_list pattern. The integer compare
+# (nd * 100 >= PCT * np) keeps the ratio exact in both engines.
+# Host synthesis: doc_id % BP_HOSTS, the crawl tier's host rule; each
+# page gets a deterministic per-host NAV header and COPYRIGHT footer
+# line so the template signal is real and its removal assertable.
+# --------------------------------------------------------------------------- #
+BP_HOSTS = 7
+BP_MIN = 3           # template needs >= 3 supporting pages
+BP_RATIO_PCT = 50    # ... covering >= 50% of the host's pages
+BP_LINE = 12         # tokens per synthetic body line
+
+
+@query(
+    "boilerplate_strip",
+    f"""
+    WITH docs AS (
+        SELECT doc_id::BIGINT AS id,
+               'host' || (doc_id % {BP_HOSTS})::VARCHAR AS host,
+               coalesce(text, '') AS text
+        FROM documents
+    ),
+    tok AS (SELECT id, host, {T.tokens_sql('text')} AS t FROM docs),
+    body AS (
+        SELECT id, host, i + 1 AS pos,
+               array_to_string(t[(i * {BP_LINE} + 1):((i + 1) * {BP_LINE})], ' ') AS line
+        FROM tok, unnest(generate_series(0,
+            cast(ceil(len(t) / {BP_LINE}.0) AS INT) - 1)) AS u(i)
+        WHERE len(t) > 0
+    ),
+    lines AS (
+        SELECT id, host, 0 AS pos,
+               'NAV ' || host || ' home about contact' AS line FROM docs
+        UNION ALL SELECT id, host, pos, line FROM body
+        UNION ALL SELECT id, host, 1000000 AS pos,
+               'COPYRIGHT ' || host || ' all rights reserved' AS line FROM docs
+    ),
+    hashed AS (SELECT id, host, pos, line, md5(line) AS h FROM lines),
+    hp AS (SELECT host, count(DISTINCT id) AS np FROM docs GROUP BY 1),
+    bp AS (
+        SELECT f.host, f.h
+        FROM (SELECT host, h, count(DISTINCT id) AS nd
+              FROM hashed GROUP BY 1, 2) f
+        JOIN hp USING (host)
+        WHERE f.nd >= {BP_MIN} AND f.nd * 100 >= {BP_RATIO_PCT} * hp.np
+    ),
+    flagged AS (
+        SELECT hashed.id, hashed.host, hashed.pos, hashed.line,
+               (bp.h IS NOT NULL) AS is_bp
+        FROM hashed LEFT JOIN bp
+          ON hashed.host = bp.host AND hashed.h = bp.h
+    )
+    SELECT id, host,
+           count(*)::BIGINT AS n_lines,
+           coalesce(sum(CASE WHEN is_bp THEN 1 ELSE 0 END), 0)::BIGINT AS n_boiler,
+           coalesce(string_agg(CASE WHEN NOT is_bp THEN line END,
+                               chr(10) ORDER BY pos), '') AS kept_text
+    FROM flagged GROUP BY id, host
+    """,
+)
+def q_boilerplate_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    docs = d.select(
+        i.alias("id"),
+        F.concat(F.lit("host"), F.pmod(i, F.lit(BP_HOSTS)).cast("string")).alias("host"),
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+    )
+    t = T.tokens("text")
+    n_body = F.ceil(F.size(t) / F.lit(float(BP_LINE))).cast("int")
+    body_arr = F.when(
+        F.size(t) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_body - 1),
+            lambda j: F.array_join(F.slice(t, j * BP_LINE + 1, BP_LINE), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hdr = F.concat(F.lit("NAV "), F.col("host"), F.lit(" home about contact"))
+    ftr = F.concat(F.lit("COPYRIGHT "), F.col("host"), F.lit(" all rights reserved"))
+    lines = docs.select(
+        "id", "host",
+        F.posexplode(F.concat(F.array(hdr), body_arr, F.array(ftr))).alias("pos", "line"),
+    ).withColumn("h", F.md5("line"))
+    hp = docs.groupBy("host").agg(F.count_distinct("id").alias("np"))
+    bp = (
+        lines.groupBy("host", "h")
+        .agg(F.count_distinct("id").alias("nd"))
+        .join(F.broadcast(hp), "host")
+        .where((F.col("nd") >= BP_MIN) & (F.col("nd") * 100 >= BP_RATIO_PCT * F.col("np")))
+        .select("host", "h", F.lit(True).alias("is_bp"))
+    )
+    flagged = lines.join(bp, ["host", "h"], "left").withColumn(
+        "is_bp", F.coalesce(F.col("is_bp"), F.lit(False))
+    )
+    return flagged.groupBy("id", "host").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("is_bp"), 1).otherwise(0)).alias("n_boiler"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(~F.col("is_bp"), F.struct("pos", "line")))
+                ),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("kept_text"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# dedup_intradoc — WITHIN-document repeated-line removal (generated
+# pages repeat widgets/disclaimers inside one page; corpus-level
+# dedup_lines can't see it because the duplicate never crosses a
+# document boundary — its rule is count-distinct DOCS per line). Keeps
+# the FIRST occurrence of each line per document. The duplicate signal
+# is planted: every page opens AND closes with the same per-doc widget
+# line (the repeated-promo/disclaimer shape), so exactly that second
+# occurrence must drop while unique body lines all survive.
+# Scale: the rank window partitions on (doc, line-hash) — group size
+# is bounded by one document's repetition count, never corpus-sized.
+# --------------------------------------------------------------------------- #
+@query(
+    "dedup_intradoc",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    tok AS (SELECT id, {T.tokens_sql('text')} AS t FROM corpus),
+    body AS (
+        SELECT id, i + 1 AS pos,
+               array_to_string(t[(i * {LINE_TOKENS} + 1):((i + 1) * {LINE_TOKENS})], ' ') AS line
+        FROM tok, unnest(generate_series(0,
+            cast(ceil(len(t) / {LINE_TOKENS}.0) AS INT) - 1)) AS u(i)
+        WHERE len(t) > 0
+    ),
+    lines AS (
+        SELECT id, 0 AS pos, 'WIDGET promo ' || (id % 5)::VARCHAR AS line FROM corpus
+        UNION ALL SELECT id, pos, line FROM body
+        UNION ALL SELECT id, 1000000 AS pos,
+               'WIDGET promo ' || (id % 5)::VARCHAR AS line FROM corpus
+    ),
+    ranked AS (
+        SELECT id, pos, line,
+               row_number() OVER (PARTITION BY id, md5(line) ORDER BY pos) AS occ
+        FROM lines
+    )
+    SELECT id,
+           count(*)::BIGINT AS n_lines,
+           sum(CASE WHEN occ > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dupes,
+           coalesce(string_agg(CASE WHEN occ = 1 THEN line END,
+                               chr(10) ORDER BY pos), '') AS kept_text
+    FROM ranked GROUP BY id
+    """,
+)
+def q_dedup_intradoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _corpus(spark, sf_dir)
+    t = T.tokens("text")
+    n_lines = F.ceil(F.size(t) / F.lit(float(LINE_TOKENS))).cast("int")
+    body_arr = F.when(
+        F.size(t) > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_lines - 1),
+            lambda i: F.array_join(F.slice(t, i * LINE_TOKENS + 1, LINE_TOKENS), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    # planted per-doc widget line: same text opens and closes the page
+    # (the repeated-promo shape) — posexplode keeps [widget, body…,
+    # widget] in order, so occ=1 is the opening occurrence
+    widget = F.concat(F.lit("WIDGET promo "), F.pmod(F.col("id"), F.lit(5)).cast("string"))
+    lines = (
+        c.select("id", F.posexplode(
+            F.concat(F.array(widget), body_arr, F.array(widget))).alias("pos", "line"))
+        .withColumn("h", F.md5("line"))
+    )
+    from pyspark.sql import Window as W
+
+    occ = F.row_number().over(W.partitionBy("id", "h").orderBy("pos"))
+    ranked = lines.withColumn("occ", occ)
+    return ranked.groupBy("id").agg(
+        F.count("*").alias("n_lines"),
+        F.sum(F.when(F.col("occ") > 1, 1).otherwise(0)).alias("n_dupes"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.when(F.col("occ") == 1, F.struct("pos", "line")))
+                ),
+                lambda x: x["line"],
+            ),
+            "\n",
+        ).alias("kept_text"),
+    )

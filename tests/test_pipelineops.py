@@ -446,3 +446,48 @@ def test_semdedup_matches_numpy_reference(spark):
         for b in kept[x + 1:]:
             if cell[a] == cell[b]:
                 assert cos(corpus[a], corpus[b]) < SEMDEDUP_T
+
+
+def test_boilerplate_strip_removes_templates_keeps_body(spark):
+    """Template lines (per-host NAV header / COPYRIGHT footer, planted on
+    every page of a host) are stripped from every doc; body lines unique
+    to a doc survive verbatim and in order."""
+    rows = P.q_boilerplate_strip(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_boiler >= 2, "header+footer must both be template"
+        assert "NAV " not in r.kept_text
+        assert "COPYRIGHT " not in r.kept_text
+        assert r.n_lines >= 2
+    # kept body equals the doc's own line cut (order preserved): spot-check
+    # via the source table for one doc with text
+    import pyspark.sql.functions as F
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    doc = d.where(F.length("text") > 50).orderBy("doc_id").first()
+    toks = doc.text.split()
+    expect_lines = [
+        " ".join(toks[i:i + P.BP_LINE]) for i in range(0, len(toks), P.BP_LINE)
+    ]
+    got = {r.id: r for r in rows}[int(doc.doc_id)]
+    kept = got.kept_text.split("\n") if got.kept_text else []
+    # every kept line is a body line of the doc, in original order
+    assert kept == [ln for ln in expect_lines if ln in set(kept)]
+    # and a line is only dropped if it is host-frequent (template rule),
+    # which for unique prose should mean: nothing beyond header/footer
+    # unless the corpus genuinely repeats it on >=50% of the host's pages
+    assert got.n_boiler <= 2 + (len(expect_lines) - len(kept))
+
+
+def test_dedup_intradoc_drops_second_widget_keeps_body(spark):
+    """Within-doc dedup: the planted widget line (opens AND closes every
+    page) loses exactly its second occurrence; unique body lines all
+    survive in order; docs gain no cross-document coupling (a line
+    repeated across docs but once per doc is untouched)."""
+    rows = P.q_dedup_intradoc(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.n_dupes >= 1                      # the closing widget
+        assert r.kept_text.startswith("WIDGET promo ")
+        assert r.kept_text.count("WIDGET promo ") == 1
+        assert r.n_lines - r.n_dupes == len(r.kept_text.split("\n"))
