@@ -70,6 +70,16 @@ class CrawlConfig:
     respect_robots: bool = True
     exclude_social: bool = False
     exclude_domains: list[str] = field(default_factory=list)
+    # Spider-trap URL guards (every production crawler carries these —
+    # calendar pages, session-id mirrors and redirect loops mint
+    # ever-longer URLs that a template trap map only catches after the
+    # fact): links whose canonical URL exceeds max_url_length octets or
+    # whose path has more than max_path_segments '/'-segments are
+    # dropped pre-enqueue (never fetched, never "seen" — same contract
+    # as score_threshold). None = no guard. Map-side filters before the
+    # dedup exchange; the sequential oracle mirrors both.
+    max_url_length: int | None = None
+    max_path_segments: int | None = None
     round_size: int | None = None     # fetches per round; 1 = sequential conformance
     # track_order=True assigns exact global crawl ranks (off = throughput
     # mode). Scale guard: dfs/best_first with track_order and NO

@@ -614,6 +614,15 @@ class CrawlEngine:
             links = links.where(~F.col("host").rlike(f"(^|\\.)({soc})$"))
         if cfg.exclude_domains:
             links = links.where(~F.col("host").isin(cfg.exclude_domains))
+        if cfg.max_url_length is not None:
+            # spider-trap guard: ever-growing URLs die here, map-side,
+            # before any shuffle or seen-set traffic
+            links = links.where(
+                F.octet_length(F.col("url")) <= F.lit(int(cfg.max_url_length)))
+        if cfg.max_path_segments is not None:
+            segs = F.size(F.filter(
+                F.split(F.col("u_path"), "/"), lambda s: s != ""))
+            links = links.where(segs <= F.lit(int(cfg.max_path_segments)))
         if self.trap_templates is not None:
             tpl = F.regexp_replace(
                 F.regexp_replace(F.col("u_path"), r"[0-9a-f]{8,}", "{h}"),

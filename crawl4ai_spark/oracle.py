@@ -152,6 +152,13 @@ def run_oracle(
                     continue
                 if h in cfg.exclude_domains:
                     continue
+                if (cfg.max_url_length is not None
+                        and len(u.encode()) > cfg.max_url_length):
+                    continue  # spider-trap guard twin
+                if cfg.max_path_segments is not None and len(
+                        [p for p in url_path_py(u).split("/") if p]
+                ) > cfg.max_path_segments:
+                    continue
                 if cfg.scorer == "keyword" and cfg.score_keywords:
                     sc = keyword_score_py(u, cfg.score_keywords)  # F6
                 else:

@@ -794,3 +794,54 @@ def test_politeness_domain_key(spark, corpus_dir, tmp_path):
     total = sum(rounds.values())
     assert total > b  # multiple rounds actually exercised the cap
     assert len(rounds) >= -(-total // b)
+
+
+def test_url_guards_drop_trap_links(spark, tmp_path):
+    """max_url_length / max_path_segments: over-limit links are dropped
+    pre-enqueue (never fetched, never seen), normal links crawl on."""
+    schema = ("doc_id string, spans array<struct<kind:string,text:string,"
+              "media_ref:string,offset:int>>")
+    long_url = "https://h.example.com/q/" + "x" * 200
+    deep_url = "https://h.example.com/" + "/".join(f"s{k}" for k in range(9))
+    ok_url = "https://h.example.com/ok/1"
+    docs = spark.createDataFrame([
+        ("https://h.example.com/", [
+            ("link", "long", long_url, 0),
+            ("link", "deep", deep_url, 1),
+            ("link", "ok", ok_url, 2),
+        ]),
+        (ok_url, [("text", "leaf", None, 0)]),
+        (long_url, [("text", "trap", None, 0)]),
+        (deep_url, [("text", "trap", None, 0)]),
+    ], schema)
+    cfg = CrawlConfig(seeds=["https://h.example.com/"], max_depth=3,
+                      max_pages=10, max_url_length=100, max_path_segments=4)
+    eng = CrawlEngine(spark, docs, cfg, str(tmp_path / "guards"))
+    res = eng.run()
+    urls = {r.url for r in eng.pages().collect()}
+    seen = {r.url for r in eng.url_seen().collect()}
+    assert ok_url in urls
+    assert long_url not in urls and long_url not in seen
+    assert deep_url not in urls and deep_url not in seen
+    assert res["fetched"] == 2  # seed + ok leaf
+
+    # guards off: both trap links are crawled (the guard was the cause)
+    eng2 = CrawlEngine(spark, docs,
+                       CrawlConfig(seeds=["https://h.example.com/"],
+                                   max_depth=3, max_pages=10),
+                       str(tmp_path / "noguards"))
+    eng2.run()
+    assert {long_url, deep_url} <= {r.url for r in eng2.pages().collect()}
+
+
+def test_url_guards_oracle_conformance(spark, corpus_dir, tmp_path):
+    """With a length cap that actually prunes fixture links, the engine
+    still reproduces the sequential oracle exactly (the oracle mirrors
+    both guards)."""
+    cfg = CrawlConfig(seeds=[], strategy="bfs", max_depth=3, max_pages=40,
+                      max_url_length=46, max_path_segments=3)
+    got_p, want_p, got_s, want_s = _run_both(spark, corpus_dir, tmp_path, cfg, "guards")
+    assert got_p == want_p
+    assert got_s == want_s
+    assert got_p, "cap must not kill the whole crawl"
+    assert all(len(u.encode()) <= 46 for _, u, d, _, _ in got_p if d > 0)
