@@ -1155,3 +1155,91 @@ def q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("cent_sim", 6).alias("cent_sim"),
         F.col("dropped").isNull().alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# script_detect — Unicode-script detection (the writing-system twin of
+# lang_id: CJK/Cyrillic/Greek text defeats a Latin-n-gram language
+# model, so pipelines gate on SCRIPT first and pick the lang-ID model
+# per script). Counts letters per script block with codepoint-class
+# regexes and picks the dominant script with a fixed tie order. The
+# corpus is made genuinely multilingual by deterministic per-class
+# transliteration (translate() over the vowels/common letters — same
+# builtin in both engines). Pure column expressions in the scan.
+# --------------------------------------------------------------------------- #
+# transliteration maps cover the 11 highest-frequency letters (~75% of
+# letter occurrences in English-like text) so the target script is
+# genuinely DOMINANT, not a minority garnish
+_SC_SRC = "aeiounstrhl"
+_SC_CYR = "аеіоунстрхл"   # Cyrillic (U+0430…)
+_SC_GRK = "αεηουνστρχλ"   # Greek (U+03B1…)
+_SC_CJK = "中文数据处理系统分析器"  # 11 CJK chars
+
+
+def _script_count(text_expr: str, lo: int, hi: int) -> str:
+    # DuckDB regexp_replace replaces only the FIRST match without 'g'
+    return (f"length(regexp_replace({text_expr}, "
+            f"'[^{chr(lo)}-{chr(hi)}]', '', 'g'))::BIGINT")
+
+
+@query(
+    "script_detect",
+    f"""
+    WITH multi AS (
+        SELECT doc_id::BIGINT AS id,
+               CASE doc_id % 4
+                 WHEN 1 THEN translate(coalesce(text, ''), '{_SC_SRC}', '{_SC_CYR}')
+                 WHEN 2 THEN translate(coalesce(text, ''), '{_SC_SRC}', '{_SC_GRK}')
+                 WHEN 3 THEN translate(coalesce(text, ''), '{_SC_SRC}', '{_SC_CJK}')
+                 ELSE coalesce(text, '')
+               END AS mtext
+        FROM documents
+    ),
+    counts AS (
+        SELECT id,
+               length(regexp_replace(mtext, '[^A-Za-z]', '', 'g'))::BIGINT AS n_latin,
+               {_script_count('mtext', 0x0400, 0x04FF)} AS n_cyrillic,
+               {_script_count('mtext', 0x0370, 0x03FF)} AS n_greek,
+               {_script_count('mtext', 0x4E00, 0x9FFF)} AS n_cjk
+        FROM multi
+    )
+    SELECT id, n_latin, n_cyrillic, n_greek, n_cjk,
+           (CASE WHEN n_latin >= n_cyrillic AND n_latin >= n_greek
+                      AND n_latin >= n_cjk THEN 'latin'
+                 WHEN n_cyrillic >= n_greek AND n_cyrillic >= n_cjk THEN 'cyrillic'
+                 WHEN n_greek >= n_cjk THEN 'greek'
+                 ELSE 'cjk' END) AS script
+    FROM counts
+    """,
+)
+def q_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    mtext = (
+        F.when(F.pmod(i, F.lit(4)) == 1, F.translate(t, _SC_SRC, _SC_CYR))
+        .when(F.pmod(i, F.lit(4)) == 2, F.translate(t, _SC_SRC, _SC_GRK))
+        .when(F.pmod(i, F.lit(4)) == 3, F.translate(t, _SC_SRC, _SC_CJK))
+        .otherwise(t)
+    )
+
+    def cnt(lo: int, hi: int) -> F.Column:
+        return F.length(
+            F.regexp_replace(F.col("mtext"), f"[^{chr(lo)}-{chr(hi)}]", "")
+        ).cast("long")
+
+    c = d.select(i.alias("id"), mtext.alias("mtext")).select(
+        "id",
+        F.length(F.regexp_replace("mtext", "[^A-Za-z]", "")).cast("long").alias("n_latin"),
+        cnt(0x0400, 0x04FF).alias("n_cyrillic"),
+        cnt(0x0370, 0x03FF).alias("n_greek"),
+        cnt(0x4E00, 0x9FFF).alias("n_cjk"),
+    )
+    lat, cyr, grk, cjk = (F.col(x) for x in ("n_latin", "n_cyrillic", "n_greek", "n_cjk"))
+    return c.select(
+        "id", "n_latin", "n_cyrillic", "n_greek", "n_cjk",
+        F.when((lat >= cyr) & (lat >= grk) & (lat >= cjk), F.lit("latin"))
+        .when((cyr >= grk) & (cyr >= cjk), F.lit("cyrillic"))
+        .when(grk >= cjk, F.lit("greek"))
+        .otherwise(F.lit("cjk")).alias("script"),
+    )

@@ -118,6 +118,7 @@ _TAIL = [
     "registrable_domain",
     "warc_revisit",
     "dedup_intradoc",
+    "script_detect",
 ]
 
 

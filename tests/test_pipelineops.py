@@ -491,3 +491,24 @@ def test_dedup_intradoc_drops_second_widget_keeps_body(spark):
         assert r.kept_text.startswith("WIDGET promo ")
         assert r.kept_text.count("WIDGET promo ") == 1
         assert r.n_lines - r.n_dupes == len(r.kept_text.split("\n"))
+
+
+def test_script_detect_dominants(spark):
+    """Each transliteration class lands on its script: the 4 synthetic
+    classes produce all four dominant scripts, and counts partition the
+    letters (Latin lost == other script gained for the vowel classes)."""
+    from crawl4ai_spark.queries.dataops import q_script_detect
+
+    rows = q_script_detect(spark, SF).collect()
+    import collections
+    by_class = collections.defaultdict(set)
+    for r in rows:
+        by_class[r.id % 4].add(r.script)
+    assert by_class[0] == {"latin"}
+    assert "cyrillic" in by_class[1] and "greek" in by_class[2]
+    assert "cjk" in by_class[3]
+    for r in rows:
+        if r.id % 4 == 1:
+            assert r.n_greek == 0 and r.n_cjk == 0
+        if r.id % 4 == 2:
+            assert r.n_cyrillic == 0 and r.n_cjk == 0
