@@ -1448,3 +1448,101 @@ def q_warc_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(is_rv, F.lit("revisit")).otherwise(F.lit("resource")).alias("warc_type"),
         F.when(is_rv, F.col("first_ts")).alias("ref_ts"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# Fetch-stage adjunct: HTTP response-header parsing — the layer between
+# the wire and the engine's typed tables (WARC response records store
+# exactly these blocks; redirects_resolve consumes Location, the
+# content-type gate decides what reaches extraction). Header blocks are
+# synthesized per doc (status / content-type / location classes by
+# doc_id dies) and parsed back with case-insensitive single-pass
+# regexes — pure column expressions in the scan; is_crawlable is the
+# production gate (2xx AND a text/* type).
+# --------------------------------------------------------------------------- #
+_HDR_CASES_SQL = f"""
+    SELECT doc_id::BIGINT AS id,
+           'HTTP/1.1 ' ||
+           (CASE doc_id % 5 WHEN 0 THEN '301 Moved Permanently'
+                            WHEN 1 THEN '404 Not Found'
+                            ELSE '200 OK' END) || chr(13) || chr(10) ||
+           (CASE doc_id % 4
+              WHEN 0 THEN 'Content-Type: text/html; charset=UTF-8'
+              WHEN 1 THEN 'content-type: text/html;charset=iso-8859-1'
+              WHEN 2 THEN 'Content-Type: image/png'
+              ELSE 'CONTENT-TYPE: text/plain' END) || chr(13) || chr(10) ||
+           (CASE WHEN doc_id % 5 = 0
+                 THEN 'Location: ' || {_graph_url_sql('doc_id + 1')} || chr(13) || chr(10)
+                 ELSE '' END) ||
+           'Content-Length: ' || strlen(coalesce(text, ''))::VARCHAR
+           || chr(13) || chr(10) || 'Server: synthetic/1.0' AS hdr
+    FROM documents
+"""
+
+
+@query(
+    "http_headers_parse",
+    f"""
+    WITH raw AS ({_HDR_CASES_SQL}),
+    parsed AS (
+        SELECT id, hdr,
+               regexp_extract(hdr, '^HTTP/1\\.[01] ([0-9]{{3}})', 1) AS status_s,
+               trim(regexp_extract(hdr, '(?i)content-type:\\s*([^;\\r\\n]+)', 1))
+                   AS content_type,
+               lower(trim(regexp_extract(hdr, '(?i)charset=([^;\\r\\n ]+)', 1)))
+                   AS charset,
+               regexp_extract(hdr, '(?i)location:\\s*([^\\r\\n]+)', 1) AS location,
+               regexp_extract(hdr, '(?i)content-length:\\s*([0-9]+)', 1) AS clen_s
+        FROM raw
+    )
+    SELECT id, status_s::INT AS status, content_type,
+           (CASE WHEN charset = '' THEN NULL ELSE charset END) AS charset,
+           (CASE WHEN location = '' THEN NULL ELSE location END) AS location,
+           clen_s::BIGINT AS content_length,
+           (status_s = '200' AND content_type IN ('text/html', 'text/plain'))
+               AS is_crawlable
+    FROM parsed
+    """,
+)
+def q_http_headers_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    crlf = F.lit("\r\n")
+    status_line = (
+        F.when(F.pmod(i, F.lit(5)) == 0, F.lit("301 Moved Permanently"))
+        .when(F.pmod(i, F.lit(5)) == 1, F.lit("404 Not Found"))
+        .otherwise(F.lit("200 OK"))
+    )
+    ctype_line = (
+        F.when(F.pmod(i, F.lit(4)) == 0, F.lit("Content-Type: text/html; charset=UTF-8"))
+        .when(F.pmod(i, F.lit(4)) == 1, F.lit("content-type: text/html;charset=iso-8859-1"))
+        .when(F.pmod(i, F.lit(4)) == 2, F.lit("Content-Type: image/png"))
+        .otherwise(F.lit("CONTENT-TYPE: text/plain"))
+    )
+    loc_line = F.when(
+        F.pmod(i, F.lit(5)) == 0,
+        F.concat(F.lit("Location: "), _graph_url(i + 1), crlf),
+    ).otherwise(F.lit(""))
+    hdr = F.concat(
+        F.lit("HTTP/1.1 "), status_line, crlf,
+        ctype_line, crlf,
+        loc_line,
+        F.lit("Content-Length: "),
+        F.octet_length(F.coalesce(F.col("text"), F.lit(""))).cast("string"),
+        crlf, F.lit("Server: synthetic/1.0"),
+    )
+    raw = d.select(i.alias("id"), hdr.alias("hdr"))
+    status_s = F.regexp_extract("hdr", r"^HTTP/1\.[01] ([0-9]{3})", 1)
+    ctype = F.trim(F.regexp_extract("hdr", r"(?i)content-type:\s*([^;\r\n]+)", 1))
+    charset = F.lower(F.trim(F.regexp_extract("hdr", r"(?i)charset=([^;\r\n ]+)", 1)))
+    location = F.regexp_extract("hdr", r"(?i)location:\s*([^\r\n]+)", 1)
+    clen = F.regexp_extract("hdr", r"(?i)content-length:\s*([0-9]+)", 1)
+    return raw.select(
+        "id",
+        status_s.cast("int").alias("status"),
+        ctype.alias("content_type"),
+        F.when(charset == "", F.lit(None).cast("string")).otherwise(charset).alias("charset"),
+        F.when(location == "", F.lit(None).cast("string")).otherwise(location).alias("location"),
+        clen.cast("long").alias("content_length"),
+        ((status_s == "200") & ctype.isin("text/html", "text/plain")).alias("is_crawlable"),
+    )

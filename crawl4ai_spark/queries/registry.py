@@ -119,6 +119,7 @@ _TAIL = [
     "warc_revisit",
     "dedup_intradoc",
     "script_detect",
+    "http_headers_parse",
 ]
 
 
