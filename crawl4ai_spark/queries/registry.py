@@ -120,6 +120,7 @@ _TAIL = [
     "dedup_intradoc",
     "script_detect",
     "http_headers_parse",
+    "host_budget_errors",
 ]
 
 

@@ -349,6 +349,39 @@ def host_budgets_from_rank(host_rank: DataFrame,
     )
 
 
+def host_budgets_from_errors(pages: DataFrame, base: DataFrame,
+                             err_cap_pct: int = 80) -> DataFrame:
+    """Error-feedback twin of ``host_budgets_from_yield`` — the third
+    leg of the control loop (yield→budget, authority→budget, and now
+    errors→budget): a host whose fetches keep timing out gets its next
+    run's politeness budget decayed by its observed transient rate
+    (backing off a struggling origin is what politeness is FOR; the
+    per-round retry debit handles the current run, this handles the
+    next). budget = base * (100 - min(err_pct, cap)) / 100 in pure
+    integer arithmetic (order-free, cross-engine exact), floored at 1.
+
+    One hash agg keyed by host + a broadcast join against the base
+    budgets — bounded by the host vocabulary at any corpus scale."""
+    per_host = pages.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_attempts"),
+        F.sum(F.when(F.col("status") == "transient", 1).otherwise(0))
+        .cast("long").alias("n_transient"),
+    )
+    err_pct = F.expr("(100 * n_transient) div n_attempts")
+    decayed = F.expr(
+        f"greatest(1, (budget * (100 - least(_err_pct, {int(err_cap_pct)}))) div 100)")
+    return (
+        per_host.join(F.broadcast(base.select("host", F.col("budget").cast("long"))),
+                      "host")
+        .withColumn("_err_pct", err_pct)
+        .select(
+            "host", "n_attempts", "n_transient",
+            F.col("_err_pct").cast("int").alias("err_pct"),
+            decayed.cast("int").alias("budget"),
+        )
+    )
+
+
 # --------------------------------------------------------------------------- #
 # snapshot_diff / host_change_rates — cross-generation crawl diff
 # --------------------------------------------------------------------------- #
@@ -467,3 +500,53 @@ def q_host_change_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("status") != "stable", 1).otherwise(0))
             .cast("double") / F.count("*"), 6).alias("churn"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# host_budget_errors — the errors→budget leg of the scheduling control
+# loop as a named query: attempts are synthesized from documents (the
+# doc_id%19 slice is transient, ~5% — the bench's retry rate), base
+# budgets vary per host, and the decayed budget must match the pure
+# integer formula in both engines.
+# --------------------------------------------------------------------------- #
+@query(
+    "host_budget_errors",
+    """
+    WITH attempts AS (
+        SELECT 'host' || (doc_id % 7)::VARCHAR || '.example.com' AS host,
+               (CASE WHEN doc_id % 19 = 0 THEN 'transient' ELSE 'fetched' END) AS status
+        FROM documents
+    ),
+    per_host AS (
+        SELECT host, count(*)::BIGINT AS n_attempts,
+               sum(CASE WHEN status = 'transient' THEN 1 ELSE 0 END)::BIGINT
+                   AS n_transient
+        FROM attempts GROUP BY 1
+    ),
+    base AS (
+        SELECT DISTINCT 'host' || (doc_id % 7)::VARCHAR || '.example.com' AS host,
+               (100 + (doc_id % 7) * 50)::BIGINT AS budget
+        FROM documents
+    )
+    SELECT p.host, p.n_attempts, p.n_transient,
+           ((100 * p.n_transient) // p.n_attempts)::INT AS err_pct,
+           greatest(1, (b.budget * (100 - least((100 * p.n_transient) // p.n_attempts,
+                                                80))) // 100)::INT AS budget
+    FROM per_host p JOIN base b USING (host)
+    """,
+)
+def q_host_budget_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    host = F.concat(F.lit("host"), F.pmod(i, F.lit(7)).cast("string"),
+                    F.lit(".example.com"))
+    pages = d.select(
+        host.alias("host"),
+        F.when(F.pmod(i, F.lit(19)) == 0, F.lit("transient"))
+        .otherwise(F.lit("fetched")).alias("status"),
+    )
+    base = d.select(
+        host.alias("host"),
+        (F.lit(100) + F.pmod(i, F.lit(7)) * 50).cast("long").alias("budget"),
+    ).distinct()
+    return host_budgets_from_errors(pages, base)

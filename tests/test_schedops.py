@@ -162,3 +162,46 @@ def test_snapshot_diff_status_rules(spark):
         assert r.n_stable == sts.count("stable")
         assert r.n_urls == r.n_added + r.n_removed + r.n_changed + r.n_stable
         assert r.churn == round((r.n_urls - r.n_stable) / r.n_urls, 6)
+
+
+def test_error_budget_feedback_loop(spark, corpus_dir, tmp_path):
+    """crawl-with-retries → host_budgets_from_errors → politeness crawl:
+    budgets decay by each host's observed transient rate (exact integer
+    formula) and the decayed budgets bind the next run's grants."""
+    from crawl4ai_spark.config import CrawlConfig
+    from crawl4ai_spark.operators.frontier import CrawlEngine
+    from crawl4ai_spark.queries.schedops import host_budgets_from_errors
+    from tests.test_crawl import get_seeds
+
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    seeds = get_seeds(spark, corpus_dir)[:1]
+    probe = CrawlEngine(
+        spark, docs,
+        CrawlConfig(seeds=list(seeds), max_pages=None, max_depth=3,
+                    max_rounds=30, max_retries=2, retry_failure_every=7),
+        str(tmp_path / "errprobe"))
+    probe.run()
+    pages = probe.pages()
+    base = pages.select("host").distinct().selectExpr(
+        "host", "cast(10 as long) as budget")
+    budgets = host_budgets_from_errors(pages, base, err_cap_pct=80)
+    rows = {r.host: r for r in budgets.collect()}
+    assert rows
+    assert any(r.n_transient > 0 for r in rows.values()), "no transients probed"
+    for r in rows.values():
+        ep = (100 * r.n_transient) // r.n_attempts
+        assert r.err_pct == ep
+        assert r.budget == max(1, (10 * (100 - min(ep, 80))) // 100)
+
+    eng = CrawlEngine(
+        spark, docs,
+        CrawlConfig(seeds=list(seeds), max_pages=None, max_depth=3,
+                    max_rounds=30, politeness=True),
+        str(tmp_path / "errbudgeted"), host_budgets=budgets)
+    eng.run()
+    grants = (eng.pages().groupBy("host", "fetch_round").count()
+              .join(budgets.select("host", "budget"), "host", "left").collect())
+    assert grants
+    for g in grants:
+        if g.budget is not None:
+            assert g["count"] <= g.budget, (g.host, g.fetch_round)
