@@ -149,6 +149,14 @@ class CrawlConfig:
     retry_failure_every: int = 0      # 0 = fetch sim never fails transiently
     retry_backoff_base: int = 2
 
+    def __post_init__(self) -> None:
+        # every consumer dispatches on == "domain": a typo would silently
+        # degrade to per-host politeness, so fail loudly instead
+        if self.politeness_key not in ("host", "domain"):
+            raise ValueError(
+                f"politeness_key must be 'host' or 'domain', got "
+                f"{self.politeness_key!r}")
+
 
 def resolve_strategy(cfg: CrawlConfig) -> str:
     s = cfg.strategy.lower()

@@ -296,11 +296,13 @@ def registrable_domain_sql(host_expr: str, dialect: str = "spark") -> str:
     if dialect == "spark":
         labels, n = f"split({host_expr}, '\\\\.')", f"size(split({host_expr}, '\\\\.'))"
         get = lambda i: f"get({labels}, {n} - {i})"  # noqa: E731  0-based
-        ip = f"{host_expr} rlike '{_IP_RX}'"
+        # _lit doubles the backslashes for Spark SQL literal unescaping —
+        # a raw f-string embed would turn '\.' into '.' (any char)
+        ip = f"{host_expr} rlike {_lit(_IP_RX, 'spark')}"
     else:
         labels, n = f"string_split({host_expr}, '.')", f"len(string_split({host_expr}, '.'))"
         get = lambda i: f"{labels}[{n} - {i} + 1]"  # noqa: E731  1-based
-        ip = f"regexp_matches({host_expr}, '{_IP_RX}')"
+        ip = f"regexp_matches({host_expr}, {_lit(_IP_RX, 'duckdb')})"
     last2 = f"concat_ws('.', {get(2)}, {get(1)})"
     last3 = f"concat_ws('.', {get(3)}, {get(2)}, {get(1)})"
     return (

@@ -130,15 +130,20 @@ class CrawlEngine:
             self.host_budgets = budgets_from_crawl_delay(
                 robots, round_period_s=cfg.round_period_s
             )
-            if cfg.politeness_key == "domain":
-                # roll host-level pacing up to the registrable domain:
-                # min(budget) — the most conservative member host paces
-                # the whole registrant (shared origin infrastructure)
-                from ..functions.urls import registrable_domain
+        if cfg.politeness_key == "domain" and self.host_budgets is not None:
+            # roll ANY budgets table (explicit or robots-derived) up to
+            # the registrable domain: min(budget) — the most conservative
+            # member host paces the whole registrant (shared origin
+            # infrastructure). Idempotent when the table is already
+            # domain-keyed (registrable_domain(domain) == domain, groups
+            # are singletons); without this, a host-keyed table would
+            # never match _select_batch's domain join keys and politeness
+            # would silently become unbounded.
+            from ..functions.urls import registrable_domain
 
-                self.host_budgets = self.host_budgets.groupBy(
-                    registrable_domain(F.col("host")).alias("host")
-                ).agg(F.min("budget").alias("budget"))
+            self.host_budgets = self.host_budgets.groupBy(
+                registrable_domain(F.col("host")).alias("host")
+            ).agg(F.min("budget").alias("budget"))
         self.redirects = redirects
         self.max_redirect_hops = max_redirect_hops
         # (host, template) classes to never enqueue — the crawl_traps

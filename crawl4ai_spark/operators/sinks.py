@@ -196,7 +196,11 @@ def parse_warc(streams: DataFrame, stream_col: str = "stream",
                         pos += 2
                     if pos >= len(buf):
                         break
-                    end = buf.index(b"\r\n\r\n", pos)  # end of header block
+                    end = buf.find(b"\r\n\r\n", pos)  # end of header block
+                    if end == -1:
+                        raise ValueError(
+                            f"truncated header block in stream {sid!r} at "
+                            f"offset {pos} (no CRLFCRLF terminator)")
                     lines = buf[pos:end].decode("utf-8").split("\r\n")
                     if not lines[0].startswith("WARC/"):
                         raise ValueError(f"bad record start in stream {sid!r}")
@@ -206,6 +210,13 @@ def parse_warc(streams: DataFrame, stream_col: str = "stream",
                         hdr[k.strip().lower()] = v.strip()
                     n = int(hdr["content-length"])
                     body_start = end + 4
+                    if len(buf) - body_start < n:
+                        # a silent short slice would report content_length=n
+                        # with a shorter payload — digest/length accounting
+                        # downstream would quietly disagree
+                        raise ValueError(
+                            f"truncated record in stream {sid!r}: payload "
+                            f"needs {n} octets, {len(buf) - body_start} left")
                     payload = buf[body_start:body_start + n].decode("utf-8")
                     pos = body_start + n
                     out["stream_id"].append(sid)

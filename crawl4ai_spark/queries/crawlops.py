@@ -1367,9 +1367,9 @@ def q_warc_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id, host,
-           {{RD}} AS domain
+           {registrable_domain_sql('host', 'duckdb')} AS domain
     FROM hosts
-    """.replace("{RD}", __import__('crawl4ai_spark.functions.urls', fromlist=['x']).registrable_domain_sql('host', 'duckdb')),
+    """,
 )
 def q_registrable_domain(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.urls import registrable_domain

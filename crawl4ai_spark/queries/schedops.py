@@ -360,6 +360,11 @@ def host_budgets_from_errors(pages: DataFrame, base: DataFrame,
     next). budget = base * (100 - min(err_pct, cap)) / 100 in pure
     integer arithmetic (order-free, cross-engine exact), floored at 1.
 
+    Every BASE host survives: a host with no attempts this run (not
+    reached, or throttled out entirely) keeps its base budget at zero
+    error — an inner join here would silently drop it from the output
+    and the next run's engine would treat it as unbudgeted (unbounded).
+
     One hash agg keyed by host + a broadcast join against the base
     budgets — bounded by the host vocabulary at any corpus scale."""
     per_host = pages.groupBy("host").agg(
@@ -367,12 +372,15 @@ def host_budgets_from_errors(pages: DataFrame, base: DataFrame,
         F.sum(F.when(F.col("status") == "transient", 1).otherwise(0))
         .cast("long").alias("n_transient"),
     )
-    err_pct = F.expr("(100 * n_transient) div n_attempts")
+    err_pct = F.expr("(CASE WHEN n_attempts = 0 THEN 0 "
+                     "ELSE (100 * n_transient) div n_attempts END)")
     decayed = F.expr(
         f"greatest(1, (budget * (100 - least(_err_pct, {int(err_cap_pct)}))) div 100)")
     return (
-        per_host.join(F.broadcast(base.select("host", F.col("budget").cast("long"))),
-                      "host")
+        base.select("host", F.col("budget").cast("long"))
+        .join(F.broadcast(per_host), "host", "left")
+        .withColumn("n_attempts", F.coalesce("n_attempts", F.lit(0)).cast("long"))
+        .withColumn("n_transient", F.coalesce("n_transient", F.lit(0)).cast("long"))
         .withColumn("_err_pct", err_pct)
         .select(
             "host", "n_attempts", "n_transient",
@@ -528,11 +536,16 @@ def q_host_change_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
                (100 + (doc_id % 7) * 50)::BIGINT AS budget
         FROM documents
     )
-    SELECT p.host, p.n_attempts, p.n_transient,
-           ((100 * p.n_transient) // p.n_attempts)::INT AS err_pct,
-           greatest(1, (b.budget * (100 - least((100 * p.n_transient) // p.n_attempts,
-                                                80))) // 100)::INT AS budget
-    FROM per_host p JOIN base b USING (host)
+    SELECT b.host,
+           coalesce(p.n_attempts, 0)::BIGINT AS n_attempts,
+           coalesce(p.n_transient, 0)::BIGINT AS n_transient,
+           (CASE WHEN coalesce(p.n_attempts, 0) = 0 THEN 0
+                 ELSE (100 * p.n_transient) // p.n_attempts END)::INT AS err_pct,
+           greatest(1, (b.budget * (100 - least(
+               CASE WHEN coalesce(p.n_attempts, 0) = 0 THEN 0
+                    ELSE (100 * p.n_transient) // p.n_attempts END,
+               80))) // 100)::INT AS budget
+    FROM base b LEFT JOIN per_host p USING (host)
     """,
 )
 def q_host_budget_errors(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -184,12 +184,17 @@ def test_error_budget_feedback_loop(spark, corpus_dir, tmp_path):
     pages = probe.pages()
     base = pages.select("host").distinct().selectExpr(
         "host", "cast(10 as long) as budget")
+    # a base host the probe never attempted must keep its base budget
+    base = base.union(probe.spark.createDataFrame(
+        [("unattempted.example.net", 10)], "host string, budget long"))
     budgets = host_budgets_from_errors(pages, base, err_cap_pct=80)
     rows = {r.host: r for r in budgets.collect()}
     assert rows
     assert any(r.n_transient > 0 for r in rows.values()), "no transients probed"
+    cold = rows["unattempted.example.net"]
+    assert (cold.n_attempts, cold.err_pct, cold.budget) == (0, 0, 10)
     for r in rows.values():
-        ep = (100 * r.n_transient) // r.n_attempts
+        ep = 0 if r.n_attempts == 0 else (100 * r.n_transient) // r.n_attempts
         assert r.err_pct == ep
         assert r.budget == max(1, (10 * (100 - min(ep, 80))) // 100)
 

@@ -288,3 +288,21 @@ class TestWarcSink:
         import pytest as _pytest
         with _pytest.raises(Exception, match="bad record start"):
             parse_warc(bad).collect()
+
+    def test_parse_warc_truncated_stream_raises(self, spark):
+        """A part file cut mid-payload (or mid-header) must fail loudly,
+        never emit a short payload under a full content_length."""
+        from crawl4ai_spark.operators.sinks import parse_warc
+        import pytest as _pytest
+
+        full = ("WARC/1.0\r\nWARC-Type: resource\r\n"
+                "WARC-Target-URI: https://a.com/1\r\n"
+                "Content-Length: 10\r\n\r\n0123456789\r\n\r\n")
+        cut_payload = full[:full.index("0123") + 4]     # 6 payload octets short
+        cut_header = full[:20]                           # no CRLFCRLF yet
+        for bad, msg in ((cut_payload, "truncated record"),
+                         (cut_header, "truncated header")):
+            df = spark.createDataFrame([("s0", bad)],
+                                       "stream_id string, stream string")
+            with _pytest.raises(Exception, match=msg):
+                parse_warc(df).collect()

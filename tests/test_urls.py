@@ -258,9 +258,19 @@ def test_registrable_domain_psl_rules(spark):
     df = spark.createDataFrame([(h,) for h, _ in cases], ["host"])
     got = {r.host: r.d for r in df.select(
         "host", registrable_domain(F.col("host")).alias("d")).collect()}
+    got_sql = {r.host: r.d for r in df.select(
+        "host", F.expr(registrable_domain_sql("host", "spark")).alias("d")
+    ).collect()}
     con = duckdb.connect()
     for host, want in cases:
         assert got[host] == want, host
+        assert got_sql[host] == want, f"spark-dialect SQL: {host}"
         (dk,) = con.execute(
             "SELECT " + registrable_domain_sql(f"'{host}'", "duckdb")).fetchone()
         assert dk == want, host
+    # the spark dialect must not loosen the IP class ('\.' -> '.')
+    assert got_sql.get("192.168.10.250") == "192.168.10.250"
+    ip_like = spark.createDataFrame([("1.2-3.4.example.com",)], ["host"])
+    (r,) = ip_like.select(
+        F.expr(registrable_domain_sql("host", "spark")).alias("d")).collect()
+    assert r.d == "example.com"
