@@ -845,3 +845,24 @@ def test_url_guards_oracle_conformance(spark, corpus_dir, tmp_path):
     assert got_s == want_s
     assert got_p, "cap must not kill the whole crawl"
     assert all(len(u.encode()) <= 46 for _, u, d, _, _ in got_p if d > 0)
+
+
+def test_politeness_domain_key_with_salting(spark, corpus_dir, tmp_path):
+    """Domain politeness composes with salt queues: the shared domain
+    budget splits across per-URL salt queues exactly as host budgets do
+    (oracle mirrors key=(domain, salt), per-queue ceil(budget/salts))."""
+    docs, robots, _, pydocs, pyrobots, _ = _load(spark, corpus_dir)
+    cfg = CrawlConfig(seeds=get_seeds(spark, corpus_dir), strategy="bfs",
+                      max_depth=3, max_pages=40, politeness=True,
+                      politeness_key="domain", politeness_salts=4)
+    budgets = spark.createDataFrame([("example.com", 8)], "host string, budget int")
+    eng = CrawlEngine(spark, docs, cfg, str(tmp_path / "domsalt"),
+                      robots=robots, host_budgets=budgets)
+    eng.run()
+    got = [(r.rank, r.url, r.depth, r.status, r.title)
+           for r in eng.pages().orderBy("rank").collect()]
+    o = run_oracle(pydocs, cfg, robots=pyrobots, budgets={"example.com": 8})
+    want = [(p["rank"], p["url"], p["depth"], p["status"], p["title"])
+            for p in o.pages]
+    assert got == want
+    assert {(r.url, r.state) for r in eng.url_seen().collect()} == set(o.seen.items())
