@@ -1546,3 +1546,71 @@ def q_http_headers_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
         clen.cast("long").alias("content_length"),
         ((status_s == "200") & ctype.isin("text/html", "text/plain")).alias("is_crawlable"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# REP completeness beyond robots.txt: per-PAGE robots directives — the
+# HTML <meta name="robots"> tag and the X-Robots-Tag response header
+# (Google's REP extensions; robots.txt gates FETCHING, these gate
+# INDEXING and outlink-following). Synthesized pages carry the four
+# directive classes; the effective flag is the OR of tag and header
+# (the documented most-restrictive-wins rule). Single-pass
+# case-insensitive regexes in the scan projection.
+# --------------------------------------------------------------------------- #
+@query(
+    "meta_robots",
+    f"""
+    WITH pages AS (
+        SELECT doc_id::BIGINT AS id,
+               '<html><head>' ||
+               (CASE doc_id % 4
+                  WHEN 0 THEN '<meta name="robots" content="noindex, nofollow">'
+                  WHEN 1 THEN '<meta name="ROBOTS" content="NOINDEX">'
+                  WHEN 2 THEN '<meta name="robots" content="all">'
+                  ELSE '' END) ||
+               '<title>t</title></head><body>b</body></html>' AS html,
+               (CASE WHEN doc_id % 5 = 0 THEN 'X-Robots-Tag: nofollow'
+                     ELSE 'Content-Type: text/html' END) AS hdr
+        FROM documents
+    ),
+    parsed AS (
+        SELECT id,
+               lower(regexp_extract(html,
+                   '(?i)<meta\\s+name="robots"\\s+content="([^"]*)"', 1)) AS meta,
+               lower(regexp_extract(hdr, '(?i)x-robots-tag:\\s*([^\\r\\n]+)', 1))
+                   AS xrt
+        FROM pages
+    )
+    SELECT id, meta, xrt,
+           (regexp_matches(meta, '(^|[, ])noindex($|[, ])')
+            OR regexp_matches(xrt, '(^|[, ])noindex($|[, ])')) AS noindex,
+           (regexp_matches(meta, '(^|[, ])nofollow($|[, ])')
+            OR regexp_matches(xrt, '(^|[, ])nofollow($|[, ])')) AS nofollow
+    FROM parsed
+    """,
+)
+def q_meta_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    meta_tag = (
+        F.when(F.pmod(i, F.lit(4)) == 0,
+               F.lit('<meta name="robots" content="noindex, nofollow">'))
+        .when(F.pmod(i, F.lit(4)) == 1, F.lit('<meta name="ROBOTS" content="NOINDEX">'))
+        .when(F.pmod(i, F.lit(4)) == 2, F.lit('<meta name="robots" content="all">'))
+        .otherwise(F.lit(""))
+    )
+    html = F.concat(F.lit("<html><head>"), meta_tag,
+                    F.lit("<title>t</title></head><body>b</body></html>"))
+    hdr = F.when(F.pmod(i, F.lit(5)) == 0, F.lit("X-Robots-Tag: nofollow")) \
+        .otherwise(F.lit("Content-Type: text/html"))
+    p = d.select(i.alias("id"), html.alias("html"), hdr.alias("hdr"))
+    meta = F.lower(F.regexp_extract(
+        "html", r'(?i)<meta\s+name="robots"\s+content="([^"]*)"', 1))
+    xrt = F.lower(F.regexp_extract("hdr", r"(?i)x-robots-tag:\s*([^\r\n]+)", 1))
+    word = lambda c, w: c.rlike(f"(^|[, ]){w}($|[, ])")  # noqa: E731
+    parsed = p.select("id", meta.alias("meta"), xrt.alias("xrt"))
+    return parsed.select(
+        "id", "meta", "xrt",
+        (word(F.col("meta"), "noindex") | word(F.col("xrt"), "noindex")).alias("noindex"),
+        (word(F.col("meta"), "nofollow") | word(F.col("xrt"), "nofollow")).alias("nofollow"),
+    )

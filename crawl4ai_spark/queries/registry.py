@@ -121,6 +121,7 @@ _TAIL = [
     "script_detect",
     "http_headers_parse",
     "host_budget_errors",
+    "meta_robots",
 ]
 
 
