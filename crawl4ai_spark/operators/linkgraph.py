@@ -249,3 +249,81 @@ def hits(edges: DataFrame, iters: int = HITS_ITERS,
     e.unpersist()
     nodes.unpersist()
     return out
+
+
+def trustrank(edges: DataFrame, seeds: DataFrame, iters: int = PR_ITERS,
+              damping: float = PR_DAMPING,
+              src: str = "src_url", dst: str = "dst_url") -> DataFrame:
+    """TrustRank (Gyöngyi/Garcia-Molina/Pedersen, VLDB'04): PageRank with
+    the teleport vector restricted to a trusted seed set, so trust decays
+    with link distance from vetted pages and link-spam neighborhoods
+    (which good pages rarely link INTO) starve. The crawl-side use is
+    spam demotion in frontier prioritization — the counterweight to raw
+    ``pagerank``, which nepotistic link farms can inflate.
+
+    ``seeds`` is a DataFrame with a ``url`` column; only seeds that are
+    graph nodes carry teleport mass. t(n) = 1/|S∩nodes| for seeds, 0
+    otherwise; trust_0 = t; trust_{k+1}(n) = round((1-d)·t(n) +
+    d·Σ_{(s,n)∈E} trust_k(s)/outdeg(s), 9) with the Σ an order-pinned
+    fold (sorted by source) — same trajectory-pinning as ``pagerank``.
+    Dangling mass is dropped (same documented simplification).
+
+    Shape per iteration: one shuffle join (edges ⋈ trust on src) + one
+    hash agg on dst + one node-keyed join against the checkpointed
+    teleport table; lineage cut per iteration. The only collects are two
+    O(1) counts (node and in-graph-seed totals). An empty graph or an
+    empty in-graph seed set returns an empty frame with the output
+    schema (no trust can originate anywhere).
+
+    Returns nodes(url, trust, is_seed, indeg, outdeg), trust rounded
+    to 6.
+    """
+    e, nodes = _edge_nodes(edges, src, dst)
+    schema = "url string, trust double, is_seed boolean, indeg long, outdeg long"
+    s = seeds.select(F.col("url")).distinct()
+    tele = nodes.join(s.withColumn("_seed", F.lit(True)), "url", "left").select(
+        "url", F.coalesce("_seed", F.lit(False)).alias("is_seed"))
+    ns = tele.where("is_seed").count()  # O(1) driver value: 1/|S| mass
+    if ns == 0:
+        e.unpersist()
+        nodes.unpersist()
+        return edges.sparkSession.createDataFrame([], schema)
+    tele = tele.withColumn(
+        "t", F.when(F.col("is_seed"), F.lit(1.0 / ns)).otherwise(F.lit(0.0))
+    ).localCheckpoint()
+    indeg, outdeg = _degrees(e)
+    eo = e.join(outdeg.withColumnRenamed("url", "src"), "src")
+
+    ranks = tele.select("url", F.col("t").alias("trust"))
+    for _ in range(iters):
+        contrib = eo.join(ranks, eo["src"] == ranks["url"]).select(
+            eo["dst"].alias("dst"),
+            eo["src"].alias("csrc"),
+            (F.col("trust") / F.col("outdeg")).alias("c"),
+        )
+        summed = _pinned_sum(contrib, "dst", "csrc", "c")
+        ranks = tele.join(summed, tele["url"] == summed["dst"], "left").select(
+            "url",
+            F.round(
+                F.lit(1.0 - damping) * F.col("t")
+                + F.lit(damping) * F.coalesce(F.col("_s"), F.lit(0.0)),
+                9,
+            ).alias("trust"),
+        )
+        ranks = ranks.localCheckpoint()
+
+    out = (
+        ranks.join(tele.select("url", "is_seed"), "url")
+        .join(indeg, "url", "left")
+        .join(outdeg, "url", "left")
+        .select(
+            "url",
+            F.round("trust", 6).alias("trust"),
+            "is_seed",
+            F.coalesce("indeg", F.lit(0)).cast("long").alias("indeg"),
+            F.coalesce("outdeg", F.lit(0)).cast("long").alias("outdeg"),
+        )
+    )
+    e.unpersist()
+    nodes.unpersist()
+    return out

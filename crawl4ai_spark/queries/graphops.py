@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.linkgraph import (HITS_ITERS, PR_DAMPING, PR_ITERS,
-                                   anchor_aggregate, hits, pagerank)
+                                   anchor_aggregate, hits, pagerank, trustrank)
 from .registry import query, table as _t
 from .spansops import _SP_SQL, _span_docs
 
@@ -450,3 +450,85 @@ def q_mirror_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(jac, 6).alias("jaccard"),
                 (jac >= F.lit(MIRROR_MIN_JACCARD)).alias("is_mirror"))
     )
+
+
+# --------------------------------------------------------------------------- #
+# trustrank — seed-personalized PageRank (spam demotion / trust propagation)
+# --------------------------------------------------------------------------- #
+TR_SEED_HOST = "https://host0.example.com/p/"
+
+
+def _tr_oracle() -> str:
+    d = PR_DAMPING
+    teleport = repr(1.0 - d)  # same binary constant both engines
+    iters = []
+    for k in range(1, PR_ITERS + 1):
+        iters.append(f"""
+    tr{k} AS (
+        SELECT t.url,
+               round({teleport}::DOUBLE * t.t
+                     + {d!r}::DOUBLE * coalesce(c.s, 0.0::DOUBLE), 9) AS trust
+        FROM tele t LEFT JOIN (
+            SELECT e.dst_url,
+                   list_reduce(
+                       list_prepend(0.0::DOUBLE,
+                           list(p.trust / e.outdeg ORDER BY e.src_url)),
+                       (a, b) -> a + b) AS s
+            FROM eo e JOIN tr{k - 1} p ON p.url = e.src_url
+            GROUP BY e.dst_url
+        ) c ON c.dst_url = t.url
+    )""")
+    return f"""
+    WITH {_LINKS_SQL},
+    edges AS (SELECT DISTINCT src_url, dst_url FROM links),
+    nodes AS (
+        SELECT src_url AS url FROM edges
+        UNION
+        SELECT dst_url FROM edges
+    ),
+    seeds AS (SELECT url FROM nodes WHERE starts_with(url, '{TR_SEED_HOST}')),
+    ns AS (SELECT count(*)::DOUBLE AS ns FROM seeds),
+    tele AS MATERIALIZED (
+        SELECT n.url,
+               s.url IS NOT NULL AS is_seed,
+               CASE WHEN s.url IS NOT NULL
+                    THEN 1.0::DOUBLE / (SELECT ns FROM ns)
+                    ELSE 0.0::DOUBLE END AS t
+        FROM nodes n LEFT JOIN seeds s ON s.url = n.url
+    ),
+    od AS (SELECT src_url, count(*)::BIGINT AS outdeg FROM edges GROUP BY src_url),
+    eo AS (SELECT e.src_url, e.dst_url, o.outdeg FROM edges e JOIN od o USING (src_url)),
+    tr0 AS (SELECT url, t AS trust FROM tele),
+    {','.join(iters)},
+    ind AS (SELECT dst_url AS url, count(*)::BIGINT AS indeg FROM edges GROUP BY dst_url)
+    SELECT p.url,
+           round(p.trust, 6) AS trust,
+           t.is_seed,
+           coalesce(i.indeg, 0)::BIGINT AS indeg,
+           coalesce(o.outdeg, 0)::BIGINT AS outdeg
+    FROM tr{PR_ITERS} p
+    JOIN tele t ON t.url = p.url
+    LEFT JOIN ind i ON i.url = p.url
+    LEFT JOIN od o ON o.src_url = p.url
+    """
+
+
+@query("trustrank", _tr_oracle())
+def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TrustRank over the corpus outlink graph: teleport mass restricted
+    to a vetted seed whitelist (here host0's pages — the deterministic
+    stand-in for a human-reviewed seed list), so trust decays with link
+    distance from the seeds and link-farm neighborhoods starve. The
+    counterweight signal to link_pagerank in frontier prioritization:
+    rank says "popular", trust says "reachable from pages we vetted".
+    Same per-iteration shape as pagerank (one shuffle join + one hash
+    agg, lineage cut); see operators/linkgraph.trustrank. Reference has
+    no graph tier at all (crawl_agent.py:239-257 scores URL strings) —
+    this is the §2.9 beyond-reference mandate."""
+    links = _links(spark, sf_dir)
+    seeds = (
+        links.select(F.col("src_url").alias("url"))
+        .unionByName(links.select(F.col("dst_url").alias("url")))
+        .where(F.col("url").startswith(TR_SEED_HOST))
+    )
+    return trustrank(links, seeds)

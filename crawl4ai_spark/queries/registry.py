@@ -122,6 +122,7 @@ _TAIL = [
     "http_headers_parse",
     "host_budget_errors",
     "meta_robots",
+    "trustrank",
 ]
 
 

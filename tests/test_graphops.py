@@ -372,3 +372,42 @@ def test_pagerank_and_hits_random_graph_sweep(spark):
         ref_auth, ref_hub = _numpy_hits(edges)
         assert {u: r.authority for u, r in rows.items()} == ref_auth, (case, edges)
         assert {u: r.hub for u, r in rows.items()} == ref_hub, (case, edges)
+
+
+def test_trustrank_semantics(spark):
+    """Trust originates only at seeds and decays along links: an
+    unreachable branch gets exactly 0, a seed's direct child outranks
+    the grandchild, and a spam cluster with no seed path starves even
+    with high indegree (the signal pagerank cannot give)."""
+    from crawl4ai_spark.operators.linkgraph import trustrank
+
+    edges = [
+        ("seed", "child"), ("child", "grand"),
+        # link farm: dense mutual links, never linked from the seed side
+        ("spamA", "spamB"), ("spamB", "spamA"),
+        ("spamA", "spamT"), ("spamB", "spamT"),
+    ]
+    seeds = spark.createDataFrame([("seed",)], "url string")
+    out = {r.url: r for r in trustrank(_edges_df(spark, edges), seeds).collect()}
+    assert out["seed"].is_seed and not out["child"].is_seed
+    # teleport mass: only the seed gets (1-d)*1.0 every iteration
+    assert out["seed"].trust > out["child"].trust > out["grand"].trust > 0
+    # spamT has indegree 2 (same as nothing else) but zero trust
+    for n in ("spamA", "spamB", "spamT"):
+        assert out[n].trust == 0.0
+    # pagerank, by contrast, gives the farm mass — the demotion signal
+    pr = {r.url: r.rank for r in pagerank(_edges_df(spark, edges)).collect()}
+    assert pr["spamT"] > 0
+
+
+def test_trustrank_empty_seeds_and_off_graph_seeds(spark):
+    from crawl4ai_spark.operators.linkgraph import trustrank
+
+    e = _edges_df(spark, [("a", "b")])
+    none = spark.createDataFrame([], "url string")
+    assert trustrank(e, none).count() == 0
+    # seeds not in the graph carry no mass; in-graph portion normalizes
+    mixed = spark.createDataFrame([("a",), ("elsewhere",)], "url string")
+    rows = {r.url: r for r in trustrank(e, mixed).collect()}
+    assert set(rows) == {"a", "b"}
+    assert rows["a"].is_seed and rows["a"].trust > 0
