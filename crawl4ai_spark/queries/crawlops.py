@@ -1614,3 +1614,285 @@ def q_meta_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
         (word(F.col("meta"), "noindex") | word(F.col("xrt"), "noindex")).alias("noindex"),
         (word(F.col("meta"), "nofollow") | word(F.col("xrt"), "nofollow")).alias("nofollow"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# rel_canonical — <link rel="canonical"> folding (index-side URL dedup).
+# The REP-adjacent signal meta_robots doesn't cover: pages DECLARE their
+# canonical URL, and the indexer folds duplicates onto it — with the
+# standard production guard that a cross-host canonical is ignored
+# (the hijack vector: any page could otherwise claim any URL). One
+# regexp extract + one host compare in the scan projection, then a
+# single window count per canonical group. Synthesized pages: id%3==1
+# (id>=7) declares a same-host canonical to p/(id-7) — whose own id%3
+# is 0, so folds are single-hop by construction (matching the
+# one-hop-only semantics real indexers apply to canonical chains);
+# id%3==2 declares a cross-host canonical (ignored); else none.
+# --------------------------------------------------------------------------- #
+@query(
+    "rel_canonical",
+    """
+    WITH pages AS (
+        SELECT doc_id::BIGINT AS id,
+               'https://host' || (doc_id % 7)::VARCHAR || '.example.com/p/'
+                   || doc_id::VARCHAR AS url,
+               '<html><head>' ||
+               (CASE
+                  WHEN doc_id % 3 = 1 AND doc_id >= 7 THEN
+                    '<link rel="canonical" href="https://host'
+                      || (doc_id % 7)::VARCHAR || '.example.com/p/'
+                      || (doc_id - 7)::VARCHAR || '">'
+                  WHEN doc_id % 3 = 2 THEN
+                    '<link rel="canonical" href="https://host'
+                      || ((doc_id + 1) % 7)::VARCHAR || '.example.com/p/'
+                      || doc_id::VARCHAR || '">'
+                  ELSE '' END) ||
+               '</head><body>b</body></html>' AS html
+        FROM documents
+    ),
+    parsed AS (
+        SELECT id, url,
+               nullif(regexp_extract(html,
+                   '(?i)<link\\s+rel="canonical"\\s+href="([^"]*)"', 1), '')
+                   AS decl
+        FROM pages
+    ),
+    resolved AS (
+        SELECT id, url, decl,
+               (decl IS NOT NULL
+                AND regexp_extract(decl, '^https://([^/]+)', 1)
+                    <> regexp_extract(url, '^https://([^/]+)', 1))
+                   AS cross_host_ignored,
+               CASE WHEN decl IS NOT NULL
+                         AND regexp_extract(decl, '^https://([^/]+)', 1)
+                             = regexp_extract(url, '^https://([^/]+)', 1)
+                    THEN decl ELSE url END AS effective_url
+        FROM parsed
+    )
+    SELECT id, url, decl, effective_url,
+           effective_url = url AS is_self,
+           cross_host_ignored,
+           count(*) OVER (PARTITION BY effective_url)::BIGINT AS n_folded
+    FROM resolved
+    """,
+)
+def q_rel_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    host = F.concat(F.lit("host"), F.pmod(i, F.lit(7)).cast("string"),
+                    F.lit(".example.com"))
+    url = F.concat(F.lit("https://"), host, F.lit("/p/"), i.cast("string"))
+    link_same = F.concat(
+        F.lit('<link rel="canonical" href="https://'), host, F.lit("/p/"),
+        (i - 7).cast("string"), F.lit('">'))
+    link_cross = F.concat(
+        F.lit('<link rel="canonical" href="https://host'),
+        F.pmod(i + 1, F.lit(7)).cast("string"),
+        F.lit(".example.com/p/"), i.cast("string"), F.lit('">'))
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when((F.pmod(i, F.lit(3)) == 1) & (i >= 7), link_same)
+        .when(F.pmod(i, F.lit(3)) == 2, link_cross)
+        .otherwise(F.lit("")),
+        F.lit("</head><body>b</body></html>"))
+    pages = d.select(i.alias("id"), url.alias("url"), html.alias("html"))
+    decl = F.nullif(
+        F.regexp_extract("html", r'(?i)<link\s+rel="canonical"\s+href="([^"]*)"', 1),
+        F.lit(""))
+    parsed = pages.select("id", "url", decl.alias("decl"))
+    h = lambda c: F.regexp_extract(c, "^https://([^/]+)", 1)  # noqa: E731
+    same_host = F.col("decl").isNotNull() & (h(F.col("decl")) == h(F.col("url")))
+    resolved = parsed.select(
+        "id", "url", "decl",
+        (F.col("decl").isNotNull() & ~same_host).alias("cross_host_ignored"),
+        F.when(same_host, F.col("decl")).otherwise(F.col("url"))
+            .alias("effective_url"),
+    )
+    return resolved.select(
+        "id", "url", "decl", "effective_url",
+        (F.col("effective_url") == F.col("url")).alias("is_self"),
+        "cross_host_ignored",
+        F.count("*").over(Window.partitionBy("effective_url"))
+            .cast("long").alias("n_folded"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# revisit_304 — conditional-GET revisit economics (If-None-Match / 304).
+# The freshness loop's bandwidth side: a recrawl sends the stored
+# validator (ETag = content digest from generation 0); unchanged pages
+# answer 304 Not Modified and cost headers only. Two deterministic
+# generations are synthesized from the documents text (gen 1 mutates
+# every 4th page); the rollup prices the revisit per host — the number
+# a scheduler uses to decide which hosts are cheap to keep fresh.
+# Pure column exprs + one hash groupBy; composes with warc_revisit
+# (digest-based WARC dedup) and stale_from_sitemap (who to revisit).
+# --------------------------------------------------------------------------- #
+@query(
+    "revisit_304",
+    """
+    WITH gens AS (
+        SELECT doc_id::BIGINT AS id,
+               'host' || (doc_id % 7)::VARCHAR || '.example.com' AS host,
+               text AS content_g0,
+               CASE WHEN doc_id % 4 = 0 THEN text || ' [updated]'
+                    ELSE text END AS content_g1
+        FROM documents
+    ),
+    probed AS (
+        SELECT id, host,
+               md5(content_g1) <> md5(content_g0) AS modified,
+               strlen(content_g1)::BIGINT AS nbytes
+        FROM gens
+    )
+    SELECT host,
+           count(*)::BIGINT AS n_urls,
+           sum(CASE WHEN modified THEN 1 ELSE 0 END)::BIGINT AS n_modified,
+           sum(CASE WHEN modified THEN 0 ELSE 1 END)::BIGINT AS n_not_modified,
+           sum(nbytes)::BIGINT AS bytes_full,
+           sum(CASE WHEN modified THEN 0 ELSE nbytes END)::BIGINT AS bytes_saved,
+           round(sum(CASE WHEN modified THEN 0 ELSE nbytes END)::DOUBLE
+                 / sum(nbytes)::DOUBLE, 6) AS saved_frac
+    FROM probed GROUP BY host
+    """,
+)
+def q_revisit_304(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    host = F.concat(F.lit("host"), F.pmod(i, F.lit(7)).cast("string"),
+                    F.lit(".example.com"))
+    g1 = F.when(F.pmod(i, F.lit(4)) == 0,
+                F.concat(F.col("text"), F.lit(" [updated]"))) \
+        .otherwise(F.col("text"))
+    probed = d.select(
+        host.alias("host"),
+        (F.md5(g1) != F.md5(F.col("text"))).alias("modified"),
+        F.octet_length(g1).cast("long").alias("nbytes"),
+    )
+    saved = F.sum(F.when(F.col("modified"), F.lit(0)).otherwise(F.col("nbytes")))
+    return probed.groupBy("host").agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.sum(F.when(F.col("modified"), 1).otherwise(0)).cast("long")
+            .alias("n_modified"),
+        F.sum(F.when(F.col("modified"), 0).otherwise(1)).cast("long")
+            .alias("n_not_modified"),
+        F.sum("nbytes").cast("long").alias("bytes_full"),
+        saved.cast("long").alias("bytes_saved"),
+        F.round(saved.cast("double") / F.sum("nbytes").cast("double"), 6)
+            .alias("saved_frac"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# dust_params — DUST-style URL-parameter irrelevance mining (Bar-Yossef
+# et al., "Do Not Crawl in the DUST: Different URLs with Similar Text",
+# WWW'07). A crawler that has fetched content digests can LEARN which
+# query parameters never change the content (session ids, click
+# trackers) and fold them out of canonicalization — shrinking the
+# frontier by whole factors. Evidence unit: a group of URLs identical
+# except for one parameter's value; the parameter is irrelevant on a
+# host iff every such group (above a support floor) collapses to one
+# digest. Synthesized corpus: content = f(host, id, page); 'session'
+# varies freely (irrelevant), 'page' changes content (violation),
+# 'id' never varies within its groups (insufficient support).
+# Shape: explode is bounded by params-per-URL (3); only slim
+# (host, param, rest_key) rows shuffle — two hash aggs, no self-join.
+# --------------------------------------------------------------------------- #
+DUST_MIN_SUPPORT = 5
+
+@query(
+    "dust_params",
+    f"""
+    WITH urls AS (
+        SELECT doc_id::BIGINT AS id,
+               'host' || (doc_id % 2)::VARCHAR || '.example.com' AS host,
+               'https://host' || (doc_id % 2)::VARCHAR
+                 || '.example.com/item?id=' || (doc_id % 5)::VARCHAR
+                 || '&page=' || (doc_id % 3)::VARCHAR
+                 || '&session=s' || (doc_id % 25)::VARCHAR AS url,
+               md5('c-' || (doc_id % 2)::VARCHAR || '-'
+                   || (doc_id % 5)::VARCHAR || '-'
+                   || (doc_id % 3)::VARCHAR) AS digest
+        FROM documents
+    ),
+    exploded AS (
+        SELECT host, digest,
+               string_split(url, '?')[1] AS path,
+               string_split(string_split(url, '?')[2], '&') AS pairs
+        FROM urls
+    ),
+    per_param AS (
+        SELECT host, digest, path, pairs, unnest(pairs) AS pair
+        FROM exploded
+    ),
+    keyed AS (
+        SELECT host,
+               string_split(pair, '=')[1] AS param,
+               string_split(pair, '=')[2] AS pval,
+               path || '?' || array_to_string(
+                   list_sort(list_filter(pairs, x -> x <> pair)), '&')
+                   AS rest_key,
+               digest
+        FROM per_param
+    ),
+    grouped AS (
+        SELECT host, param, rest_key,
+               count(DISTINCT pval) AS n_vals,
+               count(DISTINCT digest) AS n_digests
+        FROM keyed GROUP BY host, param, rest_key
+    )
+    SELECT host, param,
+           sum(CASE WHEN n_vals >= 2 THEN 1 ELSE 0 END)::BIGINT AS support,
+           sum(CASE WHEN n_vals >= 2 AND n_digests > 1 THEN 1 ELSE 0 END)::BIGINT
+               AS violations,
+           (sum(CASE WHEN n_vals >= 2 THEN 1 ELSE 0 END) >= {DUST_MIN_SUPPORT}
+            AND sum(CASE WHEN n_vals >= 2 AND n_digests > 1 THEN 1 ELSE 0 END) = 0)
+               AS irrelevant
+    FROM grouped GROUP BY host, param
+    """,
+)
+def q_dust_params(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    h2 = F.pmod(i, F.lit(2)).cast("string")
+    url = F.concat(
+        F.lit("https://host"), h2, F.lit(".example.com/item?id="),
+        F.pmod(i, F.lit(5)).cast("string"),
+        F.lit("&page="), F.pmod(i, F.lit(3)).cast("string"),
+        F.lit("&session=s"), F.pmod(i, F.lit(25)).cast("string"))
+    digest = F.md5(F.concat(
+        F.lit("c-"), h2, F.lit("-"), F.pmod(i, F.lit(5)).cast("string"),
+        F.lit("-"), F.pmod(i, F.lit(3)).cast("string")))
+    urls = d.select(
+        F.concat(F.lit("host"), h2, F.lit(".example.com")).alias("host"),
+        url.alias("url"), digest.alias("digest"))
+    qsplit = F.split(F.col("url"), r"\?")
+    exploded = urls.select(
+        "host", "digest",
+        qsplit.getItem(0).alias("path"),
+        F.split(qsplit.getItem(1), "&").alias("pairs"))
+    per_param = exploded.select(
+        "host", "digest", "path", "pairs",
+        F.explode("pairs").alias("pair"))
+    kv = F.split(F.col("pair"), "=")
+    rest = F.concat(
+        F.col("path"), F.lit("?"),
+        F.array_join(
+            F.array_sort(F.filter("pairs", lambda x: x != F.col("pair"))),
+            "&"))
+    keyed = per_param.select(
+        "host",
+        kv.getItem(0).alias("param"),
+        kv.getItem(1).alias("pval"),
+        rest.alias("rest_key"),
+        "digest")
+    grouped = keyed.groupBy("host", "param", "rest_key").agg(
+        F.countDistinct("pval").alias("n_vals"),
+        F.countDistinct("digest").alias("n_digests"))
+    support = F.sum(F.when(F.col("n_vals") >= 2, 1).otherwise(0))
+    violations = F.sum(
+        F.when((F.col("n_vals") >= 2) & (F.col("n_digests") > 1), 1).otherwise(0))
+    return grouped.groupBy("host", "param").agg(
+        support.cast("long").alias("support"),
+        violations.cast("long").alias("violations"),
+        ((support >= DUST_MIN_SUPPORT) & (violations == 0)).alias("irrelevant"))

@@ -123,6 +123,9 @@ _TAIL = [
     "host_budget_errors",
     "meta_robots",
     "trustrank",
+    "rel_canonical",
+    "revisit_304",
+    "dust_params",
 ]
 
 

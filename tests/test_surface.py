@@ -306,3 +306,54 @@ class TestWarcSink:
                                        "stream_id string, stream string")
             with _pytest.raises(Exception, match=msg):
                 parse_warc(df).collect()
+
+
+def test_rel_canonical_semantics(spark):
+    """Canonical folding obeys the production guards: cross-host
+    declarations are ignored (the hijack vector), folds are single-hop
+    (every fold target is itself self-canonical), and group counts
+    balance: every page lands in exactly one effective group."""
+    from crawl4ai_spark.queries.crawlops import q_rel_canonical
+
+    rows = q_rel_canonical(spark, "/root/testdata/sf0.001").collect()
+    by_id = {r.id: r for r in rows}
+    for r in rows:
+        if r.cross_host_ignored:
+            assert r.effective_url == r.url and r.is_self
+        if not r.is_self:
+            # single-hop: the target page declares nothing (self-canonical)
+            tgt = int(r.effective_url.rsplit("/", 1)[1])
+            assert by_id[tgt].is_self
+    # fold accounting: sum over distinct groups == page count
+    groups = {}
+    for r in rows:
+        groups[r.effective_url] = r.n_folded
+    assert sum(groups.values()) == len(rows)
+
+
+def test_dust_params_three_outcomes(spark):
+    """The miner separates the three evidence classes: session varies
+    freely and never changes the digest (irrelevant), page changes the
+    digest in-group (violations > 0, not irrelevant), id never varies
+    within its groups (support 0 — no rule either way)."""
+    from crawl4ai_spark.queries.crawlops import q_dust_params
+
+    rows = {(r.host, r.param): r
+            for r in q_dust_params(spark, "/root/testdata/sf0.01").collect()}
+    for host in ("host0.example.com", "host1.example.com"):
+        s, p, i = rows[(host, "session")], rows[(host, "page")], rows[(host, "id")]
+        assert s.irrelevant and s.violations == 0 and s.support >= 5
+        assert (not p.irrelevant) and p.violations > 0
+        assert i.support == 0 and not i.irrelevant
+
+
+def test_revisit_304_accounting(spark):
+    """Bandwidth ledger balances per host: saved + transferred == full,
+    and the 304 rate reflects the synthesized 1-in-4 mutation."""
+    from crawl4ai_spark.queries.crawlops import q_revisit_304
+
+    for r in q_revisit_304(spark, "/root/testdata/sf0.01").collect():
+        assert r.n_modified + r.n_not_modified == r.n_urls
+        assert 0 < r.n_modified < r.n_urls
+        assert 0.0 < r.saved_frac < 1.0
+        assert r.bytes_saved <= r.bytes_full
