@@ -84,6 +84,7 @@ class CrawlEngine:
         redirects: DataFrame | None = None,
         max_redirect_hops: int = 2,
         trap_templates: DataFrame | None = None,
+        nofollow_pages: DataFrame | None = None,
     ):
         self.spark = spark
         # NB: do NOT persist() the corpus — a deserialized nested-row cache
@@ -152,6 +153,14 @@ class CrawlEngine:
         # hex tokens → {h}) and dropped by a broadcast anti-join, the
         # same map-side shape as the domain/social excludes.
         self.trap_templates = trap_templates
+        # REP follow-gate (meta robots / X-Robots-Tag "nofollow"): page
+        # URLs whose OUTLINKS must not be followed — the page itself is
+        # still fetched and logged (robots.txt gates FETCHING; meta
+        # robots gates INDEXING/FOLLOWING — see the meta_robots query,
+        # its producer). Applied as a broadcast anti-join on the parent
+        # URL BEFORE the span explode, so a nofollow page costs zero
+        # link-extraction work.
+        self.nofollow_pages = nofollow_pages
         # size estimates for output partitioning (never for semantics);
         # reset + maintained by run() from per-round observations
         self._batch_est = max(1, len(cfg.seeds))
@@ -590,8 +599,16 @@ class CrawlEngine:
     def _extract_links(self, pages_batch: DataFrame, round_no: int) -> DataFrame:
         cfg = self.cfg
         xc = self._extract_cols()
+        parents = pages_batch.where(F.col("status") == "fetched")
+        if self.nofollow_pages is not None:
+            # follow-gate before the explode: nofollow parents contribute
+            # no outlinks at all (they stay fetched/logged/indexed)
+            nf = F.broadcast(
+                self.nofollow_pages.select(F.col("url").alias("_nf_url")))
+            parents = parents.join(
+                nf, parents["url"] == nf["_nf_url"], "left_anti")
         links = (
-            pages_batch.where(F.col("status") == "fetched")
+            parents
             .select(
                 F.col("url").alias("p_url"), F.col("host").alias("p_host"),
                 F.col("depth").alias("p_depth"), F.col("rank").alias("p_rank"),

@@ -866,3 +866,37 @@ def test_politeness_domain_key_with_salting(spark, corpus_dir, tmp_path):
             for p in o.pages]
     assert got == want
     assert {(r.url, r.state) for r in eng.url_seen().collect()} == set(o.seen.items())
+
+
+def test_nofollow_pages_gate_outlinks(spark, corpus_dir, tmp_path):
+    """REP follow-gate: a page in nofollow_pages is still FETCHED but
+    contributes no outlinks. Gating the seed collapses the crawl to the
+    seed alone; gating a non-cut page keeps every URL that has another
+    discovery path, and the result is always a subset of the base
+    crawl's reachable set."""
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    seeds = get_seeds(spark, corpus_dir)[:1]
+    cfg = lambda: CrawlConfig(seeds=list(seeds), max_pages=None, max_depth=3,
+                              max_rounds=30)
+    base = CrawlEngine(spark, docs, cfg(), str(tmp_path / "base"))
+    base.run()
+    base_urls = {r.url for r in base.pages().select("url").collect()}
+    assert len(base_urls) > 1
+
+    # gate the seed: only the seed itself is ever fetched
+    nf_seed = spark.createDataFrame([(seeds[0],)], ["url"])
+    eng = CrawlEngine(spark, docs, cfg(), str(tmp_path / "nf_seed"),
+                      nofollow_pages=nf_seed)
+    eng.run()
+    assert {r.url for r in eng.pages().select("url").collect()} == set(seeds)
+
+    # gate one non-seed page: it stays fetched, result is a subset, and
+    # anything lost is only reachable through the gated page
+    victim = sorted(u for u in base_urls if u not in seeds)[0]
+    nf_one = spark.createDataFrame([(victim,)], ["url"])
+    eng2 = CrawlEngine(spark, docs, cfg(), str(tmp_path / "nf_one"),
+                       nofollow_pages=nf_one)
+    eng2.run()
+    got = {r.url for r in eng2.pages().select("url").collect()}
+    assert victim in got
+    assert got <= base_urls
