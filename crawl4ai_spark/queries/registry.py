@@ -126,6 +126,7 @@ _TAIL = [
     "rel_canonical",
     "revisit_304",
     "dust_params",
+    "poisson_revisit",
 ]
 
 

@@ -563,3 +563,70 @@ def q_host_budget_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.lit(100) + F.pmod(i, F.lit(7)) * 50).cast("long").alias("budget"),
     ).distinct()
     return host_budgets_from_errors(pages, base)
+
+
+# --------------------------------------------------------------------------- #
+# poisson_revisit — bias-corrected change-frequency estimation (Cho &
+# Garcia-Molina, "Estimating Frequency of Change", TOIT'03). The naive
+# X/n change rate recrawl_schedule uses UNDERESTIMATES λ: several
+# changes between two polls are observed as one. The repeated-access
+# estimator λ̂ = -ln((n - X + 0.5)/(n + 0.5)) / I corrects the bias and
+# stays finite at X = n (a page that changed every poll). From λ̂ the
+# scheduler derives the revisit interval that sustains a target
+# freshness P(unchanged at revisit) ≥ 0.8: t* = -ln(0.8)/λ̂, capped.
+# Pure column arithmetic — one projection, no shuffle at all; ln is
+# cross-engine-stable here exactly as in the BM25/DSIR oracles.
+# --------------------------------------------------------------------------- #
+REVISIT_TARGET_C = 0.2231435513142097   # -ln(0.8), inlined in BOTH dialects
+REVISIT_CAP_H = 720.0                   # 30 days: the λ→0 fallback
+
+
+@query(
+    "poisson_revisit",
+    f"""
+    WITH polls AS (
+        SELECT doc_id::BIGINT AS id,
+               'https://host' || (doc_id % 7)::VARCHAR || '.example.com/p/'
+                   || doc_id::VARCHAR AS url,
+               (4 + doc_id % 13)::BIGINT AS n_polls,
+               (doc_id % (4 + doc_id % 13 + 1))::BIGINT AS n_changed,
+               (1 + doc_id % 5)::DOUBLE AS interval_h
+        FROM documents
+    ),
+    est AS (
+        SELECT url, n_polls, n_changed, interval_h,
+               round(-ln((n_polls - n_changed + 0.5::DOUBLE)
+                         / (n_polls + 0.5::DOUBLE)) / interval_h, 9)
+                   AS lambda_per_h
+        FROM polls
+    )
+    SELECT url, n_polls, n_changed, interval_h, lambda_per_h,
+           round(CASE WHEN lambda_per_h > 0.0
+                      THEN least({REVISIT_CAP_H!r}::DOUBLE,
+                                 {REVISIT_TARGET_C!r}::DOUBLE / lambda_per_h)
+                      ELSE {REVISIT_CAP_H!r}::DOUBLE END, 6) AS revisit_h
+    FROM est
+    """,
+)
+def q_poisson_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    n = (F.lit(4) + F.pmod(i, F.lit(13))).cast("long")
+    x = F.pmod(i, n + 1).cast("long")
+    iv = (F.lit(1) + F.pmod(i, F.lit(5))).cast("double")
+    polls = d.select(
+        F.concat(F.lit("https://host"), F.pmod(i, F.lit(7)).cast("string"),
+                 F.lit(".example.com/p/"), i.cast("string")).alias("url"),
+        n.alias("n_polls"), x.alias("n_changed"), iv.alias("interval_h"))
+    lam = F.round(
+        -F.log((F.col("n_polls") - F.col("n_changed") + F.lit(0.5))
+               / (F.col("n_polls") + F.lit(0.5))) / F.col("interval_h"), 9)
+    est = polls.select("url", "n_polls", "n_changed", "interval_h",
+                       lam.alias("lambda_per_h"))
+    return est.select(
+        "url", "n_polls", "n_changed", "interval_h", "lambda_per_h",
+        F.round(
+            F.when(F.col("lambda_per_h") > 0.0,
+                   F.least(F.lit(REVISIT_CAP_H),
+                           F.lit(REVISIT_TARGET_C) / F.col("lambda_per_h")))
+            .otherwise(F.lit(REVISIT_CAP_H)), 6).alias("revisit_h"))

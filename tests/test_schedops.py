@@ -210,3 +210,39 @@ def test_error_budget_feedback_loop(spark, corpus_dir, tmp_path):
     for g in grants:
         if g.budget is not None:
             assert g["count"] <= g.budget, (g.host, g.fetch_round)
+
+
+def test_poisson_revisit_semantics(spark):
+    """Estimator invariants: X=0 → λ=0 → capped interval; λ strictly
+    increases with X at fixed (n, poll interval) and stays finite at
+    X=n (the +0.5 correction); revisit interval decreases as λ grows
+    and never exceeds the cap."""
+    import math
+
+    from crawl4ai_spark.queries.schedops import (
+        REVISIT_CAP_H, REVISIT_TARGET_C, q_poisson_revisit)
+
+    rows = q_poisson_revisit(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_key = {}
+    for r in rows:
+        assert 0.0 < r.revisit_h <= REVISIT_CAP_H
+        if r.n_changed == 0:
+            assert r.lambda_per_h == 0.0 and r.revisit_h == REVISIT_CAP_H
+        else:
+            # closed-form check against the paper's estimator
+            lam = -math.log((r.n_polls - r.n_changed + 0.5)
+                            / (r.n_polls + 0.5)) / r.interval_h
+            assert abs(r.lambda_per_h - lam) < 1e-6
+            assert abs(r.revisit_h
+                       - min(REVISIT_CAP_H, REVISIT_TARGET_C / r.lambda_per_h)) < 1e-4
+        by_key.setdefault((r.n_polls, r.interval_h), []).append(r)
+    monotone_checked = 0
+    for grp in by_key.values():
+        grp.sort(key=lambda r: r.n_changed)
+        for a, b in zip(grp, grp[1:]):
+            if a.n_changed < b.n_changed:
+                assert a.lambda_per_h < b.lambda_per_h
+                assert a.revisit_h >= b.revisit_h
+                monotone_checked += 1
+    assert monotone_checked > 0
