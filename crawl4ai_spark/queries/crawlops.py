@@ -1896,3 +1896,97 @@ def q_dust_params(spark: SparkSession, sf_dir: str) -> DataFrame:
         support.cast("long").alias("support"),
         violations.cast("long").alias("violations"),
         ((support >= DUST_MIN_SUPPORT) & (violations == 0)).alias("irrelevant"))
+
+
+# --------------------------------------------------------------------------- #
+# hreflang_reciprocal — rel="alternate" hreflang annotation validation.
+# Indexers only honor an hreflang pair when it is RECIPROCAL (A lists B
+# and B lists A) — one-way annotations are dropped, the documented
+# Google Search behavior and the #1 real-world hreflang bug. The
+# synthesized corpus builds 3-language clusters (en/de/fr) where every
+# 5th cluster's 'en' page omits its link to 'de' (the asymmetry), and
+# the tail cluster dangles into a nonexistent page (annotation to a URL
+# the crawl never fetched). Shape: the annotation edge list self-joins
+# once on the flipped key (src,dst)=(dst,src) — a slim equi-join that
+# co-partitions on the join key — then one hash agg per page.
+# --------------------------------------------------------------------------- #
+@query(
+    "hreflang_reciprocal",
+    """
+    WITH members AS (
+        SELECT doc_id::BIGINT AS id,
+               (doc_id // 3)::BIGINT AS c,
+               (doc_id % 3)::BIGINT AS pos
+        FROM documents
+    ),
+    edges AS (
+        SELECT m.id,
+               'https://host' || (m.c % 7)::VARCHAR || '.example.com/'
+                 || (CASE m.pos WHEN 0 THEN 'en' WHEN 1 THEN 'de' ELSE 'fr' END)
+                 || '/p/' || m.c::VARCHAR AS src,
+               (CASE m.pos WHEN 0 THEN 'en' WHEN 1 THEN 'de' ELSE 'fr' END)
+                   AS lang,
+               'https://host' || (m.c % 7)::VARCHAR || '.example.com/'
+                 || (CASE (m.pos + k.k) % 3
+                       WHEN 0 THEN 'en' WHEN 1 THEN 'de' ELSE 'fr' END)
+                 || '/p/' || m.c::VARCHAR AS dst
+        FROM members m, (SELECT unnest([1, 2]) AS k) k
+        -- targets may be phantom pages (the tail cluster): the
+        -- annotation is still emitted, and reciprocity fails naturally
+        -- because a page that does not exist emits nothing
+    ),
+    real_edges AS (
+        -- only pages that EXIST emit annotations; targets may dangle
+        SELECT e.* FROM edges e
+        WHERE NOT ((e.id // 3) % 5 = 0 AND e.id % 3 = 0
+                   AND e.dst LIKE '%/de/%')
+    ),
+    recip AS (
+        SELECT a.src, a.lang, a.dst,
+               b.src IS NOT NULL AS reciprocal
+        FROM real_edges a
+        LEFT JOIN real_edges b ON b.src = a.dst AND b.dst = a.src
+    )
+    SELECT src AS url, lang,
+           count(*)::BIGINT AS n_declared,
+           sum(CASE WHEN reciprocal THEN 1 ELSE 0 END)::BIGINT AS n_reciprocal,
+           (count(*) = sum(CASE WHEN reciprocal THEN 1 ELSE 0 END))
+               AS fully_reciprocal
+    FROM recip GROUP BY src, lang
+    """,
+)
+def q_hreflang_reciprocal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    members = d.select(i.alias("id"), (i / 3).cast("long").alias("c"),
+                       F.pmod(i, F.lit(3)).alias("pos"))
+    lang_of = lambda p: (F.when(p == 0, "en").when(p == 1, "de")  # noqa: E731
+                         .otherwise("fr"))
+    url_of = lambda c, p: F.concat(  # noqa: E731
+        F.lit("https://host"), F.pmod(c, F.lit(7)).cast("string"),
+        F.lit(".example.com/"), lang_of(p), F.lit("/p/"), c.cast("string"))
+    ks = members.select("id", "c", "pos",
+                        F.explode(F.array(F.lit(1), F.lit(2))).alias("k"))
+    dst_pos = F.pmod(F.col("pos") + F.col("k"), F.lit(3))
+    edges = ks.select(
+        "id",
+        url_of(F.col("c"), F.col("pos")).alias("src"),
+        lang_of(F.col("pos")).alias("lang"),
+        url_of(F.col("c"), dst_pos).alias("dst"))
+    real_edges = edges.where(
+        ~((F.pmod((F.col("id") / 3).cast("long"), F.lit(5)) == 0)
+          & (F.pmod(F.col("id"), F.lit(3)) == 0)
+          & F.col("dst").contains("/de/")))
+    a = real_edges.alias("a")
+    b = real_edges.select(F.col("src").alias("_bs"),
+                          F.col("dst").alias("_bd")).alias("b")
+    recip = a.join(
+        b, (F.col("_bs") == F.col("a.dst")) & (F.col("_bd") == F.col("a.src")),
+        "left").select(
+        F.col("a.src").alias("src"), F.col("a.lang").alias("lang"),
+        F.col("_bs").isNotNull().alias("reciprocal"))
+    nrec = F.sum(F.when(F.col("reciprocal"), 1).otherwise(0))
+    return recip.groupBy(F.col("src").alias("url"), "lang").agg(
+        F.count("*").cast("long").alias("n_declared"),
+        nrec.cast("long").alias("n_reciprocal"),
+        (F.count("*") == nrec).alias("fully_reciprocal"))

@@ -127,6 +127,7 @@ _TAIL = [
     "revisit_304",
     "dust_params",
     "poisson_revisit",
+    "hreflang_reciprocal",
 ]
 
 

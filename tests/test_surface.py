@@ -357,3 +357,38 @@ def test_revisit_304_accounting(spark):
         assert 0 < r.n_modified < r.n_urls
         assert 0.0 < r.saved_frac < 1.0
         assert r.bytes_saved <= r.bytes_full
+
+
+def test_hreflang_reciprocity_classes(spark):
+    """The validator separates the three annotation classes the fixture
+    builds: intact clusters are fully reciprocal; every 5th cluster's
+    en-de pair drops BOTH directions (en omits de, so de's annotation
+    to en is one-way) while en-fr and de-fr survive; annotations into
+    phantom pages are never reciprocated."""
+    from crawl4ai_spark.queries.crawlops import q_hreflang_reciprocal
+
+    rows = {r.url: r for r in
+            q_hreflang_reciprocal(spark, "/root/testdata/sf0.01").collect()}
+    n_docs = 500
+    full_clusters = n_docs // 3
+    broken = asymmetric = intact = 0
+    for url, r in rows.items():
+        c = int(url.rsplit("/", 1)[1])
+        if c >= full_clusters:       # tail cluster: phantom fr member
+            assert not r.fully_reciprocal
+            continue
+        if c % 5 == 0 and r.lang == "en":
+            # omitted its de link: declares 1 (fr), reciprocal 1
+            assert r.n_declared == 1 and r.n_reciprocal == 1
+            assert r.fully_reciprocal
+            broken += 1
+        elif c % 5 == 0 and r.lang == "de":
+            # declares 2 but en never links back: one-way dropped
+            assert r.n_declared == 2 and r.n_reciprocal == 1
+            assert not r.fully_reciprocal
+            asymmetric += 1
+        else:
+            assert r.n_declared == 2 and r.n_reciprocal == 2
+            assert r.fully_reciprocal
+            intact += 1
+    assert broken and asymmetric and intact
