@@ -1359,3 +1359,111 @@ def q_dedup_intradoc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "\n",
         ).alias("kept_text"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# cdc_dedup — content-defined chunking dedup (rolling-hash boundaries,
+# the rsync/LBFS/FastCDC family). Fixed-window substring dedup
+# (dedup_substring) shifts ALL window hashes after one token insertion;
+# CDC cuts chunks where a w-token rolling hash hits a mask, so
+# boundaries re-synchronize right after an edit and shared suffixes
+# still dedup. On the dedup corpus the exact-duplicate docs share every
+# chunk and the appended-tail near-dups share every chunk but the last.
+# Whole pipeline is array HOFs in the scan projection (one md5 per
+# token, arithmetic < 2^46 so Spark LONG and DuckDB BIGINT agree), then
+# one explode + one hash groupBy on the chunk string — only (chunk,
+# doc) rows shuffle, never token arrays. No min/max chunk clamps (the
+# production FastCDC refinement) — documented simplification; the mask
+# sets the MEAN chunk at 2^CDC_MASK_BITS tokens.
+# --------------------------------------------------------------------------- #
+CDC_W = 3            # rolling window (tokens)
+CDC_MASK = 7         # boundary when r % 8 == 0 → mean chunk ~8 tokens
+
+
+def _cdc_sql() -> str:
+    m = H.MERSENNE31
+    h = H.h60_sql("w")
+    return f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    toks AS (
+        SELECT id, {T.tokens_sql('text')} AS tk FROM corpus
+    ),
+    hashed AS (
+        SELECT id, tk, list_transform(tk, w -> {h} % {m}) AS hs,
+               len(tk) AS n
+        FROM toks WHERE len(tk) >= 1
+    ),
+    cut AS (
+        SELECT id, tk, n,
+               list_prepend(0::BIGINT, list_append(
+                   list_filter(generate_series(3::BIGINT, n::BIGINT),
+                       i -> (hs[i-2] * 961 + hs[i-1] * 31 + hs[i]) % {m}
+                                % {CDC_MASK + 1} = 0
+                            AND i < n),
+                   n::BIGINT)) AS cuts
+        FROM hashed
+    ),
+    chunks AS (
+        SELECT id,
+               unnest(list_transform(generate_series(2, len(cuts)),
+                   j -> array_to_string(
+                       list_slice(tk, (cuts[j-1] + 1)::BIGINT,
+                                  cuts[j]::BIGINT), ' '))) AS chunk
+        FROM cut
+    )
+    SELECT chunk,
+           len({T.tokens_sql('chunk')})::BIGINT AS n_tokens,
+           count(*)::BIGINT AS n_total,
+           count(DISTINCT id)::BIGINT AS n_docs,
+           min(id)::BIGINT AS first_doc
+    FROM chunks GROUP BY chunk
+    """
+
+
+def cdc_chunks(docs: DataFrame) -> DataFrame:
+    """(id, text) → one row per (id, chunk) under content-defined
+    boundaries — the reusable core of cdc_dedup (tests drive it on a
+    controlled corpus to pin the boundary re-synchronization property)."""
+    m = F.lit(H.MERSENNE31)
+    tk = T.tokens(F.col("text"))
+    hashed = docs.select("id", tk.alias("tk")).where(F.size("tk") >= 1).select(
+        "id", "tk",
+        F.transform("tk", lambda w: F.pmod(H.h60(w), m)).alias("hs"),
+        F.size("tk").cast("long").alias("n"))
+    # 1-based rolling positions i in [3, n); F.get is 0-based
+    roll = lambda hs, i: F.pmod(  # noqa: E731
+        F.get(hs, i - 3) * 961 + F.get(hs, i - 2) * 31 + F.get(hs, i - 1), m)
+    bnds = F.when(
+        F.col("n") >= 3,
+        F.filter(
+            F.sequence(F.lit(3).cast("long"), F.col("n")),
+            lambda i: (F.pmod(roll(F.col("hs"), i), F.lit(CDC_MASK + 1)) == 0)
+                      & (i < F.col("n")),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    cut = hashed.select(
+        "id", "tk", "n",
+        F.concat(F.array(F.lit(0).cast("long")), bnds,
+                 F.array(F.col("n"))).alias("cuts"))
+    chunk_of = lambda j: F.array_join(  # noqa: E731
+        F.slice(F.col("tk"), (F.get(F.col("cuts"), j - 2) + 1).cast("int"),
+                (F.get(F.col("cuts"), j - 1)
+                 - F.get(F.col("cuts"), j - 2)).cast("int")), " ")
+    return cut.select(
+        "id",
+        F.explode(F.transform(
+            F.sequence(F.lit(2), F.size("cuts")),
+            lambda j: chunk_of(j))).alias("chunk"))
+
+
+@query("cdc_dedup", _cdc_sql())
+def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = cdc_chunks(_corpus(spark, sf_dir))
+    return chunks.groupBy("chunk").agg(
+        F.count("*").cast("long").alias("n_total"),
+        F.countDistinct("id").cast("long").alias("n_docs"),
+        F.min("id").cast("long").alias("first_doc"),
+    ).select(
+        "chunk",
+        F.size(T.tokens(F.col("chunk"))).cast("long").alias("n_tokens"),
+        "n_total", "n_docs", "first_doc")

@@ -128,6 +128,7 @@ _TAIL = [
     "dust_params",
     "poisson_revisit",
     "hreflang_reciprocal",
+    "cdc_dedup",
 ]
 
 

@@ -512,3 +512,32 @@ def test_script_detect_dominants(spark):
             assert r.n_greek == 0 and r.n_cjk == 0
         if r.id % 4 == 2:
             assert r.n_cyrillic == 0 and r.n_cjk == 0
+
+
+def test_cdc_boundary_resynchronization(spark):
+    """The CDC property fixed windows lack: after a front insertion,
+    chunk boundaries re-synchronize and the tail chunks still dedup.
+    Doc B = one junk token + doc A's text; beyond the perturbation
+    window every A-chunk re-appears verbatim in B. Also: an appended
+    tail changes only the final chunk (the near-dup corpus shape)."""
+    from crawl4ai_spark.queries.pipelineops import cdc_chunks
+
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliett kilo lima mike november oscar papa quebec romeo "
+            "sierra tango uniform victor whiskey xray yankee zulu "
+            "one two three four five six seven eight nine ten")
+    docs = spark.createDataFrame(
+        [(1, base), (2, "INSERTED " + base), (3, base + " APPENDED")],
+        "id long, text string")
+    rows = cdc_chunks(docs).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.id, []).append(r.chunk)
+    a, b, c = by_doc[1], by_doc[2], by_doc[3]
+    # each doc reassembles exactly from its chunks (no token lost)
+    assert " ".join(a) == base and " ".join(c) == base + " APPENDED"
+    # front insertion: all A-chunks after the first boundary survive in B
+    shared_ab = set(a) & set(b)
+    assert len(shared_ab) >= len(a) - 1 and len(a) >= 3
+    # appended tail: only A's final chunk can differ from C's chunks
+    assert set(a[:-1]) <= set(c)
