@@ -1990,3 +1990,83 @@ def q_hreflang_reciprocal(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_declared"),
         nrec.cast("long").alias("n_reciprocal"),
         (F.count("*") == nrec).alias("fully_reciprocal"))
+
+
+# --------------------------------------------------------------------------- #
+# soft404_detect — probe-signature soft-404 detection (Bar-Yossef et
+# al., "Sic Transit Gloria Telae", WWW'04). Hosts that answer missing
+# URLs with HTTP 200 + an error page poison the crawl (every dead link
+# "succeeds" and gets indexed). The classic detector: fetch a
+# known-nonexistent probe URL per host, then flag any 200-page whose
+# content is near-identical to the host's probe response. Synthesized
+# corpus: every 9th page serves its host's error template (plus noise
+# tokens); detection is token-set Jaccard against the probe, joined via
+# the 7-row probe table — a broadcast join, zero shuffle of page rows.
+# --------------------------------------------------------------------------- #
+SOFT404_JACCARD = 0.6
+
+
+@query(
+    "soft404_detect",
+    f"""
+    WITH pages AS (
+        SELECT doc_id::BIGINT AS id,
+               'host' || (doc_id % 7)::VARCHAR || '.example.com' AS host,
+               CASE WHEN doc_id % 9 = 0
+                    THEN 'error 404 page not found on host'
+                         || (doc_id % 7)::VARCHAR
+                         || ' try the homepage ref' || (doc_id % 3)::VARCHAR
+                    ELSE text END AS content
+        FROM documents
+    ),
+    probes AS (
+        SELECT DISTINCT 'host' || (doc_id % 7)::VARCHAR || '.example.com'
+                   AS host,
+               'error 404 page not found on host' || (doc_id % 7)::VARCHAR
+                   || ' try the homepage' AS probe
+        FROM documents
+    ),
+    toksed AS (
+        SELECT p.id, p.host,
+               list_distinct({T.tokens_sql('p.content')}) AS pt,
+               list_distinct({T.tokens_sql('r.probe')}) AS rt
+        FROM pages p JOIN probes r USING (host)
+    ),
+    scored AS (
+        SELECT id, host,
+               round(len(list_intersect(pt, rt))::DOUBLE
+                     / len(list_distinct(list_concat(pt, rt)))::DOUBLE,
+                     6) AS jaccard
+        FROM toksed
+    )
+    SELECT id, host, jaccard,
+           jaccard >= {SOFT404_JACCARD!r} AS is_soft404
+    FROM scored
+    """,
+)
+def q_soft404_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    h = F.pmod(i, F.lit(7)).cast("string")
+    host = F.concat(F.lit("host"), h, F.lit(".example.com"))
+    content = F.when(
+        F.pmod(i, F.lit(9)) == 0,
+        F.concat(F.lit("error 404 page not found on host"), h,
+                 F.lit(" try the homepage ref"),
+                 F.pmod(i, F.lit(3)).cast("string"))
+    ).otherwise(F.col("text"))
+    pages = d.select(i.alias("id"), host.alias("host"),
+                     content.alias("content"))
+    probes = d.select(
+        host.alias("host"),
+        F.concat(F.lit("error 404 page not found on host"), h,
+                 F.lit(" try the homepage")).alias("probe"),
+    ).distinct()
+    pt = F.array_distinct(T.tokens(F.col("content")))
+    rt = F.array_distinct(T.tokens(F.col("probe")))
+    jac = F.round(
+        F.size(F.array_intersect(pt, rt)).cast("double")
+        / F.size(F.array_union(pt, rt)).cast("double"), 6)
+    return pages.join(F.broadcast(probes), "host").select(
+        "id", "host", jac.alias("jaccard"),
+        (jac >= F.lit(SOFT404_JACCARD)).alias("is_soft404"))

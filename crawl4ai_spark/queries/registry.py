@@ -129,6 +129,7 @@ _TAIL = [
     "poisson_revisit",
     "hreflang_reciprocal",
     "cdc_dedup",
+    "soft404_detect",
 ]
 
 

@@ -392,3 +392,20 @@ def test_hreflang_reciprocity_classes(spark):
             assert r.fully_reciprocal
             intact += 1
     assert broken and asymmetric and intact
+
+
+def test_soft404_classes(spark):
+    """Probe-match detection separates the classes exactly: every 9th
+    page (the host error template + noise) is flagged with high
+    Jaccard; every real page scores far below the threshold."""
+    from crawl4ai_spark.queries.crawlops import (SOFT404_JACCARD,
+                                                 q_soft404_detect)
+
+    rows = q_soft404_detect(spark, "/root/testdata/sf0.01").collect()
+    flagged = {r.id for r in rows if r.is_soft404}
+    assert flagged == {r.id for r in rows if r.id % 9 == 0}
+    for r in rows:
+        if r.id % 9 == 0:
+            assert r.jaccard >= SOFT404_JACCARD
+        else:
+            assert r.jaccard < 0.3
