@@ -80,6 +80,14 @@ class CrawlConfig:
     # dedup exchange; the sequential oracle mirrors both.
     max_url_length: int | None = None
     max_path_segments: int | None = None
+    # DUST feedback (queries/crawlops.dust_params is the learner):
+    # query-parameter names stripped during URL canonicalization — the
+    # content-irrelevant params (session ids, click trackers) whose
+    # aliases would otherwise multiply the frontier. Applied everywhere
+    # the engine canonicalizes (seeds, discovered links, reopen/forget
+    # inputs), so aliases fold in the URL-seen set; a URL whose every
+    # param is stripped folds onto its bare path.
+    strip_params: tuple[str, ...] | None = None
     round_size: int | None = None     # fetches per round; 1 = sequential conformance
     # track_order=True assigns exact global crawl ranks (off = throughput
     # mode). Scale guard: dfs/best_first with track_order and NO

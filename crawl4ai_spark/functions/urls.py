@@ -61,12 +61,20 @@ def canonicalize_sql(url_expr: str, dialect: str = "spark") -> str:
     return f"(CASE WHEN {scheme} = '' THEN lower(trim({url_expr})) ELSE {canon} END)"
 
 
-def canonicalize(url: Column | str) -> Column:
+def canonicalize(url: Column | str,
+                 strip_params: tuple[str, ...] | None = None) -> Column:
     """Spark Column: canonical form of a URL column.
 
     Column-API mirror of ``canonicalize_sql`` (tests assert the Spark,
     DuckDB and Python forms agree on a corpus of tricky URLs). All
     built-in string functions — stays inside whole-stage codegen.
+
+    ``strip_params``: query-parameter names dropped BEFORE the sorted
+    rebuild — the content-irrelevant parameters (session ids, click
+    trackers) a dust_params run learns, applied at canonicalization so
+    aliases fold in the URL-seen set instead of multiplying the
+    frontier. A URL whose every parameter is stripped canonicalizes to
+    its bare path (no dangling '?').
     """
     c = F.col(url) if isinstance(url, str) else url
     nf = F.regexp_replace(c, "#.*$", "")
@@ -83,8 +91,14 @@ def canonicalize(url: Column | str) -> Column:
         .when((scheme == "https") & (port == "443"), F.lit(""))
         .otherwise(F.concat(F.lit(":"), port))
     )
-    qpart = F.when(query == "", F.lit("")).otherwise(
-        F.concat(F.lit("?"), F.array_join(F.array_sort(F.split(query, "&")), "&"))
+    pairs = F.split(query, "&")
+    if strip_params:
+        keep = list(strip_params)
+        pairs = F.filter(
+            pairs, lambda p: ~F.get(F.split(p, "="), 0).isin(keep))
+    sorted_q = F.array_join(F.array_sort(pairs), "&")
+    qpart = F.when((query == "") | (sorted_q == ""), F.lit("")).otherwise(
+        F.concat(F.lit("?"), sorted_q)
     )
     canon = F.concat(scheme, F.lit("://"), host, portpart, path, qpart)
     return F.when(scheme == "", F.lower(F.trim(c))).otherwise(canon)

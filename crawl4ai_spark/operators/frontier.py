@@ -191,7 +191,8 @@ class CrawlEngine:
         seeds = self.spark.createDataFrame(
             [(u, i) for i, u in enumerate(cfg.seeds)], ["raw_url", "seed_idx"]
         )
-        seeds = seeds.select(canonicalize("raw_url").alias("url"), "seed_idx")
+        seeds = seeds.select(
+            canonicalize("raw_url", cfg.strip_params).alias("url"), "seed_idx")
         seeds = self._resolve_redirects(seeds)  # F12: seed on the FINAL url
         w = Window.partitionBy("url").orderBy(F.col("seed_idx").asc())
         seeds = seeds.withColumn("_r", F.row_number().over(w)).where(F.col("_r") == 1)
@@ -582,7 +583,7 @@ class CrawlEngine:
             self._xc = {
                 "explode": F.posexplode(
                     F.filter("spans", lambda s: s["kind"] == "link")).alias("_i", "s"),
-                "canon": canonicalize(F.col("href")),
+                "canon": canonicalize(F.col("href"), cfg.strip_params),
                 "host": url_host(u).alias("host"),
                 "u_path": url_path(u).alias("u_path"),
                 "score": sc.alias("score"),
@@ -1183,7 +1184,8 @@ class CrawlEngine:
         log = self.frontier_tbl.read(spark)
         if log is None:
             return 0
-        want = due.select(canonicalize("url").alias("url")).distinct()
+        want = due.select(
+            canonicalize("url", self.cfg.strip_params).alias("url")).distinct()
         hist = log.join(F.broadcast(want), "url", "left_semi")
         # one row per url (the log may already carry re-dispatch rows):
         # first-discovery metadata wins, deterministically
@@ -1259,7 +1261,8 @@ class CrawlEngine:
         ck = self.ckp.latest()
         if ck is None:
             raise ValueError("forget() requires a checkpointed crawl — run() first")
-        want = urls.select(canonicalize("url").alias("url")).distinct()
+        want = urls.select(
+            canonicalize("url", self.cfg.strip_params).alias("url")).distinct()
         log = self.frontier_tbl.read(spark)
         blocked = self.seen_tbl.read(spark)
         pool = None if log is None else log.select("url", "url_hash")

@@ -900,3 +900,29 @@ def test_nofollow_pages_gate_outlinks(spark, corpus_dir, tmp_path):
     got = {r.url for r in eng2.pages().select("url").collect()}
     assert victim in got
     assert got <= base_urls
+
+
+def test_strip_params_folds_aliases(spark, corpus_dir, tmp_path):
+    """DUST loop closed in the engine: with strip_params on, the
+    fixture's query-param link variants fold onto their bare path in
+    the URL-seen set — the crawl reaches exactly the baseline's URL set
+    modulo '?a=..&b=..' suffixes, fetches no parameterized URL, and
+    never fetches a fold group twice."""
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    seeds = get_seeds(spark, corpus_dir)[:1]
+    mk = lambda **kw: CrawlConfig(seeds=list(seeds), max_pages=None,
+                                  max_depth=4, max_rounds=40, **kw)
+    base = CrawlEngine(spark, docs, mk(), str(tmp_path / "base"))
+    base.run()
+    base_urls = {r.url for r in base.pages().select("url").collect()}
+    param_urls = {u for u in base_urls if "?" in u}
+    assert param_urls, "fixture must produce query-param variants"
+
+    eng = CrawlEngine(spark, docs, mk(strip_params=("a", "b")),
+                      str(tmp_path / "strip"))
+    eng.run()
+    got = {r.url for r in eng.pages().select("url").collect()}
+    assert all("?" not in u for u in got)
+    assert got == {u.split("?")[0] for u in base_urls}
+    # the seen set folded: strictly fewer distinct URLs than baseline
+    assert eng.url_seen().count() < base.url_seen().count()

@@ -274,3 +274,26 @@ def test_registrable_domain_psl_rules(spark):
     (r,) = ip_like.select(
         F.expr(registrable_domain_sql("host", "spark")).alias("d")).collect()
     assert r.d == "example.com"
+
+
+def test_canonicalize_strip_params(spark):
+    """DUST feedback in canonicalization: stripped params are removed
+    before the sorted rebuild, full-strip leaves no dangling '?', and
+    kept params still sort."""
+    from crawl4ai_spark.functions.urls import canonicalize
+
+    cases = [
+        ("https://A.com/p?b=2&session=x&a=1", "https://a.com/p?a=1&b=2"),
+        ("https://a.com/p?session=x", "https://a.com/p"),
+        ("https://a.com/p?session=x&utm=y", "https://a.com/p"),
+        ("https://a.com/p", "https://a.com/p"),
+        ("https://a.com/p?sessions=keepme", "https://a.com/p?sessions=keepme"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["u"])
+    got = [r.c for r in df.select(
+        canonicalize("u", ("session", "utm")).alias("c")).collect()]
+    assert got == [want for _, want in cases]
+    # None leaves behavior byte-identical to the un-parameterized form
+    plain = [r.c for r in df.select(canonicalize("u").alias("c")).collect()]
+    noop = [r.c for r in df.select(canonicalize("u", None).alias("c")).collect()]
+    assert plain == noop
