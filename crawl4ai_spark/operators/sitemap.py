@@ -35,6 +35,7 @@ _BLOCK_RX = r"(?s)<(?:url|sitemap)>.*?</(?:url|sitemap)>"
 _LOC_RX = r"(?s)<loc>\s*(.*?)\s*</loc>"
 _LASTMOD_RX = r"(?s)<lastmod>\s*(.*?)\s*</lastmod>"
 _PRIORITY_RX = r"(?s)<priority>\s*(.*?)\s*</priority>"
+_CHANGEFREQ_RX = r"(?s)<changefreq>\s*(.*?)\s*</changefreq>"
 
 # The five predefined XML entities plus their numeric character
 # references (&#38; / &#x26; are equally legal escapes for '&' in <loc>
@@ -66,7 +67,7 @@ def parse_sitemaps(sitemaps: DataFrame, host_col: str = "host",
 
     Returns (src_host, kind: 'url'|'sitemap', pos: int block order
     within the file, url: canonical, lastmod: string|null,
-    priority: double|null). Blocks without a ``<loc>`` are dropped
+    priority: double|null, changefreq: string|null). Blocks without a ``<loc>`` are dropped
     (protocol requires one). ONE regexp pass + one posexplode_outer per
     document — a 50 MB / 50k-entry sitemap is scanned once, with the
     block's leading tag deciding its kind."""
@@ -80,6 +81,8 @@ def parse_sitemaps(sitemaps: DataFrame, host_col: str = "host",
     priority = F.nullif(
         F.regexp_extract(b, _PRIORITY_RX, 1), F.lit("")
     ).try_cast("double")
+    changefreq = F.nullif(
+        F.lower(F.trim(F.regexp_extract(b, _CHANGEFREQ_RX, 1))), F.lit(""))
     kind = F.when(b.startswith("<url>"), F.lit("url")).otherwise(F.lit("sitemap"))
     return (
         sitemaps.select(
@@ -93,6 +96,7 @@ def parse_sitemaps(sitemaps: DataFrame, host_col: str = "host",
             canonicalize(loc).alias("url"),
             lastmod.alias("lastmod"),
             priority.alias("priority"),
+            changefreq.alias("changefreq"),
         )
         .where(F.col("url").isNotNull())
     )
@@ -149,4 +153,42 @@ def stale_from_sitemap(parsed: DataFrame, fetch_log: DataFrame,
         sm.join(fl, "url")
         .where(F.col("lastmod_date") > F.col("_fd"))
         .select("url", "lastmod_date", F.col("_fd").alias("fetched_date"))
+    )
+
+
+# sitemap changefreq → Poisson change-rate prior (changes per hour).
+# The protocol's enum maps to 1/period; 'always' is pinned to one
+# change per minute (the spec says "every time the page is accessed" —
+# any finite stand-in works as a prior) and 'never' to 0. Values
+# outside the enum get no prior (null), per the spec's advisory nature.
+CHANGEFREQ_LAMBDA_H = {
+    "always": 60.0,
+    "hourly": 1.0,
+    "daily": 1.0 / 24.0,
+    "weekly": 1.0 / 168.0,
+    "monthly": 1.0 / 730.0,
+    "yearly": 1.0 / 8766.0,
+    "never": 0.0,
+}
+
+
+def revisit_priors_from_sitemap(parsed: DataFrame) -> DataFrame:
+    """(url, lambda_prior_per_h) from sitemap changefreq declarations —
+    the cold-start prior for poisson_revisit's estimator: a URL with no
+    poll history yet inherits the site's declared change rate instead
+    of the global cap. Leaf entries only; URLs without a recognized
+    changefreq drop out (no prior is better than a made-up one). A URL
+    declared in several sitemaps takes the FASTEST declared rate (the
+    conservative revisit choice), deterministically via max."""
+    m = CHANGEFREQ_LAMBDA_H
+    lam = F.col("changefreq")
+    expr = F.lit(None).cast("double")
+    for k, v in m.items():
+        expr = F.when(lam == k, F.lit(v)).otherwise(expr)
+    return (
+        parsed.where((F.col("kind") == "url") & F.col("changefreq").isNotNull())
+        .select("url", expr.alias("lambda_prior_per_h"))
+        .where(F.col("lambda_prior_per_h").isNotNull())
+        .groupBy("url")
+        .agg(F.max("lambda_prior_per_h").alias("lambda_prior_per_h"))
     )

@@ -803,6 +803,10 @@ _SITEMAP_ENTRY_SQL = """
       || '</loc>'
       || (CASE WHEN i % 2 = 0 THEN '<lastmod>2026-01-' || lpad(((i % 28) + 1)::VARCHAR, 2, '0') || '</lastmod>' ELSE '' END)
       || (CASE WHEN i % 4 = 0 THEN '<priority>0.' || (i % 10)::VARCHAR || '</priority>' ELSE '' END)
+      || (CASE WHEN i % 6 = 0 THEN '<changefreq>' ||
+            (CASE (i // 6) % 4 WHEN 0 THEN 'daily' WHEN 1 THEN 'WEEKLY'
+                  WHEN 2 THEN 'monthly' ELSE 'fortnightly' END)
+            || '</changefreq>' ELSE '' END)
       || '</url>'
 """
 
@@ -849,11 +853,12 @@ _SITEMAP_INDEX_XML = (
         SELECT host AS src_host, kind, (idx - 1)::INT AS pos,
                nullif(replace(replace(replace(replace(replace(regexp_extract(blocks[idx], '(?s)<loc>\s*(.*?)\s*</loc>', 1), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'), '&apos;', ''''), '&amp;', '&'), '') AS loc,
                nullif(regexp_extract(blocks[idx], '(?s)<lastmod>\s*(.*?)\s*</lastmod>', 1), '') AS lastmod,
-               nullif(regexp_extract(blocks[idx], '(?s)<priority>\s*(.*?)\s*</priority>', 1), '')::DOUBLE AS priority
+               nullif(regexp_extract(blocks[idx], '(?s)<priority>\s*(.*?)\s*</priority>', 1), '')::DOUBLE AS priority,
+               nullif(lower(trim(regexp_extract(blocks[idx], '(?s)<changefreq>\s*(.*?)\s*</changefreq>', 1))), '') AS changefreq
         FROM exploded
     )
     SELECT src_host, kind, pos, {canonicalize_sql('loc', 'duckdb')} AS url,
-           lastmod, priority
+           lastmod, priority, changefreq
     FROM parsed WHERE loc IS NOT NULL
     """,
 )
@@ -883,6 +888,17 @@ def q_sitemap_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.pmod(i, F.lit(4)) == 0,
             F.concat(F.lit("<priority>0."), F.pmod(i, F.lit(10)).cast("string"),
                      F.lit("</priority>")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.pmod(i, F.lit(6)) == 0,
+            F.concat(
+                F.lit("<changefreq>"),
+                F.when(F.pmod((i / 6).cast("long"), F.lit(4)) == 0, F.lit("daily"))
+                .when(F.pmod((i / 6).cast("long"), F.lit(4)) == 1, F.lit("WEEKLY"))
+                .when(F.pmod((i / 6).cast("long"), F.lit(4)) == 2, F.lit("monthly"))
+                .otherwise(F.lit("fortnightly")),
+                F.lit("</changefreq>"),
+            ),
         ).otherwise(F.lit("")),
         F.lit("</url>"),
     )

@@ -212,3 +212,37 @@ def test_mixed_amp_escape_single_pass(spark):
         ["s"])
     got = [r.d for r in df.select(_xml_unescape(F.col("s")).alias("d")).collect()]
     assert got == ["a&#38;b", "x&y", "p&q", "&lt;"]
+
+
+def test_changefreq_parse_and_priors(spark):
+    """changefreq completes the sitemap leaf schema: the enum parses
+    case-insensitively, junk values carry no prior, and a URL declared
+    in two sitemaps takes the fastest declared rate."""
+    from crawl4ai_spark.operators.sitemap import (CHANGEFREQ_LAMBDA_H,
+                                                  parse_sitemaps,
+                                                  revisit_priors_from_sitemap)
+
+    xml_a = """<urlset>
+      <url><loc>https://a.com/fast</loc><changefreq>Hourly</changefreq></url>
+      <url><loc>https://a.com/slow</loc><changefreq>monthly</changefreq></url>
+      <url><loc>https://a.com/junk</loc><changefreq>fortnightly</changefreq></url>
+      <url><loc>https://a.com/none</loc></url>
+    </urlset>"""
+    xml_b = """<urlset>
+      <url><loc>https://a.com/fast</loc><changefreq>daily</changefreq></url>
+    </urlset>"""
+    sm = spark.createDataFrame(
+        [("a.com", xml_a), ("a.com", xml_b)], "host string, xml string")
+    parsed = parse_sitemaps(sm)
+    cf = {r.url: r.changefreq for r in parsed.collect()}
+    assert cf["https://a.com/fast"] in ("hourly", "daily")
+    assert cf["https://a.com/slow"] == "monthly"
+    assert cf["https://a.com/junk"] == "fortnightly"
+    assert cf["https://a.com/none"] is None
+    priors = {r.url: r.lambda_prior_per_h
+              for r in revisit_priors_from_sitemap(parsed).collect()}
+    # fastest declared rate wins for the doubly-declared URL
+    assert priors["https://a.com/fast"] == CHANGEFREQ_LAMBDA_H["hourly"]
+    assert priors["https://a.com/slow"] == CHANGEFREQ_LAMBDA_H["monthly"]
+    assert "https://a.com/junk" not in priors   # outside the enum: no prior
+    assert "https://a.com/none" not in priors
