@@ -1367,7 +1367,21 @@ class CrawlEngine:
         return tbl.read_files(self.spark, delta)
 
     # ------------------------------------------------------------------ #
-    def pages(self, resolved: bool = False) -> DataFrame | None:
+    def _versions_at(self, as_of_round: int) -> dict[str, int]:
+        """Table versions pinned by round ``as_of_round``'s checkpoint —
+        the engine-level time-travel resolver. Raises with the available
+        rounds when that round never checkpointed; reading a version
+        whose snapshot was expired (compact_state + expire) raises from
+        the table layer — expired history is gone by design."""
+        ck = self.ckp.at_round(as_of_round)
+        if ck is None:
+            raise ValueError(
+                f"no checkpoint for round {as_of_round}; "
+                f"available rounds: {self.ckp.rounds()}")
+        return ck["versions"]
+
+    def pages(self, resolved: bool = False,
+              as_of_round: int | None = None) -> DataFrame | None:
         """The fetch log. With retries enabled it also carries the
         transient attempts (status='transient', null spans, same rank as
         the eventual resolution); ``resolved=True`` filters to the final
@@ -1377,19 +1391,28 @@ class CrawlEngine:
         Caveat: a run truncated by max_pages/max_rounds while retries
         were pending leaves those URLs transient-only in the log, so
         ``resolved=True`` drops them entirely (see CrawlConfig.max_retries
-        docstring); resuming with a higher cap drains them."""
-        df = self.pages_tbl.read(self.spark)
+        docstring); resuming with a higher cap drains them.
+        ``as_of_round`` time-travels: the log as of that round's durable
+        checkpoint (Iceberg snapshot-read analog)."""
+        v = (None if as_of_round is None
+             else self._versions_at(as_of_round)["pages"])
+        df = self.pages_tbl.read(self.spark, v)
         if df is None or not resolved:
             return df
         return df.where(F.col("status") != "transient")
 
-    def url_seen(self) -> DataFrame | None:
+    def url_seen(self, as_of_round: int | None = None) -> DataFrame | None:
         """The deduplicated URL-seen set, derived: the append-only
         frontier log IS the seen set in every mode (state 'frontier'),
         plus robots-blocked rows materialized in seen_tbl — one fewer
-        write job per round than materializing seen rows redundantly."""
-        base = self.seen_tbl.read(self.spark)
-        fr = self.frontier_tbl.read(self.spark)
+        write job per round than materializing seen rows redundantly.
+        ``as_of_round`` time-travels both underlying tables to the
+        round's checkpointed versions."""
+        vs = None if as_of_round is None else self._versions_at(as_of_round)
+        base = self.seen_tbl.read(
+            self.spark, None if vs is None else vs["url_seen"])
+        fr = self.frontier_tbl.read(
+            self.spark, None if vs is None else vs["frontier"])
         derived = None
         if fr is not None:
             derived = fr.select(
@@ -1409,8 +1432,10 @@ class CrawlEngine:
             return derived
         return base if derived is None else derived.unionByName(base)
 
-    def metrics(self) -> DataFrame | None:
-        return self.metrics_tbl.read(self.spark)
+    def metrics(self, as_of_round: int | None = None) -> DataFrame | None:
+        v = (None if as_of_round is None
+             else self._versions_at(as_of_round)["metrics"])
+        return self.metrics_tbl.read(self.spark, v)
 
     def redirects_resolved(self) -> DataFrame | None:
         """F12: observed redirect mappings — redirects(src_url, src_hash,

@@ -246,15 +246,26 @@ class Checkpoint:
         self.dir = os.path.join(root, "checkpoints")
         os.makedirs(self.dir, exist_ok=True)
 
-    def latest(self) -> dict | None:
-        rounds = sorted(
+    def rounds(self) -> list[int]:
+        """Rounds with a durable checkpoint, ascending — the time-travel
+        axis (Iceberg's snapshot log analog at the multi-table level)."""
+        return sorted(
             int(f[3:-5]) for f in os.listdir(self.dir)
             if f.startswith("ckp") and f.endswith(".json")
         )
-        if not rounds:
+
+    def at_round(self, round_no: int) -> dict | None:
+        """The manifest pinning every table's snapshot version as of a
+        given round, or None if that round never checkpointed."""
+        p = os.path.join(self.dir, f"ckp{round_no}.json")
+        if not os.path.exists(p):
             return None
-        with open(os.path.join(self.dir, f"ckp{rounds[-1]}.json")) as f:
+        with open(p) as f:
             return json.load(f)
+
+    def latest(self) -> dict | None:
+        rounds = self.rounds()
+        return None if not rounds else self.at_round(rounds[-1])
 
     def commit(self, round_no: int, versions: dict[str, int], extra: dict | None = None) -> None:
         doc = {"round": round_no, "versions": versions, **(extra or {})}

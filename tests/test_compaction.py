@@ -160,3 +160,52 @@ def test_compact_state_dirs_cleaned(spark, tmp_path):
     data_dir = os.path.join(str(tmp_path), "t", "data")
     for d in os.listdir(data_dir):
         assert os.listdir(os.path.join(data_dir, d))  # no empty uuid dirs
+
+
+def test_time_travel_as_of_round(spark, tmp_path):
+    """Engine-level time travel through the checkpoint manifests: the
+    pages log as of round r is exactly the prefix fetched by then
+    (monotone, rank-consistent with the final log), url_seen as of r is
+    a subset of the final seen set, and expired history raises instead
+    of silently reading wrong data."""
+    import pytest as _pytest
+
+    from crawl4ai_spark.config import CrawlConfig
+    from crawl4ai_spark.fixtures import write_fixtures
+    from crawl4ai_spark.operators.frontier import CrawlEngine
+
+    fx = str(tmp_path / "fx")
+    write_fixtures(spark, fx, n_docs=300, n_hosts=10)
+    docs = spark.read.parquet(f"{fx}/documents.parquet")
+    seed = (docs.where(docs.doc_id.contains("host9")).orderBy("doc_id")
+            .limit(1).collect()[0].doc_id)
+    eng = CrawlEngine(spark, docs, CrawlConfig(seeds=[seed], max_pages=None,
+                                               max_depth=4, max_rounds=40),
+                      str(tmp_path / "state"))
+    eng.run()
+    rounds = eng.ckp.rounds()
+    assert len(rounds) >= 3, "crawl must checkpoint several rounds"
+
+    final = {(r.rank, r.url) for r in eng.pages().collect()}
+    prev = 0
+    for r in rounds:
+        snap = {(x.rank, x.url) for x in eng.pages(as_of_round=r).collect()}
+        assert snap <= final                 # a prefix of history
+        assert len(snap) >= prev             # monotone growth
+        prev = len(snap)
+        seen_r = {x.url for x in eng.url_seen(as_of_round=r).collect()}
+        assert seen_r <= {x.url for x in eng.url_seen().collect()}
+        assert {u for _, u in snap} <= seen_r  # fetched ⊆ seen, per round
+    assert prev == len(final)                # last checkpoint == present
+
+    # unknown round: explicit error with the available axis
+    with _pytest.raises(ValueError, match="available rounds"):
+        eng.pages(as_of_round=999)
+
+    # expire history, then reading a pre-expiry snapshot must raise —
+    # the files are gone by design, never silently wrong
+    eng.compact_state(min_files=1)
+    eng.pages_tbl.expire_snapshots(eng.pages_tbl.current_version())
+    early = rounds[0]
+    with _pytest.raises(Exception):
+        eng.pages(as_of_round=early).collect()
