@@ -38,6 +38,14 @@ from pyspark.sql import functions as F
 PR_DAMPING = 0.85
 PR_ITERS = 5
 HITS_ITERS = 5
+OPIC_ITERS = 5
+# OPIC cash is fixed-point int64 ("units"): 1.0 of cash == OPIC_SCALE
+# units. Integer addition is associative + commutative, so every
+# per-iteration sum — including the GLOBAL virtual-node sum PageRank-
+# style order-pinning could never certify — is order-free and exact on
+# any cluster topology, with no order-pinned folds at all. Total cash
+# is conserved (bounded by OPIC_SCALE), so no sum can overflow int64.
+OPIC_SCALE = 10**12
 
 
 def anchor_aggregate(links: DataFrame, src: str = "src_url", dst: str = "dst_url",
@@ -244,6 +252,106 @@ def hits(edges: DataFrame, iters: int = HITS_ITERS,
             F.round("hub", 6).alias("hub"),
             F.coalesce("indeg", F.lit(0)).cast("long").alias("indeg"),
             F.coalesce("outdeg", F.lit(0)).cast("long").alias("outdeg"),
+        )
+    )
+    e.unpersist()
+    nodes.unpersist()
+    return out
+
+
+def opic(edges: DataFrame, iters: int = OPIC_ITERS,
+         src: str = "src_url", dst: str = "dst_url") -> DataFrame:
+    """OPIC — Adaptive On-line Page Importance Computation (Abiteboul,
+    Preda & Cobéna, WWW'03), the crawl-native importance measure: unlike
+    PageRank it needs no converged offline pass — cash accumulated so
+    far IS the running importance estimate, which is why production
+    frontiers use it to prioritize uncrawled URLs mid-crawl.
+
+    Batch (synchronous) variant over a distinct (src, dst) edge list:
+    every node starts with equal cash; each iteration every node banks
+    its cash into history and distributes it equally over its outlinks
+    plus one implicit edge to the VIRTUAL node (the paper's strong-
+    connectivity device: dangling pages send everything there, and the
+    virtual node redistributes its cash uniformly to all N real nodes
+    next iteration). importance(n) ∝ history(n) + cash(n).
+
+    Determinism at scale — fixed-point integers, not pinned floats:
+    cash lives in int64 units (OPIC_SCALE = 1.0). Integer sums are
+    exact and order-free, so the per-dst contribution agg is a plain
+    ``sum`` (map-side combinable, no sorted-fold), and the virtual
+    node's GLOBAL per-iteration sum — a shape order-pinned doubles
+    could never certify without one unbounded fold — is exact too.
+    Integer division (``DIV``) truncates deterministically; the
+    sub-unit remainder each split drops is a documented leak of
+    < outdeg+1 units (~1e-12 of total cash) per node per iteration,
+    mirrored exactly by the oracle.
+
+    Shape per iteration: one shuffle join (edges ⋈ cash on src) + one
+    hash agg on dst + one O(1) scalar collect (the virtual node's
+    balance); lineage cut per iteration. Outdegree rides in the state
+    row, so no re-join per iteration.
+
+    Returns nodes(url, importance, units, indeg, outdeg): ``units`` is
+    the exact integer history+cash balance (the cross-engine
+    certificate); ``importance`` is its scalar normalization by total
+    injected cash, OPIC_SCALE·(iters+1).
+    """
+    e, nodes = _edge_nodes(edges, src, dst)
+    n = nodes.count()  # O(1) driver value: the uniform-init normalizer
+    schema = ("url string, importance double, units long, "
+              "indeg long, outdeg long")
+    if n == 0:
+        e.unpersist()
+        nodes.unpersist()
+        return edges.sparkSession.createDataFrame([], schema)
+    indeg, outdeg = _degrees(e)
+    init = OPIC_SCALE // (n + 1)
+    v_cash = init  # the virtual node's balance: a driver-side scalar
+    state = (
+        nodes.join(outdeg, "url", "left")
+        .select(
+            "url",
+            F.coalesce("outdeg", F.lit(0)).cast("long").alias("outdeg"),
+            F.lit(init).cast("long").alias("cash"),
+            F.lit(0).cast("long").alias("hist"),
+        )
+        .localCheckpoint()
+    )
+    for _ in range(iters):
+        shares = state.withColumn(
+            "share", F.expr("cash DIV (outdeg + 1)")).persist()
+        contrib = (
+            e.join(shares.select(F.col("url").alias("src"), "share"), "src")
+            .groupBy(F.col("dst").alias("url"))
+            .agg(F.sum("share").alias("_in"))
+        )
+        # exact int, order-free; O(1) rows to the driver
+        v_in = shares.agg(F.sum("share")).collect()[0][0] or 0
+        v_share = v_cash // n
+        state = (
+            shares.join(contrib, "url", "left")
+            .select(
+                "url",
+                "outdeg",
+                (F.coalesce("_in", F.lit(0)) + F.lit(v_share))
+                .cast("long").alias("cash"),
+                (F.col("hist") + F.col("cash")).alias("hist"),
+            )
+            .localCheckpoint()
+        )
+        shares.unpersist()
+        v_cash = v_in
+
+    total = float(OPIC_SCALE) * (iters + 1)
+    out = (
+        state.join(indeg, "url", "left")
+        .select(
+            "url",
+            F.round((F.col("hist") + F.col("cash")).cast("double")
+                    / F.lit(total), 9).alias("importance"),
+            (F.col("hist") + F.col("cash")).cast("long").alias("units"),
+            F.coalesce("indeg", F.lit(0)).cast("long").alias("indeg"),
+            F.col("outdeg").cast("long").alias("outdeg"),
         )
     )
     e.unpersist()

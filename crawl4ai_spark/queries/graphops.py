@@ -21,8 +21,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.linkgraph import (HITS_ITERS, PR_DAMPING, PR_ITERS,
-                                   anchor_aggregate, hits, pagerank, trustrank)
+from ..operators.linkgraph import (HITS_ITERS, OPIC_ITERS, OPIC_SCALE,
+                                   PR_DAMPING, PR_ITERS, anchor_aggregate,
+                                   hits, opic, pagerank, trustrank)
 from .registry import query, table as _t
 from .spansops import _SP_SQL, _span_docs
 
@@ -450,6 +451,81 @@ def q_mirror_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(jac, 6).alias("jaccard"),
                 (jac >= F.lit(MIRROR_MIN_JACCARD)).alias("is_mirror"))
     )
+
+
+# --------------------------------------------------------------------------- #
+# opic_importance — OPIC cash/history importance (fixed-point integer units)
+# --------------------------------------------------------------------------- #
+def _opic_oracle() -> str:
+    # Fixed-point int64 arithmetic end to end: every CTE below is exact
+    # integer math (// floor division, plain sums), so the two engines
+    # agree bit-for-bit with NO order-pinned folds — including the
+    # virtual node's GLOBAL sum v{k}, which float pinning could never
+    # certify. sh{k} is referenced twice (contribution subquery + the
+    # carry-forward) -> MATERIALIZED, else inlining doubles per level.
+    n1 = "((SELECT n FROM nn) + 1)"
+    steps = []
+    for k in range(1, OPIC_ITERS + 1):
+        steps.append(f"""
+    sh{k} AS MATERIALIZED (
+        SELECT url, outdeg, cash, hist,
+               (cash // (outdeg + 1))::BIGINT AS share
+        FROM st{k - 1}
+    ),
+    v{k} AS (SELECT coalesce(sum(share), 0)::BIGINT AS v FROM sh{k}),
+    st{k} AS MATERIALIZED (
+        SELECT s.url, s.outdeg,
+               (coalesce(c.i, 0)
+                + (SELECT v FROM v{k - 1}) // (SELECT n FROM nn))::BIGINT AS cash,
+               (s.hist + s.cash)::BIGINT AS hist
+        FROM sh{k} s LEFT JOIN (
+            SELECT e.dst_url AS url, sum(sh.share)::BIGINT AS i
+            FROM edges e JOIN sh{k} sh ON sh.url = e.src_url
+            GROUP BY e.dst_url
+        ) c ON c.url = s.url
+    )""")
+    total = repr(float(OPIC_SCALE) * (OPIC_ITERS + 1))
+    return f"""
+    WITH {_LINKS_SQL},
+    edges AS (SELECT DISTINCT src_url, dst_url FROM links),
+    nodes AS (
+        SELECT src_url AS url FROM edges
+        UNION
+        SELECT dst_url FROM edges
+    ),
+    nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+    od AS (SELECT src_url, count(*)::BIGINT AS outdeg FROM edges GROUP BY src_url),
+    ind AS (SELECT dst_url AS url, count(*)::BIGINT AS indeg FROM edges GROUP BY dst_url),
+    st0 AS MATERIALIZED (
+        SELECT n.url, coalesce(o.outdeg, 0)::BIGINT AS outdeg,
+               ({OPIC_SCALE} // {n1})::BIGINT AS cash,
+               0::BIGINT AS hist
+        FROM nodes n LEFT JOIN od o ON o.src_url = n.url
+    ),
+    v0 AS (SELECT ({OPIC_SCALE} // {n1})::BIGINT AS v),
+    {','.join(steps)}
+    SELECT s.url,
+           round((s.hist + s.cash)::DOUBLE / {total}, 9) AS importance,
+           (s.hist + s.cash)::BIGINT AS units,
+           coalesce(i.indeg, 0)::BIGINT AS indeg,
+           s.outdeg AS outdeg
+    FROM st{OPIC_ITERS} s LEFT JOIN ind i ON i.url = s.url
+    """
+
+
+@query("opic_importance", _opic_oracle())
+def q_opic_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OPIC (Abiteboul WWW'03) page importance over the corpus outlink
+    graph — the importance measure built FOR crawling: cash accumulated
+    so far is a valid running estimate at any point, so the frontier can
+    prioritize uncrawled URLs mid-crawl without an offline converged
+    PageRank pass. Cash is fixed-point int64 units, making every sum —
+    including the virtual node's global balance — exact and order-free
+    on any cluster (the ``units`` column is the bit-exact cross-engine
+    certificate). Shape per iteration: one shuffle join + one map-side-
+    combinable hash agg + one O(1) scalar collect; see
+    operators/linkgraph.opic."""
+    return opic(_links(spark, sf_dir))
 
 
 # --------------------------------------------------------------------------- #

@@ -130,6 +130,7 @@ _TAIL = [
     "hreflang_reciprocal",
     "cdc_dedup",
     "soft404_detect",
+    "opic_importance",
 ]
 
 

@@ -411,3 +411,74 @@ def test_trustrank_empty_seeds_and_off_graph_seeds(spark):
     rows = {r.url: r for r in trustrank(e, mixed).collect()}
     assert set(rows) == {"a", "b"}
     assert rows["a"].is_seed and rows["a"].trust > 0
+
+
+def _py_opic(edges, iters=5, scale=10**12):
+    """Reference OPIC with the operator's exact integer contract:
+    floor-division shares, dangling cash to the virtual node, virtual
+    cash redistributed uniformly next iteration."""
+    edges = sorted(set(edges))
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    n = len(nodes)
+    outdeg = {u: 0 for u in nodes}
+    for s, _ in edges:
+        outdeg[s] += 1
+    init = scale // (n + 1)
+    cash = {u: init for u in nodes}
+    hist = {u: 0 for u in nodes}
+    v_cash = init
+    for _ in range(iters):
+        share = {u: cash[u] // (outdeg[u] + 1) for u in nodes}
+        v_in = sum(share.values())
+        v_share = v_cash // n
+        incoming = {u: 0 for u in nodes}
+        for s, t in edges:
+            incoming[t] += share[s]
+        for u in nodes:
+            hist[u] += cash[u]
+            cash[u] = incoming[u] + v_share
+        v_cash = v_in
+    return {u: hist[u] + cash[u] for u in nodes}
+
+
+def test_opic_matches_python_reference(spark):
+    from crawl4ai_spark.operators.linkgraph import OPIC_SCALE, opic
+
+    edges = [
+        ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+        ("c", "d"),  # d is dangling: all its cash goes to the virtual node
+        ("e", "a"),  # e has no inlinks: fed only by the virtual node
+    ]
+    ref = _py_opic(edges)
+    rows = {r.url: r for r in opic(_edges_df(spark, edges)).collect()}
+    assert {u: r.units for u, r in rows.items()} == ref
+    # importance is the scalar normalization of units
+    for u, r in rows.items():
+        assert r.importance == _round(r.units / (OPIC_SCALE * 6.0), 9)
+
+
+def test_opic_cash_conservation_and_ranking(spark):
+    """Total banked+pending cash never exceeds the injected total (the
+    only loss is sub-unit truncation), and a page every other page links
+    outranks a leaf — the frontier-prioritization semantics."""
+    from crawl4ai_spark.operators.linkgraph import OPIC_ITERS, OPIC_SCALE, opic
+
+    edges = [("p1", "hub"), ("p2", "hub"), ("p3", "hub"),
+             ("hub", "leaf"), ("p1", "p2")]
+    rows = {r.url: r for r in opic(_edges_df(spark, edges)).collect()}
+    total_units = sum(r.units for r in rows.values())
+    injected = (OPIC_SCALE // (len(rows) + 1)) * (len(rows) + 1)
+    # each node's balance counts once per iteration plus the final one
+    assert total_units <= injected * (OPIC_ITERS + 1)
+    assert rows["hub"].importance > rows["leaf"].importance
+    assert rows["hub"].indeg == 3 and rows["hub"].outdeg == 1
+    # determinism: a second run returns identical units
+    again = {r.url: r.units for r in opic(_edges_df(spark, edges)).collect()}
+    assert again == {u: r.units for u, r in rows.items()}
+
+
+def test_opic_empty_graph(spark):
+    from crawl4ai_spark.operators.linkgraph import opic
+
+    empty = spark.createDataFrame([], "src_url string, dst_url string, anchor string")
+    assert opic(empty).count() == 0
