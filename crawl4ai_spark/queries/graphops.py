@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.scoring import keyword_score_sql
 from ..operators.linkgraph import (HITS_ITERS, OPIC_ITERS, OPIC_SCALE,
                                    PR_DAMPING, PR_ITERS, anchor_aggregate,
                                    hits, opic, pagerank, trustrank)
@@ -450,6 +451,62 @@ def q_mirror_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("host_a", "host_b", "n_common", "n_a", "n_b",
                 F.round(jac, 6).alias("jaccard"),
                 (jac >= F.lit(MIRROR_MIN_JACCARD)).alias("is_mirror"))
+    )
+
+
+# --------------------------------------------------------------------------- #
+# frontier_anchor_score — focused-crawl scoring of UNCRAWLED link targets
+# --------------------------------------------------------------------------- #
+FRONTIER_KEYWORDS = ["spark", "join", "stream"]
+
+
+@query(
+    "frontier_anchor_score",
+    f"""
+    WITH {_LINKS_SQL},
+    crawled AS (SELECT DISTINCT src_url AS url FROM links),
+    frontier AS (
+        SELECT l.dst_url AS url, l.anchor
+        FROM links l LEFT JOIN crawled c ON c.url = l.dst_url
+        WHERE c.url IS NULL
+    ),
+    agg AS (
+        SELECT url,
+               count(*)::BIGINT AS n_links,
+               array_to_string(list_sort(list(DISTINCT anchor)), ' | ') AS anchors
+        FROM frontier GROUP BY url
+    )
+    SELECT url, n_links,
+           {keyword_score_sql('anchors', FRONTIER_KEYWORDS)} AS anchor_score
+    FROM agg
+    """,
+)
+def q_frontier_anchor_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focused-crawl frontier prioritization (Chakrabarti'99 shape): an
+    UNCRAWLED URL's relevance is estimated from the anchor texts of the
+    links pointing at it — the only content evidence that exists before
+    the fetch, and the signal the reference's URL-string scorer
+    (crawl_agent.py:239-257) throws away. Crawled = distinct link
+    sources; candidates = targets never seen as a source (broadcast-able
+    anti-join — the crawled set is slim); anchors aggregate exactly as
+    anchor_texts (deduped + order-pinned), then the engine's own
+    keyword_score runs over the aggregate. Feeds Best-First the way
+    score_keywords does, but from link evidence instead of the URL
+    string. One groupBy on the target + one anti-join — scales."""
+    links = _links(spark, sf_dir)
+    crawled = links.select(F.col("src_url").alias("url")).distinct()
+    frontier = links.join(
+        crawled, links["dst_url"] == crawled["url"], "left_anti")
+    agg = frontier.groupBy(F.col("dst_url").alias("url")).agg(
+        F.count("*").alias("n_links"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.collect_list("anchor"))), " | "
+        ).alias("anchors"),
+    )
+    from ..functions.scoring import keyword_score
+    return agg.select(
+        "url", "n_links",
+        keyword_score(F.col("anchors"), FRONTIER_KEYWORDS).alias("anchor_score"),
     )
 
 

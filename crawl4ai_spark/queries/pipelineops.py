@@ -1467,3 +1467,56 @@ def q_cdc_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk",
         F.size(T.tokens(F.col("chunk"))).cast("long").alias("n_tokens"),
         "n_total", "n_docs", "first_doc")
+
+
+# --------------------------------------------------------------------------- #
+# sample_weighted — Efraimidis–Spirakis weighted reservoir (top-k by key)
+# --------------------------------------------------------------------------- #
+WS_SALT = "ws-v1"
+WS_M = 1 << 30          # hash-to-uniform resolution
+WS_K = 64               # sample size
+WS_CHARS_PER_UNIT = 64  # weight = 1 + len(text)/this (long docs favored)
+
+
+@query(
+    "sample_weighted",
+    f"""
+    WITH d AS (
+        SELECT doc_id::BIGINT AS doc_id,
+               (1 + length(coalesce(text, '')) // {WS_CHARS_PER_UNIT})::BIGINT AS w,
+               (({H.h60_sql(f"'{WS_SALT}' || doc_id::VARCHAR")} % {WS_M}) + 1)::DOUBLE
+                   / {float(WS_M + 1)!r} AS u
+        FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id, w, round(ln(u) / w, 9) AS es_key FROM d
+    )
+    SELECT doc_id, w, es_key FROM keyed
+    ORDER BY es_key DESC, doc_id LIMIT {WS_K}
+    """,
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sampling (Efraimidis–Spirakis A-Res): each doc
+    draws key u^(1/w) — here its monotone log form ln(u)/w — from a
+    salted-hash uniform, and the sample is the global top-k by key:
+    inclusion probability proportional to weight, no RNG state, exactly
+    reproducible on any cluster. The top-k is Spark's
+    TakeOrderedAndProject (per-partition heads merged on the driver,
+    never a global sort), the same physical shape at 10^10 rows; keys
+    round to 9 with a doc_id tiebreak so the cut is cross-engine exact.
+    The training-data use: length-weighted (or quality-weighted)
+    subsampling where plain Bernoulli under-represents long documents."""
+    d = _t(spark, sf_dir, "documents")
+    w = (F.lit(1) + F.floor(
+        F.length(F.coalesce(F.col("text"), F.lit(""))) / WS_CHARS_PER_UNIT
+    )).cast("long")
+    u = (
+        (H.h60(F.concat(F.lit(WS_SALT), F.col("doc_id").cast("string"))) % WS_M)
+        + 1
+    ).cast("double") / F.lit(float(WS_M + 1))
+    keyed = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        w.alias("w"),
+        F.round(F.log(u) / w, 9).alias("es_key"),
+    )
+    return keyed.orderBy(F.desc("es_key"), "doc_id").limit(WS_K)

@@ -131,6 +131,10 @@ _TAIL = [
     "cdc_dedup",
     "soft404_detect",
     "opic_importance",
+    "frontier_anchor_score",
+    "host_skew_stats",
+    "seen_shard_fp",
+    "sample_weighted",
 ]
 
 

@@ -630,3 +630,164 @@ def q_poisson_revisit(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.least(F.lit(REVISIT_CAP_H),
                            F.lit(REVISIT_TARGET_C) / F.col("lambda_per_h")))
             .otherwise(F.lit(REVISIT_CAP_H)), 6).alias("revisit_h"))
+
+
+# --------------------------------------------------------------------------- #
+# host_skew_stats — frontier hot-host diagnosis + salting plan
+# --------------------------------------------------------------------------- #
+# Skewed host assignment: an explicit Zipf-ish die — h0 owns 50% of
+# the URL mass, h1 25%, h2/h3 12.5% each — the deterministic stand-in
+# for the hot-domain frontier shape the north rule names.
+SKEW_PER_SALT = 64      # URLs one politeness salt-queue absorbs per round
+SKEW_HOT_SHARE = 0.25   # a host past this share of the frontier is "hot"
+
+
+@query(
+    "host_skew_stats",
+    f"""
+    WITH urls AS (
+        SELECT (CASE WHEN doc_id % 16 < 8 THEN 'h0'
+                     WHEN doc_id % 16 < 12 THEN 'h1'
+                     WHEN doc_id % 16 < 14 THEN 'h2'
+                     ELSE 'h3' END) AS host
+        FROM documents
+    ),
+    per_host AS (
+        SELECT host, count(*)::BIGINT AS n_urls FROM urls GROUP BY host
+    ),
+    tot AS (SELECT sum(n_urls)::BIGINT AS total FROM per_host)
+    SELECT host, n_urls,
+           round(n_urls::DOUBLE / (SELECT total FROM tot), 9) AS share,
+           ((n_urls + {SKEW_PER_SALT} - 1) // {SKEW_PER_SALT})::BIGINT AS n_salts,
+           (n_urls::DOUBLE / (SELECT total FROM tot)
+                > {SKEW_HOT_SHARE!r}) AS is_hot
+    FROM per_host
+    """,
+)
+def q_host_skew_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-host skew diagnosis — the between-rounds report that decides
+    the frontier's salting plan (operators/frontier.py's budget-
+    proportional salt queues): per host, its share of pending URLs and
+    the salt-queue count needed to keep every politeness task under
+    SKEW_PER_SALT URLs. At 10^10-frontier scale the host dimension is
+    ~6 orders smaller than the URL table, so this is one hash groupBy
+    plus a 1-row total broadcast back — never a global window. The
+    explicit die concentrates 50% of mass on h0, modeling the
+    hot-domain shape the north rule names — is_hot flags exactly the
+    hosts whose share justifies extra salt queues."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    m = F.pmod(i, F.lit(16))
+    host = (F.when(m < 8, F.lit("h0")).when(m < 12, F.lit("h1"))
+            .when(m < 14, F.lit("h2")).otherwise(F.lit("h3")))
+    per_host = (
+        d.select(host.alias("host"))
+        .groupBy("host")
+        .agg(F.count("*").cast("long").alias("n_urls"))
+    )
+    tot = per_host.agg(F.sum("n_urls").cast("long").alias("total"))
+    share = F.col("n_urls").cast("double") / F.col("total")
+    return (
+        per_host.crossJoin(F.broadcast(tot))
+        .select(
+            "host", "n_urls",
+            F.round(share, 9).alias("share"),
+            ((F.col("n_urls") + F.lit(SKEW_PER_SALT - 1))
+             / F.lit(SKEW_PER_SALT)).cast("long").alias("n_salts"),
+            (share > F.lit(SKEW_HOT_SHARE)).alias("is_hot"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# seen_shard_fp — URL-seen Bloom-shard fill / false-positive accounting
+# --------------------------------------------------------------------------- #
+# The engine's sidecar (operators/seen_filter.py) runs 2^23-bit shards;
+# the constants here are scaled down so the sf test corpus exercises the
+# whole fill curve (empty → saturated) instead of sitting at fill≈0.
+from ..functions import hashing as _H  # noqa: E402  (tier-local import)
+# The arithmetic is the same closed form the sizing decision uses at
+# 10^10 URLs: fill = 1-(1-1/m)^(kn), fp = fill^k, capacity n_opt =
+# ⌊m·ln2/k⌋ (the 50%-fill optimum). ln(1-1/m) and n_opt are evaluated
+# in PYTHON and inlined as literals so both engines exponentiate the
+# identical double; fp = fill^k is expanded to k explicit
+# multiplications (no pow()) so the IEEE operation sequence is
+# identical cross-engine.
+import math as _math
+
+SEEN_M_BITS = 64
+SEEN_K = 3
+SEEN_SHARDS = 64
+SEEN_FP_BUDGET = 0.01
+_SEEN_ALPHA = _math.log(1.0 - 1.0 / SEEN_M_BITS)      # ln(1 - 1/m)
+SEEN_N_OPT = int(SEEN_M_BITS * _math.log(2.0) / SEEN_K)  # shard capacity
+
+
+def _fp_from_fill(fill_expr: str) -> str:
+    return "(" + " * ".join([fill_expr] * SEEN_K) + ")"
+
+
+@query(
+    "seen_shard_fp",
+    f"""
+    WITH urls AS (
+        SELECT 'https://host' || (doc_id % 7)::VARCHAR
+                   || '.example.com/p/' || doc_id::VARCHAR AS url
+        FROM documents
+    ),
+    sharded AS (
+        SELECT {_H.h60_sql('url')} % {SEEN_SHARDS} AS shard FROM urls
+    ),
+    per_shard AS (
+        SELECT shard::BIGINT AS shard, count(*)::BIGINT AS n_urls
+        FROM sharded GROUP BY shard
+    ),
+    filled AS (
+        SELECT shard, n_urls,
+               (1.0::DOUBLE - exp(({SEEN_K} * n_urls)::DOUBLE
+                                  * {_SEEN_ALPHA!r}::DOUBLE)) AS fill
+        FROM per_shard
+    )
+    SELECT shard, n_urls,
+           round(fill, 9) AS fill_ratio,
+           round({_fp_from_fill('fill')}, 9) AS fp_rate,
+           ((n_urls + {SEEN_N_OPT} - 1) // {SEEN_N_OPT})::BIGINT AS shards_needed,
+           ({_fp_from_fill('fill')} > {SEEN_FP_BUDGET!r}) AS over_budget
+    FROM filled
+    """,
+)
+def q_seen_shard_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-seen Bloom-shard accounting — the capacity report that tells
+    the dedup tier WHEN to re-shard: per shard, its URL load, fill
+    ratio, expected false-positive rate, and the split factor restoring
+    the ≤50%-fill optimum. A Bloom false positive here means a URL
+    silently never crawled, so the FP budget is a correctness-adjacent
+    SLO, not a tuning nicety. Shard assignment is the sidecar's
+    hash-mod (portable h60 standing in for the engine's xxhash64 —
+    same role, oracle-expressible); one hash groupBy on the shard key,
+    closed-form column math after. Scales: the per-shard table is
+    O(SEEN_SHARDS) rows regardless of corpus size."""
+    from ..functions import hashing as H
+    d = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://host"),
+        F.pmod(F.col("doc_id").cast("long"), F.lit(7)).cast("string"),
+        F.lit(".example.com/p/"), F.col("doc_id").cast("string"))
+    per_shard = (
+        d.select((H.h60(url) % SEEN_SHARDS).cast("long").alias("shard"))
+        .groupBy("shard")
+        .agg(F.count("*").cast("long").alias("n_urls"))
+    )
+    fill = F.lit(1.0) - F.exp(
+        (F.lit(SEEN_K) * F.col("n_urls")).cast("double") * F.lit(_SEEN_ALPHA))
+    fp = fill
+    for _ in range(SEEN_K - 1):
+        fp = fp * fill
+    return per_shard.select(
+        "shard", "n_urls",
+        F.round(fill, 9).alias("fill_ratio"),
+        F.round(fp, 9).alias("fp_rate"),
+        ((F.col("n_urls") + F.lit(SEEN_N_OPT - 1))
+         / F.lit(SEEN_N_OPT)).cast("long").alias("shards_needed"),
+        (fp > F.lit(SEEN_FP_BUDGET)).alias("over_budget"),
+    )

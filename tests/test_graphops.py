@@ -482,3 +482,24 @@ def test_opic_empty_graph(spark):
 
     empty = spark.createDataFrame([], "src_url string, dst_url string, anchor string")
     assert opic(empty).count() == 0
+
+
+def test_frontier_anchor_score_excludes_crawled(spark):
+    """Focused-crawl scoring only ranks UNCRAWLED targets (never a URL
+    that already appeared as a link source), and the score is the
+    keyword fraction over the aggregated anchors."""
+    from crawl4ai_spark.queries.graphops import (FRONTIER_KEYWORDS,
+                                                 q_frontier_anchor_score)
+
+    links = G._links(spark, SF)
+    crawled = {r.src_url for r in links.select("src_url").distinct().collect()}
+    rows = q_frontier_anchor_score(spark, SF).collect()
+    assert rows
+    allowed = {round(k / len(FRONTIER_KEYWORDS), 6)
+               for k in range(len(FRONTIER_KEYWORDS) + 1)}
+    for r in rows:
+        assert r.url not in crawled
+        assert r.n_links >= 1
+        # score is the rounded keyword fraction
+        assert r.anchor_score in allowed
+    assert any(r.anchor_score > 0 for r in rows)

@@ -541,3 +541,34 @@ def test_cdc_boundary_resynchronization(spark):
     assert len(shared_ab) >= len(a) - 1 and len(a) >= 3
     # appended tail: only A's final chunk can differ from C's chunks
     assert set(a[:-1]) <= set(c)
+
+
+def test_sample_weighted_es_semantics(spark):
+    """Efraimidis–Spirakis sample: exactly k rows (corpus permitting),
+    keys are the deterministic hash-uniform transform ln(u)/w (always
+    <= 0), and the cut is the global top-k — no surviving key may be
+    smaller than any excluded one."""
+    import math
+
+    from crawl4ai_spark.functions.hashing import h60_py
+    from crawl4ai_spark.queries.pipelineops import (WS_CHARS_PER_UNIT, WS_K,
+                                                    WS_M, WS_SALT,
+                                                    q_sample_weighted)
+
+    sf = "/root/testdata/sf0.01"
+    docs = {r.doc_id: (r.text or "")
+            for r in spark.read.parquet(f"{sf}/documents.parquet").collect()}
+
+    def key(doc_id, text):
+        w = 1 + len(text) // WS_CHARS_PER_UNIT
+        u = ((h60_py(f"{WS_SALT}{doc_id}") % WS_M) + 1) / float(WS_M + 1)
+        return round(math.log(u) / w, 9)
+
+    ref = sorted(((key(i, t), -i) for i, t in docs.items()), reverse=True)
+    want = {-negi for _, negi in ref[:WS_K]}
+    rows = q_sample_weighted(spark, sf).collect()
+    assert len(rows) == min(WS_K, len(docs))
+    assert {r.doc_id for r in rows} == want
+    for r in rows:
+        assert r.es_key <= 0.0
+        assert r.w == 1 + len(docs[r.doc_id]) // WS_CHARS_PER_UNIT

@@ -246,3 +246,44 @@ def test_poisson_revisit_semantics(spark):
                 assert a.revisit_h >= b.revisit_h
                 monotone_checked += 1
     assert monotone_checked > 0
+
+
+def test_host_skew_stats_semantics(spark):
+    """Shares sum to 1, the salting plan is exact ceil-division, and
+    exactly the 50%-mass host is flagged hot."""
+    from crawl4ai_spark.queries.schedops import (SKEW_HOT_SHARE,
+                                                 SKEW_PER_SALT,
+                                                 q_host_skew_stats)
+
+    rows = q_host_skew_stats(spark, SF).collect()
+    total = sum(r.n_urls for r in rows)
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-6
+    for r in rows:
+        assert r.n_salts == -(-r.n_urls // SKEW_PER_SALT)  # ceil
+        assert r.is_hot == (r.n_urls / total > SKEW_HOT_SHARE)
+    assert [r.host for r in rows if r.is_hot] == ["h0"]
+
+
+def test_seen_shard_fp_semantics(spark):
+    """Bloom accounting: loads cover the corpus exactly once, fp is the
+    closed form of the fill, over_budget matches the SLO, and the split
+    factor restores <= optimal capacity per shard."""
+    import math
+
+    from crawl4ai_spark.queries.schedops import (SEEN_FP_BUDGET, SEEN_K,
+                                                 SEEN_M_BITS, SEEN_N_OPT,
+                                                 q_seen_shard_fp)
+
+    sf = "/root/testdata/sf0.01"  # 500 docs: enough to stress shards
+    n_docs = spark.read.parquet(f"{sf}/documents.parquet").count()
+    rows = q_seen_shard_fp(spark, sf).collect()
+    assert sum(r.n_urls for r in rows) == n_docs  # each URL in exactly one shard
+    for r in rows:
+        fill = 1.0 - (1.0 - 1.0 / SEEN_M_BITS) ** (SEEN_K * r.n_urls)
+        assert abs(r.fill_ratio - fill) < 1e-6
+        assert abs(r.fp_rate - fill ** SEEN_K) < 1e-6
+        assert r.over_budget == (r.fp_rate > SEEN_FP_BUDGET)
+        assert r.shards_needed == -(-r.n_urls // SEEN_N_OPT)
+        assert -(-r.n_urls // r.shards_needed) <= SEEN_N_OPT
+    # the sf corpus must exercise both sides of the budget
+    assert {r.over_budget for r in rows} == {True, False}
