@@ -85,6 +85,7 @@ class CrawlEngine:
         max_redirect_hops: int = 2,
         trap_templates: DataFrame | None = None,
         nofollow_pages: DataFrame | None = None,
+        url_scores: DataFrame | None = None,
     ):
         self.spark = spark
         # NB: do NOT persist() the corpus — a deserialized nested-row cache
@@ -96,6 +97,12 @@ class CrawlEngine:
         self.corpus = corpus
         self.cfg = cfg
         self.strategy = resolve_strategy(cfg)
+        if url_scores is not None and cfg.strategy.lower() == "best_first":
+            # the F4 fallback (best_first → bfs without the AI agent,
+            # crawl_agent.py:607-615) exists because the reference has no
+            # scoring signal without the agent; an external url_scores
+            # table IS a scoring signal, so it keeps best_first live
+            self.strategy = "best_first"
         self.frontier_tbl = SnapshotTable(state_dir, "frontier")
         self.pending_tbl = SnapshotTable(state_dir, "pending")
         self.seen_tbl = SnapshotTable(state_dir, "url_seen")
@@ -161,6 +168,17 @@ class CrawlEngine:
         # URL BEFORE the span explode, so a nofollow page costs zero
         # link-extraction work.
         self.nofollow_pages = nofollow_pages
+        # Link-graph feedback (url, score): externally computed crawl
+        # priorities — pagerank/trustrank/OPIC/anchor relevance from a
+        # previous generation (operators/linkgraph.py, its producers) —
+        # override the URL-string scorer per discovered link, closing
+        # the graph → frontier loop the way traps/budgets/nofollow close
+        # theirs. Contract: ONE row per canonical url (the producer's
+        # groupBy key guarantees it); keys match the FINAL post-redirect
+        # canonical URL. Joined AFTER the in-batch first-discovery dedup
+        # so both sides are keyed (and the left side already exchanged)
+        # on url; URLs absent from the table keep their scorer score.
+        self.url_scores = url_scores
         # size estimates for output partitioning (never for semantics);
         # reset + maintained by run() from per-round observations
         self._batch_est = max(1, len(cfg.seeds))
@@ -671,11 +689,13 @@ class CrawlEngine:
             F.lit(round_no).alias("discovered_round"),
             "u_path", "redirect_src",
         )
-        if cfg.score_threshold is not None:
+        if cfg.score_threshold is not None and self.url_scores is None:
             # reference score-threshold semantics: below-threshold links
             # are dropped pre-enqueue (never fetched, never "seen").
             # Plain map-side filter BEFORE the dedup exchange — shrinks
-            # the shuffle instead of adding one.
+            # the shuffle instead of adding one. (With url_scores the
+            # threshold must see the EFFECTIVE score, so it moves after
+            # the override join below.)
             scored = scored.where(F.col("score") >= F.lit(float(cfg.score_threshold)))
         # in-batch first-discovery dedup: keep min (parent_rank, offset).
         # groupBy + min_by instead of a window: hash aggregation gets a
@@ -688,7 +708,23 @@ class CrawlEngine:
         picked = scored.groupBy("url").agg(
             F.min_by(F.struct(*rest),
                      F.struct("parent_rank", "parent_offset")).alias("_s"))
-        return picked.select("url", *[F.col(f"_s.{c}").alias(c) for c in rest])
+        picked = picked.select("url", *[F.col(f"_s.{c}").alias(c) for c in rest])
+        if self.url_scores is not None:
+            # graph-feedback override: one row per url (producer contract),
+            # left side already hash-exchanged on url by the dedup agg
+            ovr = self.url_scores.select(
+                F.col("url").alias("_ovr_url"),
+                F.col("score").cast("double").alias("_ext"))
+            picked = (
+                picked.join(ovr, picked["url"] == F.col("_ovr_url"), "left")
+                .drop("_ovr_url")
+                .withColumn("score", F.coalesce("_ext", "score"))
+                .drop("_ext")
+            )
+            if cfg.score_threshold is not None:
+                picked = picked.where(
+                    F.col("score") >= F.lit(float(cfg.score_threshold)))
+        return picked
 
     # ------------------------------------------------------------------ #
     def _robots_split(self, new_links: DataFrame):

@@ -259,6 +259,27 @@ def hits(edges: DataFrame, iters: int = HITS_ITERS,
     return out
 
 
+def scores_from_rank(ranks: DataFrame, col: str = "rank") -> DataFrame:
+    """(url, <col>) → (url, score) with score = round(col/max(col), 6) —
+    the adapter from any graph importance output (``pagerank``'s rank,
+    ``trustrank``'s trust, ``opic``'s importance, an anchor relevance)
+    to the engine's ``CrawlEngine(url_scores=...)`` feedback input,
+    which expects [0, 1]-comparable priorities (the scorer scale).
+
+    max, not an L1 sum, is the normalizer: order-free and exact on any
+    topology (the ``hits`` argument), computed as a 1-row broadcast.
+    One row per url in → one row per url out (the engine's contract);
+    an all-zero or empty rank table yields score 0.0 everywhere rather
+    than dividing by zero."""
+    mx = ranks.agg(F.max(F.col(col)).alias("_mx"))
+    return ranks.crossJoin(F.broadcast(mx)).select(
+        "url",
+        F.round(
+            F.when(F.col("_mx") > 0, F.col(col) / F.col("_mx"))
+            .otherwise(F.lit(0.0)), 6).alias("score"),
+    )
+
+
 def opic(edges: DataFrame, iters: int = OPIC_ITERS,
          src: str = "src_url", dst: str = "dst_url") -> DataFrame:
     """OPIC — Adaptive On-line Page Importance Computation (Abiteboul,

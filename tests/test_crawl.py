@@ -926,3 +926,79 @@ def test_strip_params_folds_aliases(spark, corpus_dir, tmp_path):
     assert got == {u.split("?")[0] for u in base_urls}
     # the seen set folded: strictly fewer distinct URLs than baseline
     assert eng.url_seen().count() < base.url_seen().count()
+
+
+def test_url_scores_graph_feedback_reorders(spark, corpus_dir, tmp_path):
+    """Link-graph feedback closes the loop: an external (url, score)
+    table — pagerank/OPIC/anchor output — overrides the URL-string
+    scorer at discovery, so a boosted page is fetched earlier than in
+    the baseline crawl and its override score lands in the pages log."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    seeds = get_seeds(spark, corpus_dir)[:1]
+
+    def run(name, url_scores=None):
+        cfg = CrawlConfig(seeds=list(seeds), strategy="best_first",
+                          max_depth=3, max_pages=30, respect_robots=False)
+        eng = CrawlEngine(spark, docs, cfg, str(tmp_path / name),
+                          url_scores=url_scores)
+        eng.run()
+        return eng, [r.url for r in eng.pages().orderBy("rank").collect()]
+
+    beng, base_order = run("usf_base")
+    # Boost the LAST page of the first multi-page fetch round: rounds
+    # drain all pending, so the override can only reorder WITHIN a
+    # round — a singleton round's page can't move.
+    by_round: dict[int, list[str]] = {}
+    for r in beng.pages().orderBy("rank").collect():
+        by_round.setdefault(r.fetch_round, []).append(r.url)
+    target = next(urls[-1] for _, urls in sorted(by_round.items())
+                  if len(urls) >= 2 and urls[-1] not in seeds)
+    scores = spark.createDataFrame([(target, 1.0)], "url string, score double")
+    eng, boosted_order = run("usf_boost", scores)
+    assert boosted_order.index(target) < base_order.index(target)
+    row = eng.pages().where(F.col("url") == target).collect()[0]
+    assert row.score == 1.0
+    # URLs absent from the table keep their scorer score: same page SET
+    assert set(boosted_order) == set(base_order)
+
+
+def test_url_scores_with_threshold_gate(spark, corpus_dir, tmp_path):
+    """With url_scores present, score_threshold sees the EFFECTIVE
+    score: a 0.99 bar blocks every discovered link except the boosted
+    one (base link scores top out well below it)."""
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    seeds = get_seeds(spark, corpus_dir)[:1]
+    probe = CrawlEngine(
+        spark, docs,
+        CrawlConfig(seeds=list(seeds), strategy="best_first", max_depth=1,
+                    max_pages=20, respect_robots=False),
+        str(tmp_path / "usf_probe"))
+    probe.run()
+    kids = [r.url for r in probe.pages().orderBy("rank").collect()
+            if r.url not in seeds]
+    assert kids
+    target = kids[0]
+    scores = spark.createDataFrame([(target, 1.0)], "url string, score double")
+    eng = CrawlEngine(
+        spark, docs,
+        CrawlConfig(seeds=list(seeds), strategy="best_first", max_depth=1,
+                    max_pages=20, respect_robots=False, score_threshold=0.99),
+        str(tmp_path / "usf_gate"), url_scores=scores)
+    eng.run()
+    got = [r.url for r in eng.pages().orderBy("rank").collect()]
+    assert got == [seeds[0], target]
+
+
+def test_scores_from_rank_adapter(spark):
+    """pagerank/opic output → engine url_scores: max-normalized to
+    [0, 1], zero/empty tables degrade to 0.0 instead of dividing."""
+    from crawl4ai_spark.operators.linkgraph import scores_from_rank
+
+    ranks = spark.createDataFrame(
+        [("a", 0.5), ("b", 0.25), ("c", 0.0)], "url string, rank double")
+    out = {r.url: r.score for r in scores_from_rank(ranks).collect()}
+    assert out == {"a": 1.0, "b": 0.5, "c": 0.0}
+    zeros = spark.createDataFrame([("a", 0.0)], "url string, rank double")
+    assert [r.score for r in scores_from_rank(zeros).collect()] == [0.0]
