@@ -2086,3 +2086,116 @@ def q_soft404_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pages.join(F.broadcast(probes), "host").select(
         "id", "host", jac.alias("jaccard"),
         (jac >= F.lit(SOFT404_JACCARD)).alias("is_soft404"))
+
+
+# --------------------------------------------------------------------------- #
+# url_alias_groups — alias-class resolution (redirects ∪ rel-canonical → CC)
+# --------------------------------------------------------------------------- #
+# The indexer-side URL dedup step AFTER the per-signal queries: redirect
+# edges (F12) and same-host rel-canonical declarations (rel_canonical)
+# union into one alias graph; connected components pick ONE canonical
+# per class (min id — deterministic on any cluster). Synthetic edges:
+# id%5==3 redirects to its century hub id-(id%100) (a star, the real
+# alias fan-in shape — tracking params, mirrors, print views all
+# pointing at one page), id%3==1 & id>=7 declares canonical id-7
+# (same host: -7 ≡ 0 mod 7). Components are bounded by alias-group
+# size by construction (stars + ≤3-hop bridges), matching reality —
+# alias classes don't grow with corpus size, so min-label propagation
+# converges in a handful of rounds at ANY scale.
+ALIAS_CC_ITERS = 10
+
+
+@query(
+    "url_alias_groups",
+    """
+    WITH RECURSIVE pages AS (SELECT doc_id::BIGINT AS id FROM documents),
+    base AS (
+        SELECT id AS a, (id - (id % 100))::BIGINT AS b
+        FROM pages WHERE id % 5 = 3
+        UNION
+        SELECT id, (id - 7)::BIGINT FROM pages WHERE id % 3 = 1 AND id >= 7
+    ),
+    eb AS (SELECT a, b FROM base JOIN pages p ON p.id = base.b WHERE a <> b),
+    edges AS (SELECT a, b FROM eb UNION SELECT b, a FROM eb),
+    nodes AS (SELECT DISTINCT a AS n FROM edges),
+    reach(src, node) AS (
+        SELECT n, n FROM nodes
+        UNION
+        SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (
+        SELECT src AS id, min(node)::BIGINT AS canonical_id,
+               count(*)::BIGINT AS n_aliases
+        FROM reach GROUP BY src
+    )
+    SELECT id,
+           'https://host' || (id % 7)::VARCHAR || '.example.com/p/'
+               || id::VARCHAR AS url,
+           canonical_id,
+           'https://host' || (canonical_id % 7)::VARCHAR || '.example.com/p/'
+               || canonical_id::VARCHAR AS canonical_url,
+           n_aliases,
+           id = canonical_id AS is_canonical
+    FROM comp
+    """,
+)
+def q_url_alias_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Alias-class resolution: fold redirect edges and same-host
+    rel-canonical declarations into connected components and elect one
+    canonical URL per class — the indexer's URL dedup that the
+    per-signal queries (redirects_resolve, rel_canonical, dust_params)
+    feed. Iterative min-label propagation (the dedup_minhash_cc
+    pattern: one shuffle join + hash agg per round, lineage cut,
+    fixpoint early-exit); only URLs that participate in an alias edge
+    appear (singletons are their own trivial class). At 10^10 URLs the
+    edge list is a small fraction of the corpus and component diameter
+    is bounded by alias-chain length (~3), not corpus size."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    pages = d.select(i.alias("id"))
+    rd = pages.where(F.pmod(F.col("id"), F.lit(5)) == 3).select(
+        F.col("id").alias("a"),
+        (F.col("id") - F.pmod(F.col("id"), F.lit(100))).alias("b"))
+    cn = pages.where(
+        (F.pmod(F.col("id"), F.lit(3)) == 1) & (F.col("id") >= 7)
+    ).select(F.col("id").alias("a"), (F.col("id") - 7).alias("b"))
+    base = rd.unionByName(cn).where(F.col("a") != F.col("b")).distinct()
+    eb = base.join(pages.select(F.col("id").alias("b")), "b").select("a", "b")
+    edges = (
+        eb.unionByName(eb.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .cache()
+    )
+    labels = edges.select(F.col("a").alias("n")).distinct().withColumn(
+        "label", F.col("n")).localCheckpoint()
+    for _ in range(ALIAS_CC_ITERS):
+        nbr = (
+            edges.join(labels, edges["b"] == labels["n"])
+            .groupBy(edges["a"].alias("n2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new = labels.join(nbr, labels["n"] == nbr["n2"], "left").select(
+            "n",
+            F.least(F.col("label"),
+                    F.coalesce("nbr_label", F.col("label"))).alias("label"),
+        ).localCheckpoint()
+        changed = (
+            new.alias("x").join(labels.alias("y"), "n")
+            .where(F.col("x.label") != F.col("y.label")).limit(1).count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    sizes = labels.groupBy("label").agg(
+        F.count("*").cast("long").alias("n_aliases"))
+    u = lambda c: F.concat(  # noqa: E731
+        F.lit("https://host"), F.pmod(c, F.lit(7)).cast("string"),
+        F.lit(".example.com/p/"), c.cast("string"))
+    return labels.join(sizes, "label").select(
+        F.col("n").alias("id"),
+        u(F.col("n")).alias("url"),
+        F.col("label").alias("canonical_id"),
+        u(F.col("label")).alias("canonical_url"),
+        "n_aliases",
+        (F.col("n") == F.col("label")).alias("is_canonical"),
+    )

@@ -665,3 +665,61 @@ def q_trustrank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("url").startswith(TR_SEED_HOST))
     )
     return trustrank(links, seeds)
+
+
+# --------------------------------------------------------------------------- #
+# link_reciprocity — reciprocal-link (nepotism) detection over host pairs
+# --------------------------------------------------------------------------- #
+RECIP_MIN_EACH = 2   # mutual pairs with >= this many links EACH way
+
+
+@query(
+    "link_reciprocity",
+    f"""
+    WITH {_LINKS_SQL},
+    {_HOST_EDGES_SQL},
+    hc AS (
+        SELECT src_host AS s, dst_host AS d, count(*)::BIGINT AS n
+        FROM hedges WHERE src_host <> dst_host
+        GROUP BY src_host, dst_host
+    )
+    SELECT least(s, d) AS host_a, greatest(s, d) AS host_b,
+           sum(CASE WHEN s < d THEN n ELSE 0 END)::BIGINT AS n_ab,
+           sum(CASE WHEN s > d THEN n ELSE 0 END)::BIGINT AS n_ba,
+           round(2.0 * least(sum(CASE WHEN s < d THEN n ELSE 0 END),
+                             sum(CASE WHEN s > d THEN n ELSE 0 END))
+                 / (sum(CASE WHEN s < d THEN n ELSE 0 END)
+                    + sum(CASE WHEN s > d THEN n ELSE 0 END)), 6) AS recip_ratio,
+           (least(sum(CASE WHEN s < d THEN n ELSE 0 END),
+                  sum(CASE WHEN s > d THEN n ELSE 0 END))
+                >= {RECIP_MIN_EACH}) AS is_mutual
+    FROM hc GROUP BY least(s, d), greatest(s, d)
+    """,
+)
+def q_link_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-link detection at host granularity (Davison'00's
+    nepotistic-link signal): a host PAIR trading links both ways at
+    volume is exchanging rank, not citing — the cheap precursor filter
+    to trustrank (flagged pairs lose their edges before rank runs) and
+    the complement to mirror_detect (which needs shared CONTENT;
+    reciprocity fires on link exchange alone). Shape: one hash groupBy
+    to the directed host-pair table, then one groupBy on the unordered
+    pair key — both bounded by the host graph, ~6 orders smaller than
+    the page graph at 100 TB."""
+    he = _host_edges(spark, sf_dir)
+    hc = (
+        he.where(F.col("src_host") != F.col("dst_host"))
+        .groupBy(F.col("src_host").alias("s"), F.col("dst_host").alias("d"))
+        .agg(F.count("*").cast("long").alias("n"))
+    )
+    ab = F.sum(F.when(F.col("s") < F.col("d"), F.col("n")).otherwise(F.lit(0)))
+    ba = F.sum(F.when(F.col("s") > F.col("d"), F.col("n")).otherwise(F.lit(0)))
+    return hc.groupBy(
+        F.least("s", "d").alias("host_a"),
+        F.greatest("s", "d").alias("host_b"),
+    ).agg(
+        ab.cast("long").alias("n_ab"),
+        ba.cast("long").alias("n_ba"),
+        F.round(F.lit(2.0) * F.least(ab, ba) / (ab + ba), 6).alias("recip_ratio"),
+        (F.least(ab, ba) >= F.lit(RECIP_MIN_EACH)).alias("is_mutual"),
+    )

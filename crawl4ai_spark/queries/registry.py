@@ -135,6 +135,8 @@ _TAIL = [
     "host_skew_stats",
     "seen_shard_fp",
     "sample_weighted",
+    "url_alias_groups",
+    "link_reciprocity",
 ]
 
 

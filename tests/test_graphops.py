@@ -503,3 +503,29 @@ def test_frontier_anchor_score_excludes_crawled(spark):
         # score is the rounded keyword fraction
         assert r.anchor_score in allowed
     assert any(r.anchor_score > 0 for r in rows)
+
+
+def test_link_reciprocity_semantics(spark):
+    """Unordered host pairs with both directions folded: counts match a
+    direct recount from the links, the ratio is 2·min/(sum), and
+    is_mutual needs RECIP_MIN_EACH each way."""
+    from crawl4ai_spark.queries.graphops import (RECIP_MIN_EACH,
+                                                 q_link_reciprocity)
+
+    links = G._links(spark, SF).collect()
+    import re
+    cnt: dict[tuple, int] = {}
+    for r in links:
+        s = re.match(r"^https://([^/]+)", r.src_url).group(1)
+        d = re.match(r"^https://([^/]+)", r.dst_url).group(1)
+        if s != d:
+            cnt[(s, d)] = cnt.get((s, d), 0) + 1
+    rows = q_link_reciprocity(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.host_a < r.host_b
+        assert r.n_ab == cnt.get((r.host_a, r.host_b), 0)
+        assert r.n_ba == cnt.get((r.host_b, r.host_a), 0)
+        lo, tot = min(r.n_ab, r.n_ba), r.n_ab + r.n_ba
+        assert abs(r.recip_ratio - 2.0 * lo / tot) < 1e-6
+        assert r.is_mutual == (lo >= RECIP_MIN_EACH)

@@ -409,3 +409,40 @@ def test_soft404_classes(spark):
             assert r.jaccard >= SOFT404_JACCARD
         else:
             assert r.jaccard < 0.3
+
+
+def test_url_alias_groups_semantics(spark):
+    """Alias CC: every component elects exactly one canonical (its min
+    id), membership is closed under the synthetic edge rules, and the
+    redirect∪canonical union actually bridges signals (a component
+    containing both edge kinds exists)."""
+    from crawl4ai_spark.queries.crawlops import q_url_alias_groups
+
+    rows = q_url_alias_groups(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    by_comp: dict[int, list] = {}
+    for r in rows:
+        by_comp.setdefault(r.canonical_id, []).append(r)
+    for cid, members in by_comp.items():
+        ids = {m.id for m in members}
+        assert cid == min(ids)
+        assert sum(1 for m in members if m.is_canonical) == 1
+        for m in members:
+            assert m.n_aliases == len(members)
+    # membership closure: an id with a redirect edge shares its hub's
+    # component; a canonical declarer shares its target's component
+    comp_of = {r.id: r.canonical_id for r in rows}
+    for r in rows:
+        if r.id % 5 == 3:
+            hub = r.id - (r.id % 100)
+            assert comp_of.get(hub) == r.canonical_id
+        if r.id % 3 == 1 and r.id >= 7:
+            assert comp_of.get(r.id - 7) == r.canonical_id
+    # the union must bridge: some component holds a redirect-edge node
+    # AND a canonical-edge node that is not itself redirect-edged
+    bridged = any(
+        any(m.id % 5 == 3 for m in ms)
+        and any(m.id % 3 == 1 and m.id >= 7 and m.id % 5 != 3 for m in ms)
+        for ms in by_comp.values()
+    )
+    assert bridged
