@@ -130,6 +130,61 @@ def crawl_ordered_throughput(spark, work_dir: str, n_docs: int, n_hosts: int = 4
     }
 
 
+def crawl_scored_throughput(spark, work_dir: str, n_docs: int, n_hosts: int = 40) -> dict:
+    """Graph-feedback ordered crawl (url_scores loop at scale): an
+    UNMEASURED generation-(k-1) sweep builds the seen set, whose URLs
+    become a url_scores table (hash pseudo-rank standing in for
+    pagerank/OPIC — identical join shape, deterministic); the measured
+    crawl then runs the ordered path WITH the per-round override join
+    against that table. Measured so the feedback loop's cost at
+    hundreds of thousands of override rows is a number, not a claim."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.config import CrawlConfig
+    from crawl4ai_spark.fixtures import VirtualCorpus
+    from crawl4ai_spark.operators.frontier import CrawlEngine
+
+    vc = VirtualCorpus(n_docs=n_docs, n_hosts=n_hosts)
+    seeds = vc.seed_urls(n_hosts - 1, 4096)
+    pre_cfg = CrawlConfig(
+        seeds=seeds, max_depth=8, max_pages=None, include_external=True,
+        politeness=False, respect_robots=False, track_order=False,
+        max_rounds=3,
+    )
+    pre_state = os.path.join(work_dir, "state_scored_pre")
+    shutil.rmtree(pre_state, ignore_errors=True)
+    pre = CrawlEngine(spark, vc, pre_cfg, pre_state)
+    pre.run()
+    scores_path = os.path.join(work_dir, "url_scores")
+    pre.url_seen().select(
+        "url",
+        (F.pmod(F.xxhash64("url"), F.lit(1000)).cast("double") / 1000)
+        .alias("score"),
+    ).write.mode("overwrite").parquet(scores_path)
+    shutil.rmtree(pre_state, ignore_errors=True)
+    scores = spark.read.parquet(scores_path)
+    n_scores = scores.count()
+
+    cfg = CrawlConfig(
+        seeds=seeds, max_depth=8, max_pages=None, include_external=True,
+        politeness=False, respect_robots=False, track_order=True,
+        round_size=150_000, max_rounds=4,
+    )
+    state = os.path.join(work_dir, "state_scored")
+    shutil.rmtree(state, ignore_errors=True)
+    eng = CrawlEngine(spark, vc, cfg, state, url_scores=scores)
+    t0 = time.monotonic()
+    res = eng.run()
+    elapsed = time.monotonic() - t0
+    return {
+        "fetched": res["fetched"],
+        "rounds": res["rounds"],
+        "n_scores": int(n_scores),
+        "crawl_sec": round(elapsed, 3),
+        "urls_per_sec": round(res["fetched"] / elapsed, 1),
+    }
+
+
 def crawl_polite_throughput(spark, work_dir: str, n_docs: int, n_hosts: int = 40) -> dict:
     """Politeness-budgeted ordered crawl: per-host per-round budgets
     (salted ×4) restrict selection, so rounds leave a remainder and the
@@ -316,11 +371,18 @@ def main() -> None:
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
+    # single run (tertiary metric): the graph-feedback override join
+    work = f"/dev/shm/bench_scrawl_{os.getpid()}"
+    try:
+        scored = crawl_scored_throughput(spark, work, n_docs)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
     total = round(sum(sum(r) for r in qspread.values())
                   + sum(c["crawl_sec"] for c in crawl_runs)
                   + sum(c["crawl_sec"] for c in ordered_runs)
                   + polite["crawl_sec"] + retry["crawl_sec"]
-                  + recrawl["crawl_sec"], 3)
+                  + recrawl["crawl_sec"] + scored["crawl_sec"], 3)
     # Detail line FIRST (per-run spreads, for humans / BENCH.md); the
     # compact summary goes LAST so the driver's tail-capture parse always
     # sees one complete JSON object (BENCH_r03 lost its headline when the
@@ -334,6 +396,7 @@ def main() -> None:
         "crawl_polite": polite,
         "crawl_retry": retry,
         "crawl_recrawl": recrawl,
+        "crawl_scored": scored,
     }))
     print(json.dumps({
         "metric": "urls_fetched_deduped_per_sec",
