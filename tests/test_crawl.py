@@ -1002,3 +1002,47 @@ def test_scores_from_rank_adapter(spark):
     assert out == {"a": 1.0, "b": 0.5, "c": 0.0}
     zeros = spark.createDataFrame([("a", 0.0)], "url string, rank double")
     assert [r.score for r in scores_from_rank(zeros).collect()] == [0.0]
+
+
+def test_opic_feedback_end_to_end(spark, corpus_dir, tmp_path):
+    """The whole graph loop, generation to generation: crawl gen-1,
+    build the outlink graph from its OWN fetched pages, run OPIC,
+    adapt with scores_from_rank, feed gen-2 — whose best-first order
+    must then be non-increasing in logged score within every round."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.operators.linkgraph import opic, scores_from_rank
+
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    seeds = get_seeds(spark, corpus_dir)[:1]
+    g1 = CrawlEngine(
+        spark, docs,
+        CrawlConfig(seeds=list(seeds), strategy="bfs", max_depth=3,
+                    max_pages=40, respect_robots=False),
+        str(tmp_path / "opic_g1"))
+    g1.run()
+    links = (
+        g1.pages().where(F.col("status") == "fetched")
+        .select(F.col("url").alias("src_url"), F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == "link")
+        .select("src_url", F.col("s.media_ref").alias("dst_url"))
+    )
+    assert links.count() > 0
+    scores = scores_from_rank(opic(links), col="importance")
+    g2 = CrawlEngine(
+        spark, docs,
+        CrawlConfig(seeds=list(seeds), strategy="best_first", max_depth=3,
+                    max_pages=40, respect_robots=False),
+        str(tmp_path / "opic_g2"), url_scores=scores)
+    g2.run()
+    pg = g2.pages().orderBy("rank").collect()
+    assert len(pg) > 3
+    by_round: dict[int, list[float]] = {}
+    for r in pg:
+        by_round.setdefault(r.fetch_round, []).append(r.score)
+    for rnd, ss in by_round.items():
+        assert ss == sorted(ss, reverse=True), (rnd, ss)
+    # the OPIC override actually reached the log: some fetched page
+    # carries a score that is NOT a possible link_score output
+    # (link_score values are multiples of 0.1 by construction)
+    assert any(round(r.score * 10, 6) % 1 != 0 for r in pg)
