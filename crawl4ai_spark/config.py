@@ -114,6 +114,14 @@ class CrawlConfig:
     # still proceeds, as the reference's arun does). Ignored for
     # DataFrame corpora. See fixtures.spans_for_index(steps=...).
     multi_step_actions: int = 0
+    # Anti-starvation aging for best_first: a pending URL's effective
+    # priority grows by age_boost per round it waits (score + age_boost ×
+    # (round − discovered_round)), so a page a static scorer ranks low is
+    # still fetched in bounded time — at a 10^10-URL frontier a purely
+    # static priority starves the tail forever. None (default) keeps the
+    # reference's static ordering (oracle-conformant); the boosted order
+    # remains deterministic (same tiebreaks on the boosted key).
+    age_boost: float | None = None
     use_bloom: bool = False           # Bloom-sidecar prefilter for the seen-set anti-join
     bloom_shards: int = 16
     bloom_bits: int = 1 << 23         # bits per shard (1 MiB)

@@ -187,12 +187,20 @@ class CrawlEngine:
         self._link_ratio = 4.0
 
     # ------------------------------------------------------------------ #
-    def _priority(self) -> list:
+    def _priority(self, round_no: int | None = None) -> list:
         if self.strategy == "dfs":
             return [F.col("path").asc(), F.col("url").asc()]
         if self.strategy == "best_first":
+            key = F.col("score")
+            if self.cfg.age_boost is not None and round_no is not None:
+                # anti-starvation aging (config.age_boost): priority
+                # grows per waiting round — pure column arithmetic on
+                # stored fields, so the boosted key costs nothing extra
+                # in the rank windows and stays deterministic
+                key = key + F.lit(float(self.cfg.age_boost)) * (
+                    F.lit(round_no) - F.col("discovered_round"))
             return [
-                F.col("score").desc(),
+                key.desc(),
                 F.col("parent_rank").asc(), F.col("parent_offset").asc(),
                 F.col("url").asc(),
             ]
@@ -286,7 +294,8 @@ class CrawlEngine:
 
     # ------------------------------------------------------------------ #
     def _select_batch(self, frontier: DataFrame, limit: int | None,
-                      retry_debits: DataFrame | None = None):
+                      retry_debits: DataFrame | None = None,
+                      round_no: int | None = None):
         """Rank-and-limit selection. ``retry_debits`` (host, _debit) counts
         this round's due retry re-dispatches per host: they are deducted
         from the host's politeness grant BEFORE fresh selection, so total
@@ -295,7 +304,7 @@ class CrawlEngine:
         Residual overdraw is bounded: if due retries alone exceed the
         budget, fresh selection gets 0 and dispatch = n_due (retries hold
         grants from the round that first selected them)."""
-        pri = self._priority()
+        pri = self._priority(round_no)
         cand = frontier
         if self.cfg.politeness and self.host_budgets is not None:
             salts = max(1, self.cfg.politeness_salts)
@@ -914,7 +923,8 @@ class CrawlEngine:
                     if not retries_out:
                         break
                     pending = self.frontier_tbl.read(spark).where(F.lit(False))
-                selected = self._select_batch(pending, limit, retry_debits=due_debits)
+                selected = self._select_batch(
+                    pending, limit, retry_debits=due_debits, round_no=round_no)
             if cfg.max_retries > 0:
                 # dispatch = fresh selection (attempt 1) ∪ due retries.
                 # Due rows bypass ranking/seen — they already hold a rank

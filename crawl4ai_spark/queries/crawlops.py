@@ -2199,3 +2199,67 @@ def q_url_alias_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_aliases",
         (F.col("n") == F.col("label")).alias("is_canonical"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# robots_stale — RFC 9309 robots.txt cache expiry → refetch schedule
+# --------------------------------------------------------------------------- #
+# RFC 9309 §2.4: crawlers SHOULD NOT use a cached robots.txt for more
+# than 24 hours. Synthetic fetch log: host h's robots.txt was fetched
+# (7h + 3) hours ago — hosts 0..6 age 3..45h, straddling the TTL.
+# Urgency weights the refetch queue by the URL mass the stale file
+# gates (a stale robots.txt on a 1M-URL host outranks a 10-URL host).
+ROBOTS_TTL_H = 24
+
+
+@query(
+    "robots_stale",
+    f"""
+    WITH hosts AS (
+        SELECT 'host' || (doc_id % 7)::VARCHAR || '.example.com' AS host,
+               count(*)::BIGINT AS n_urls
+        FROM documents GROUP BY doc_id % 7
+    ),
+    aged AS (
+        SELECT host, n_urls,
+               (7 * regexp_extract(host, '^host([0-9]+)', 1)::BIGINT + 3)
+                   AS age_h
+        FROM hosts
+    )
+    SELECT host, n_urls, age_h,
+           (age_h > {ROBOTS_TTL_H}) AS is_stale,
+           (CASE WHEN age_h > {ROBOTS_TTL_H}
+                 THEN round(n_urls::DOUBLE
+                            * (age_h - {ROBOTS_TTL_H}) / {ROBOTS_TTL_H}, 6)
+                 ELSE 0.0::DOUBLE END) AS refetch_priority
+    FROM aged
+    """,
+)
+def q_robots_stale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """robots.txt cache-expiry scheduling (RFC 9309 §2.4's 24h SHOULD):
+    per host, the cached file's age against the TTL and a refetch
+    priority weighted by the URL mass the file gates — the last
+    freshness channel (sitemap lastmod, Poisson revisit, 304 economics
+    cover the pages; this covers the RULES). O(hosts) rows out of one
+    hash groupBy at any corpus size; the refetch set feeds the same
+    front door as parse_robots_txt → CrawlEngine(robots=...)."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    hosts = d.groupBy(F.pmod(i, F.lit(7)).alias("_h")).agg(
+        F.count("*").cast("long").alias("n_urls"))
+    aged = hosts.select(
+        F.concat(F.lit("host"), F.col("_h").cast("string"),
+                 F.lit(".example.com")).alias("host"),
+        "n_urls",
+        (F.lit(7) * F.col("_h") + F.lit(3)).cast("long").alias("age_h"),
+    )
+    stale = F.col("age_h") > ROBOTS_TTL_H
+    return aged.select(
+        "host", "n_urls", "age_h",
+        stale.alias("is_stale"),
+        F.when(stale,
+               F.round(F.col("n_urls").cast("double")
+                       * (F.col("age_h") - F.lit(ROBOTS_TTL_H))
+                       / F.lit(ROBOTS_TTL_H), 6))
+        .otherwise(F.lit(0.0)).alias("refetch_priority"),
+    )

@@ -137,6 +137,7 @@ _TAIL = [
     "sample_weighted",
     "url_alias_groups",
     "link_reciprocity",
+    "robots_stale",
 ]
 
 

@@ -1046,3 +1046,45 @@ def test_opic_feedback_end_to_end(spark, corpus_dir, tmp_path):
     # carries a score that is NOT a possible link_score output
     # (link_score values are multiples of 0.1 by construction)
     assert any(round(r.score * 10, 6) % 1 != 0 for r in pg)
+
+
+def test_age_boost_prevents_starvation(spark, tmp_path):
+    """Anti-starvation aging: a blacklist-scored (0.3) URL discovered in
+    round 1 competes against two endless 0.6-score chains that saturate
+    round_size=2 — static best-first priority starves it out of the
+    whole 12-page budget; with age_boost its priority grows per waiting
+    round and it is fetched within a few rounds. Boosted order stays
+    deterministic across runs."""
+
+    def doc(url, *links):
+        return (url, [{"kind": "link", "text": f"to {l}", "media_ref": l,
+                       "offset": i} for i, l in enumerate(links)])
+
+    h = "https://h.example.com"
+    low = f"{h}/login/stuck"          # 'login' -> link_score 0.3
+    rows = [doc(f"{h}/p/seed", low, f"{h}/p/a1", f"{h}/p/b1"), doc(low)]
+    for c in "ab":
+        for i in range(1, 9):
+            rows.append(doc(f"{h}/p/{c}{i}", f"{h}/p/{c}{i + 1}"))
+        rows.append(doc(f"{h}/p/{c}9"))
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>")
+
+    def run(name, boost):
+        cfg = CrawlConfig(seeds=[f"{h}/p/seed"], strategy="best_first",
+                          max_depth=12, max_pages=12, round_size=2,
+                          respect_robots=False, use_ai_agent=True,
+                          age_boost=boost)
+        eng = CrawlEngine(spark, docs, cfg, str(tmp_path / name))
+        eng.run()
+        return [r.url for r in eng.pages().orderBy("rank").collect()]
+
+    base = run("ab_base", None)
+    assert low not in base          # starved: every round has fresh 0.6s
+    boosted = run("ab_boost", 1.0)
+    assert low in boosted
+    # 0.3 + 1.0*age outranks 0.6 from the second waiting round on
+    assert boosted.index(low) <= 6
+    assert boosted == run("ab_boost2", 1.0)  # deterministic
