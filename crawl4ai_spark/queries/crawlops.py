@@ -2263,3 +2263,91 @@ def q_robots_stale(spark: SparkSession, sf_dir: str) -> DataFrame:
                        / F.lit(ROBOTS_TTL_H), 6))
         .otherwise(F.lit(0.0)).alias("refetch_priority"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# cloaking_detect — dual-fetch UA-variant cloaking detection
+# --------------------------------------------------------------------------- #
+# Cloaking (Wu & Davison, WWW'05 "Cloaking and Redirection"): a page
+# serves the crawler different content than it serves users, so the
+# index ranks text no visitor ever sees. The standard detector fetches
+# each page twice — crawler UA and browser UA — and flags pages whose
+# token sets diverge past a threshold, while TOLERATING benign dynamism
+# (rotating session ids, timestamps). Synthesized dual corpus: every
+# 17th page cloaks (the bot view is keyword-stuffed spam, user view is
+# the real text); every 11th non-cloaked page has a benign per-fetch
+# token appended (must NOT flag). Token-set Jaccard is computed per
+# page — pure column/array math in the scan, zero shuffle; at 10^10
+# pages this runs map-side everywhere.
+CLOAK_JACCARD = 0.5
+_CLOAK_SPAM = ("free casino poker slots bonus casino free slots jackpot "
+               "poker bonus free")
+
+
+@query(
+    "cloaking_detect",
+    f"""
+    WITH fetches AS (
+        SELECT doc_id::BIGINT AS id,
+               'https://host' || (doc_id % 7)::VARCHAR || '.example.com/p/'
+                   || doc_id::VARCHAR AS url,
+               CASE WHEN doc_id % 17 = 0 THEN '{_CLOAK_SPAM}'
+                    ELSE text END AS bot_view,
+               CASE WHEN doc_id % 17 <> 0 AND doc_id % 11 = 0
+                    THEN text || ' session_' || (doc_id % 97)::VARCHAR
+                    ELSE text END AS user_view
+        FROM documents
+    ),
+    toksed AS (
+        SELECT id, url,
+               list_distinct({T.tokens_sql('bot_view')}) AS bt,
+               list_distinct({T.tokens_sql('user_view')}) AS ut
+        FROM fetches
+    ),
+    scored AS (
+        SELECT id, url, len(bt)::BIGINT AS n_tok_bot, len(ut)::BIGINT AS n_tok_user,
+               round(len(list_intersect(bt, ut))::DOUBLE
+                     / greatest(1, len(list_distinct(list_concat(bt, ut))))::DOUBLE,
+                     6) AS jaccard
+        FROM toksed
+    )
+    SELECT id, url, n_tok_bot, n_tok_user, jaccard,
+           (jaccard < {CLOAK_JACCARD!r}) AS is_cloaked
+    FROM scored
+    """,
+)
+def q_cloaking_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dual-fetch cloaking detection: per page, the crawler-UA and
+    browser-UA token sets and their Jaccard; below CLOAK_JACCARD the
+    page is serving the bot different content (WWW'05). Benign
+    dynamism (one rotating token) keeps Jaccard near 1 and never
+    flags; the flagged set is a url_blocklist/trustrank-seed producer.
+    Map-side only — no shuffle at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    cloaked = F.pmod(i, F.lit(17)) == 0
+    bot = F.when(cloaked, F.lit(_CLOAK_SPAM)).otherwise(F.col("text"))
+    usr = F.when(
+        (~cloaked) & (F.pmod(i, F.lit(11)) == 0),
+        F.concat(F.col("text"), F.lit(" session_"),
+                 F.pmod(i, F.lit(97)).cast("string")),
+    ).otherwise(F.col("text"))
+    toksed = d.select(
+        i.alias("id"),
+        F.concat(F.lit("https://host"), F.pmod(i, F.lit(7)).cast("string"),
+                 F.lit(".example.com/p/"), i.cast("string")).alias("url"),
+        F.array_distinct(T.tokens(bot)).alias("bt"),
+        F.array_distinct(T.tokens(usr)).alias("ut"),
+    )
+    jac = F.round(
+        F.size(F.array_intersect("bt", "ut")).cast("double")
+        / F.greatest(F.lit(1),
+                     F.size(F.array_distinct(F.concat("bt", "ut")))).cast("double"),
+        6)
+    return toksed.select(
+        "id", "url",
+        F.size("bt").cast("long").alias("n_tok_bot"),
+        F.size("ut").cast("long").alias("n_tok_user"),
+        jac.alias("jaccard"),
+        (jac < F.lit(CLOAK_JACCARD)).alias("is_cloaked"),
+    )

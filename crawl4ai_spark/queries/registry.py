@@ -138,6 +138,11 @@ _TAIL = [
     "url_alias_groups",
     "link_reciprocity",
     "robots_stale",
+    # round-4 session-5 additions, deliberately local-tier
+    "revisit_value",
+    "ip_politeness",
+    "harvest_rate",
+    "cloaking_detect",
 ]
 
 

@@ -791,3 +791,270 @@ def q_seen_shard_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
          / F.lit(SEEN_N_OPT)).cast("long").alias("shards_needed"),
         (fp > F.lit(SEEN_FP_BUDGET)).alias("over_budget"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# revisit_value — freshness × importance recrawl allocation
+# --------------------------------------------------------------------------- #
+# Closes the last scheduling loop: poisson_revisit estimates HOW OFTEN a
+# page changes, link_pagerank estimates HOW MUCH a page matters — the
+# recrawl scheduler needs both (Cho & Garcia-Molina TOIT'03; Edwards et
+# al. WWW'01 weight refresh by page value). Expected value of revisiting
+# url u within horizon H = importance(u) × P(changed by H) =
+# (1 + indegree) × (1 − e^{−λ̂·H}). Revisit slots are allocated PER HOST
+# (the politeness budget is per-host, so the contention is per-host):
+# top REVISIT_SLOTS by value win the next round's slots.
+#
+# Scale shape: λ̂ is pure column math; indegree is one hash groupBy on
+# dst_url; the join keys on url; the rank window partitions by host —
+# bounded by the host's candidate count (the same per-host partitions
+# the politeness stage already salts when hot). No global window.
+from .spansops import _SP_SQL as _REVISIT_SP_SQL  # noqa: E402 (tier-local)
+
+REVISIT_HORIZON_H = 24.0
+REVISIT_SLOTS = 4
+
+
+@query(
+    "revisit_value",
+    f"""
+    WITH {_REVISIT_SP_SQL},
+    links AS (
+        SELECT ref AS dst_url FROM spans WHERE kind = 'link'
+    ),
+    indeg AS (
+        SELECT dst_url, count(*)::BIGINT AS n_inlinks FROM links GROUP BY dst_url
+    ),
+    polls AS (
+        SELECT 'https://host' || (doc_id % 7)::VARCHAR || '.example.com/p/'
+                   || doc_id::VARCHAR AS url,
+               'host' || (doc_id % 7)::VARCHAR AS host,
+               (4 + doc_id % 13)::BIGINT AS n_polls,
+               (doc_id % (4 + doc_id % 13 + 1))::BIGINT AS n_changed,
+               (1 + doc_id % 5)::DOUBLE AS interval_h
+        FROM documents
+    ),
+    est AS (
+        SELECT p.url, p.host,
+               coalesce(i.n_inlinks, 0)::BIGINT AS n_inlinks,
+               round(-ln((p.n_polls - p.n_changed + 0.5::DOUBLE)
+                         / (p.n_polls + 0.5::DOUBLE)) / p.interval_h, 9)
+                   AS lambda_per_h
+        FROM polls p LEFT JOIN indeg i ON p.url = i.dst_url
+    ),
+    valued AS (
+        SELECT url, host, n_inlinks, lambda_per_h,
+               round(1.0::DOUBLE - exp(-(lambda_per_h * {REVISIT_HORIZON_H!r}::DOUBLE)), 9)
+                   AS p_change,
+               round((1 + n_inlinks)::DOUBLE
+                     * round(1.0::DOUBLE - exp(-(lambda_per_h * {REVISIT_HORIZON_H!r}::DOUBLE)), 9), 9)
+                   AS value
+        FROM est
+    )
+    SELECT url, host, n_inlinks, lambda_per_h, p_change, value,
+           slot, (slot <= {REVISIT_SLOTS}) AS selected
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY host
+                                     ORDER BY value DESC, url ASC) AS slot
+        FROM valued
+    )
+    """,
+)
+def q_revisit_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Freshness×importance recrawl allocation: expected revisit value =
+    (1 + indegree) × P(page changed within the horizon), P from the
+    bias-corrected Poisson λ̂ (poisson_revisit), indegree from the
+    outlink graph (graphops). Per host, the top REVISIT_SLOTS values
+    win the next round's politeness slots — the per-URL companion to
+    host_budget_alloc's per-host split. The selected set feeds
+    eng.reopen exactly like stale_from_sitemap's."""
+    from .spansops import _span_docs
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    sd = _span_docs(spark, sf_dir)
+    indeg = (
+        sd.select(F.explode_outer("spans").alias("s"))
+        .where(F.col("s.kind") == "link")
+        .groupBy(F.col("s.media_ref").alias("dst_url"))
+        .agg(F.count("*").cast("long").alias("n_inlinks"))
+    )
+    n = (F.lit(4) + F.pmod(i, F.lit(13))).cast("long")
+    x = F.pmod(i, n + 1).cast("long")
+    iv = (F.lit(1) + F.pmod(i, F.lit(5))).cast("double")
+    polls = d.select(
+        F.concat(F.lit("https://host"), F.pmod(i, F.lit(7)).cast("string"),
+                 F.lit(".example.com/p/"), i.cast("string")).alias("url"),
+        F.concat(F.lit("host"), F.pmod(i, F.lit(7)).cast("string")).alias("host"),
+        n.alias("n_polls"), x.alias("n_changed"), iv.alias("interval_h"))
+    est = (
+        polls.join(indeg, polls.url == indeg.dst_url, "left")
+        .select(
+            "url", "host",
+            F.coalesce(F.col("n_inlinks"), F.lit(0)).cast("long").alias("n_inlinks"),
+            F.round(
+                -F.log((F.col("n_polls") - F.col("n_changed") + F.lit(0.5))
+                       / (F.col("n_polls") + F.lit(0.5))) / F.col("interval_h"),
+                9).alias("lambda_per_h"),
+        )
+    )
+    p_change = F.round(
+        F.lit(1.0) - F.exp(-(F.col("lambda_per_h") * F.lit(REVISIT_HORIZON_H))), 9)
+    valued = est.select(
+        "url", "host", "n_inlinks", "lambda_per_h",
+        p_change.alias("p_change"),
+        F.round((F.lit(1) + F.col("n_inlinks")).cast("double") * p_change,
+                9).alias("value"),
+    )
+    w = Window.partitionBy("host").orderBy(F.col("value").desc(), F.col("url").asc())
+    return valued.select(
+        "*", F.row_number().over(w).alias("slot")
+    ).withColumn("selected", F.col("slot") <= REVISIT_SLOTS)
+
+
+# --------------------------------------------------------------------------- #
+# ip_politeness — vhost→IP shared-budget rollup
+# --------------------------------------------------------------------------- #
+# Politeness budgets per HOSTNAME under-throttle co-hosted sites: ten
+# vhosts on one box each get a full budget and the box takes 10× the
+# intended load (Heritrix ships IP-politeness for exactly this). Given
+# per-host requested budgets (the yield-proportional ones
+# host_budget_alloc emits), roll them up to the resolved IP and, when
+# an IP's total request exceeds IP_ROUND_CAP, scale every co-hosted
+# host's grant proportionally (integer floor-div — deterministic, never
+# over-grants; the ungranted remainder is the next round's headroom).
+# Scale shape: two hash aggs (host, then ip) + one broadcast-size join
+# back; the IP dimension is smaller than the host dimension.
+IP_ROUND_CAP = 60     # fetches per IP per round
+IP_N_HOSTS = 21       # synthetic vhost universe
+IP_N_ADDRS = 6        # packed onto 6 addresses (3-4 vhosts each)
+
+
+@query(
+    "ip_politeness",
+    f"""
+    WITH hosts AS (
+        SELECT 'host' || (doc_id % {IP_N_HOSTS})::VARCHAR || '.example.com' AS host,
+               (doc_id % {IP_N_HOSTS})::BIGINT AS hnum,
+               sum((n_chars >= 300)::INT)::BIGINT AS yield_docs
+        FROM documents GROUP BY doc_id % {IP_N_HOSTS}
+    ),
+    req AS (
+        SELECT host, hnum,
+               '203.0.113.' || (hnum % {IP_N_ADDRS})::VARCHAR AS ip,
+               least(64, 4 + yield_docs)::BIGINT AS host_req
+        FROM hosts
+    ),
+    per_ip AS (
+        SELECT ip, sum(host_req)::BIGINT AS ip_req_total FROM req GROUP BY ip
+    )
+    SELECT r.host, r.ip, r.host_req, p.ip_req_total,
+           (p.ip_req_total > {IP_ROUND_CAP}) AS capped,
+           (CASE WHEN p.ip_req_total > {IP_ROUND_CAP}
+                 THEN ({IP_ROUND_CAP} * r.host_req) // p.ip_req_total
+                 ELSE r.host_req END)::BIGINT AS granted
+    FROM req r JOIN per_ip p ON r.ip = p.ip
+    """,
+)
+def q_ip_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IP-level politeness rollup: co-hosted vhosts share one address's
+    fetch budget. Per host, the requested (yield-derived) budget; per
+    IP, the total request; when the total exceeds IP_ROUND_CAP every
+    vhost's grant scales by integer proportion (floor-div: Σ granted ≤
+    cap, no over-grant). The granted table is CrawlEngine
+    host_budgets input — same front door as host_budget_alloc, one
+    rollup deeper."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    hosts = (
+        d.groupBy(F.pmod(i, F.lit(IP_N_HOSTS)).alias("hnum"))
+        .agg(F.sum(F.when(F.col("n_chars") >= 300, 1).otherwise(0))
+             .cast("long").alias("yield_docs"))
+    )
+    req = hosts.select(
+        F.concat(F.lit("host"), F.col("hnum").cast("string"),
+                 F.lit(".example.com")).alias("host"),
+        F.concat(F.lit("203.0.113."),
+                 F.pmod(F.col("hnum"), F.lit(IP_N_ADDRS)).cast("string")).alias("ip"),
+        F.least(F.lit(64), F.lit(4) + F.col("yield_docs")).cast("long").alias("host_req"),
+    )
+    per_ip = req.groupBy("ip").agg(
+        F.sum("host_req").cast("long").alias("ip_req_total"))
+    over = F.col("ip_req_total") > IP_ROUND_CAP
+    return (
+        req.join(F.broadcast(per_ip), "ip")
+        .select(
+            "host", "ip", "host_req", "ip_req_total",
+            over.alias("capped"),
+            F.when(over, F.expr(f"({IP_ROUND_CAP} * host_req) div ip_req_total"))
+            .otherwise(F.col("host_req")).cast("long").alias("granted"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------- #
+# harvest_rate — focused-crawl efficiency curve
+# --------------------------------------------------------------------------- #
+# The focused-crawl acceptance metric (Chakrabarti et al., WWW'99):
+# harvest rate = relevant pages / pages fetched, as a function of crawl
+# progress. Best-first drains the frontier in descending scorer-band
+# order, so the curve at band boundaries is exact without materializing
+# a global crawl order: per band, fetched/relevant counts (one hash
+# agg); cumulative sums run over the O(HARVEST_BANDS)-row band table —
+# a window over ≤8 rows at ANY corpus size, never over URLs. The
+# synthetic die makes true relevance increase with the scorer band
+# (P(rel|b) = P(d%7 ≥ 9−2b)), so the curve declines as the crawl digs —
+# the canonical focused-crawl shape a flat (band-blind) crawler lacks.
+HARVEST_BANDS = 8
+
+
+@query(
+    "harvest_rate",
+    f"""
+    WITH scored AS (
+        SELECT ((doc_id * 13) % {HARVEST_BANDS})::BIGINT AS band,
+               ((((doc_id * 13) % {HARVEST_BANDS}) * 2 + doc_id % 7) >= 9)
+                   AS relevant
+        FROM documents
+    ),
+    per_band AS (
+        SELECT band, count(*)::BIGINT AS fetched,
+               sum(relevant::INT)::BIGINT AS n_relevant
+        FROM scored GROUP BY band
+    )
+    SELECT band, fetched, n_relevant,
+           sum(fetched) OVER w AS cum_fetched,
+           sum(n_relevant) OVER w AS cum_relevant,
+           round((sum(n_relevant) OVER w)::DOUBLE
+                 / (sum(fetched) OVER w), 9) AS harvest
+    FROM per_band
+    WINDOW w AS (ORDER BY band DESC ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW)
+    """,
+)
+def q_harvest_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Focused-crawl harvest curve: cumulative relevant/fetched ratio as
+    best-first drains scorer bands high→low. The per-URL pass is one
+    hash groupBy on the band; the cumulative window runs over the
+    HARVEST_BANDS-row aggregate only (scale-free). Read: harvest at
+    band b = crawl efficiency if the crawler stops after draining
+    bands ≥ b — where the curve crosses the operator's floor is the
+    score_threshold to set (CrawlConfig.score_threshold)."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    band = F.pmod(i * 13, F.lit(HARVEST_BANDS)).cast("long")
+    scored = d.select(
+        band.alias("band"),
+        ((band * 2 + F.pmod(i, F.lit(7))) >= 9).alias("relevant"))
+    per_band = scored.groupBy("band").agg(
+        F.count("*").cast("long").alias("fetched"),
+        F.sum(F.col("relevant").cast("int")).cast("long").alias("n_relevant"))
+    w = (Window.orderBy(F.col("band").desc())
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return per_band.select(
+        "band", "fetched", "n_relevant",
+        F.sum("fetched").over(w).alias("cum_fetched"),
+        F.sum("n_relevant").over(w).alias("cum_relevant"),
+        F.round(F.sum("n_relevant").over(w).cast("double")
+                / F.sum("fetched").over(w), 9).alias("harvest"),
+    )

@@ -287,3 +287,70 @@ def test_seen_shard_fp_semantics(spark):
         assert -(-r.n_urls // r.shards_needed) <= SEEN_N_OPT
     # the sf corpus must exercise both sides of the budget
     assert {r.over_budget for r in rows} == {True, False}
+
+
+def test_revisit_value_semantics(spark):
+    rows = S.q_revisit_value(spark, SF).collect()
+    assert rows
+    by_host = {}
+    for r in rows:
+        # value = importance × change probability, both factors pinned
+        p = round(1.0 - math.exp(-(r.lambda_per_h * S.REVISIT_HORIZON_H)), 9)
+        assert abs(r.p_change - p) < 1e-9
+        assert abs(r.value - round((1 + r.n_inlinks) * p, 9)) < 1e-9
+        assert r.n_inlinks >= 0
+        by_host.setdefault(r.host, []).append(r)
+    for host, rs in by_host.items():
+        rs.sort(key=lambda r: r.slot)
+        # slots are a 1..n permutation ordered by (value desc, url asc)
+        assert [r.slot for r in rs] == list(range(1, len(rs) + 1))
+        for a, b in zip(rs, rs[1:]):
+            assert (a.value, b.url) > (b.value, a.url) or (
+                a.value == b.value and a.url < b.url) or a.value > b.value
+        # exactly min(SLOTS, n) winners, and they are the top slots
+        want = min(S.REVISIT_SLOTS, len(rs))
+        assert sum(r.selected for r in rs) == want
+        assert all(r.selected == (r.slot <= S.REVISIT_SLOTS) for r in rs)
+
+
+def test_ip_politeness_never_overgrants(spark):
+    rows = S.q_ip_politeness(spark, SF).collect()
+    assert rows
+    per_ip = {}
+    for r in rows:
+        per_ip.setdefault(r.ip, []).append(r)
+    # vhosts pack 21 hosts onto 6 addresses
+    assert len(per_ip) == S.IP_N_ADDRS and len(rows) == S.IP_N_HOSTS
+    for ip, rs in per_ip.items():
+        req_total = sum(r.host_req for r in rs)
+        assert all(r.ip_req_total == req_total for r in rs)
+        granted = sum(r.granted for r in rs)
+        if req_total > S.IP_ROUND_CAP:
+            assert all(r.capped for r in rs)
+            # the cap binds: never over-grant, floor-div never zeroes a
+            # host whose proportional share is ≥ 1
+            assert granted <= S.IP_ROUND_CAP
+            for r in rs:
+                assert r.granted == (S.IP_ROUND_CAP * r.host_req) // req_total
+        else:
+            assert all(not r.capped and r.granted == r.host_req for r in rs)
+
+
+def test_harvest_rate_curve(spark):
+    rows = sorted(S.q_harvest_rate(spark, SF).collect(),
+                  key=lambda r: -r.band)
+    assert len(rows) == S.HARVEST_BANDS
+    # cumulative columns fold correctly in band-desc (crawl) order
+    cf = cr = 0
+    for r in rows:
+        cf += r.fetched
+        cr += r.n_relevant
+        assert (r.cum_fetched, r.cum_relevant) == (cf, cr)
+        assert abs(r.harvest - round(cr / cf, 9)) < 1e-9
+    # the die makes P(rel|band) increase with band, so the harvest
+    # curve declines as the crawl digs into lower bands
+    assert rows[0].harvest > rows[-1].harvest
+    # per-band relevance matches the die exactly
+    for r in rows:
+        n_rel = sum(1 for d in range(7) if r.band * 2 + d >= 9) / 7
+        assert abs(r.n_relevant / r.fetched - n_rel) < 0.2

@@ -446,3 +446,20 @@ def test_url_alias_groups_semantics(spark):
         for ms in by_comp.values()
     )
     assert bridged
+
+
+def test_cloaking_detect_semantics(spark):
+    from crawl4ai_spark.queries import crawlops as C
+
+    rows = C.q_cloaking_detect(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        if r.id % 17 == 0:
+            # keyword-stuffed bot view shares ~no tokens with the text
+            assert r.is_cloaked and r.jaccard < C.CLOAK_JACCARD
+        elif r.id % 11 == 0:
+            # benign dynamism (one rotating token) must NOT flag; the
+            # dip scales with 1/doc-length, well above the threshold
+            assert not r.is_cloaked and r.jaccard >= 0.75
+        else:
+            assert not r.is_cloaked and r.jaccard == 1.0
