@@ -143,6 +143,8 @@ _TAIL = [
     "ip_politeness",
     "harvest_rate",
     "cloaking_detect",
+    "refresh_policy_compare",
+    "frontier_novelty",
 ]
 
 

@@ -1058,3 +1058,203 @@ def q_harvest_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.sum("n_relevant").over(w).cast("double")
                 / F.sum("fetched").over(w), 9).alias("harvest"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# refresh_policy_compare — uniform vs proportional refresh allocation
+# --------------------------------------------------------------------------- #
+# Cho & Garcia-Molina ("Effective Page Refresh Policies for Web
+# Crawlers", TODS'03): given per-page change rates λ_i and a fixed total
+# refresh budget R, time-averaged freshness under periodic refresh at
+# rate f is F(λ,f) = (f/λ)(1 − e^{−λ/f}). The counterintuitive classic:
+# allocating f_i ∝ λ_i ("refresh what changes most") LOSES to uniform
+# f_i = R/N, because hopeless fast-changers soak budget that uniform
+# spends keeping slow-changers perfectly fresh. This query computes
+# corpus freshness under both policies from the poisson_revisit λ̂s.
+#
+# Determinism at scale: per-page freshness is scaled to int64
+# (round(F·1e9)) so the corpus sum is an integer — associative,
+# order-free, exact under any partitioning (the embed_centroid
+# fixed-point trick); the only doubles cross the engine boundary
+# pre-rounded at 9. Two 1-row aggs, zero windows.
+REFRESH_RATE_PER_PAGE = 0.1   # R/N: one revisit per 10h per page on average
+_FRESH_SCALE = 1_000_000_000
+
+
+@query(
+    "refresh_policy_compare",
+    f"""
+    WITH polls AS (
+        SELECT doc_id::BIGINT AS id,
+               (4 + doc_id % 13)::BIGINT AS n_polls,
+               (doc_id % (4 + doc_id % 13 + 1))::BIGINT AS n_changed,
+               (1 + doc_id % 5)::DOUBLE AS interval_h
+        FROM documents
+    ),
+    est AS (
+        SELECT id,
+               round(-ln((n_polls - n_changed + 0.5::DOUBLE)
+                         / (n_polls + 0.5::DOUBLE)) / interval_h, 9)
+                   AS lam
+        FROM polls
+    ),
+    tot AS (
+        SELECT count(*)::BIGINT AS n,
+               round(sum(round(lam * {_FRESH_SCALE}, 0))
+                     / {_FRESH_SCALE}::DOUBLE, 9) AS sum_lam
+        FROM est
+    ),
+    rates AS (
+        SELECT id, lam,
+               {REFRESH_RATE_PER_PAGE!r}::DOUBLE AS f_uni,
+               round({REFRESH_RATE_PER_PAGE!r}::DOUBLE * (SELECT n FROM tot)
+                     * lam / (SELECT sum_lam FROM tot), 9) AS f_prop
+        FROM est
+    ),
+    fresh AS (
+        SELECT id,
+               (CASE WHEN lam <= 0.0 THEN 1.0::DOUBLE
+                     ELSE (f_uni / lam) * (1.0::DOUBLE - exp(-(lam / f_uni)))
+                END) AS fr_uni,
+               (CASE WHEN lam <= 0.0 THEN 1.0::DOUBLE
+                     WHEN f_prop <= 0.0 THEN 0.0::DOUBLE
+                     ELSE (f_prop / lam) * (1.0::DOUBLE - exp(-(lam / f_prop)))
+                END) AS fr_prop
+        FROM rates
+    ),
+    acc AS (
+        SELECT count(*)::BIGINT AS n,
+               sum(round(fr_uni * {_FRESH_SCALE}, 0)::BIGINT)::BIGINT AS s_uni,
+               sum(round(fr_prop * {_FRESH_SCALE}, 0)::BIGINT)::BIGINT AS s_prop
+        FROM fresh
+    )
+    SELECT policy, n_pages, freshness FROM (
+        SELECT 'uniform' AS policy, n AS n_pages,
+               round(s_uni / (n * {_FRESH_SCALE}::DOUBLE), 9) AS freshness
+        FROM acc
+        UNION ALL
+        SELECT 'proportional' AS policy, n AS n_pages,
+               round(s_prop / (n * {_FRESH_SCALE}::DOUBLE), 9) AS freshness
+        FROM acc
+    )
+    """,
+)
+def q_refresh_policy_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus freshness under uniform vs λ-proportional refresh
+    allocation at the same total budget (Cho–GM TODS'03): uniform wins
+    — the policy decision behind recrawl_schedule's flat bucket rates.
+    Per-page freshness folds as fixed-point int64 (order-free exact
+    sums under any partitioning); output is 2 rows."""
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    n = (F.lit(4) + F.pmod(i, F.lit(13))).cast("long")
+    x = F.pmod(i, n + 1).cast("long")
+    iv = (F.lit(1) + F.pmod(i, F.lit(5))).cast("double")
+    lam = F.round(
+        -F.log((n - x + F.lit(0.5)) / (n + F.lit(0.5))) / iv, 9)
+    est = d.select(lam.alias("lam"))
+    tot = est.agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.sum(F.round(F.col("lam") * _FRESH_SCALE, 0))
+                / F.lit(float(_FRESH_SCALE)), 9).alias("sum_lam"))
+    rates = est.crossJoin(F.broadcast(tot)).select(
+        "lam", "n",
+        F.lit(REFRESH_RATE_PER_PAGE).alias("f_uni"),
+        F.round(F.lit(REFRESH_RATE_PER_PAGE) * F.col("n") * F.col("lam")
+                / F.col("sum_lam"), 9).alias("f_prop"))
+
+    def _fresh(f: F.Column) -> F.Column:
+        return (F.when(F.col("lam") <= 0.0, F.lit(1.0))
+                .when(f <= 0.0, F.lit(0.0))
+                .otherwise((f / F.col("lam"))
+                           * (F.lit(1.0) - F.exp(-(F.col("lam") / f)))))
+
+    acc = rates.agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum(F.round(_fresh(F.col("f_uni")) * _FRESH_SCALE, 0).cast("long"))
+        .cast("long").alias("s_uni"),
+        F.sum(F.round(_fresh(F.col("f_prop")) * _FRESH_SCALE, 0).cast("long"))
+        .cast("long").alias("s_prop"))
+    uni = acc.select(
+        F.lit("uniform").alias("policy"), F.col("n").alias("n_pages"),
+        F.round(F.col("s_uni") / (F.col("n") * F.lit(float(_FRESH_SCALE))),
+                9).alias("freshness"))
+    pro = acc.select(
+        F.lit("proportional").alias("policy"), F.col("n").alias("n_pages"),
+        F.round(F.col("s_prop") / (F.col("n") * F.lit(float(_FRESH_SCALE))),
+                9).alias("freshness"))
+    return uni.unionAll(pro)
+
+
+# --------------------------------------------------------------------------- #
+# frontier_novelty — outlink novelty ratio / coverage-saturation signal
+# --------------------------------------------------------------------------- #
+# The crawl's stopping signal: when a host's extracted outlinks are
+# almost all ALREADY-KNOWN pages, the crawl has saturated that host and
+# further rounds there buy nothing (the frontier-growth complement of
+# harvest_rate's relevance curve; IRLbot's queue management keys off
+# the same ratio). Per source host: outlinks extracted, how many hit
+# the known-page universe (url join — the same anti-join shape the
+# engine's seen-set dedup runs), novelty = new/total, saturated when
+# novelty drops under the floor. One big-big hash join on the url key
+# (both sides shuffle-partitioned on it) + one host groupBy.
+NOVELTY_FLOOR = 0.2
+
+
+@query(
+    "frontier_novelty",
+    f"""
+    WITH {_REVISIT_SP_SQL},
+    pages AS (
+        SELECT 'https://host' || (doc_id % 7)::VARCHAR || '.example.com/p/'
+                   || doc_id::VARCHAR AS url
+        FROM documents
+    ),
+    links AS (
+        SELECT 'host' || (doc_id % 7)::VARCHAR AS src_host, ref AS dst_url
+        FROM spans WHERE kind = 'link'
+    ),
+    tagged AS (
+        SELECT l.src_host, (p.url IS NOT NULL) AS known
+        FROM links l LEFT JOIN pages p ON l.dst_url = p.url
+    )
+    SELECT src_host, count(*)::BIGINT AS n_out,
+           sum((NOT known)::INT)::BIGINT AS n_new,
+           round(sum((NOT known)::INT)::DOUBLE / count(*), 9) AS novelty,
+           (sum((NOT known)::INT)::DOUBLE / count(*)
+                < {NOVELTY_FLOOR!r}) AS saturated
+    FROM tagged GROUP BY src_host
+    """,
+)
+def q_frontier_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host outlink novelty: the share of extracted outlinks NOT in
+    the known-page universe. Novelty under NOVELTY_FLOOR marks the
+    host saturated — the budget allocator's signal to shift politeness
+    grants toward hosts still yielding frontier growth (feeds
+    host_budgets like host_budget_alloc/ip_politeness)."""
+    from .spansops import _span_docs
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    pages = d.select(
+        F.concat(F.lit("https://host"), F.pmod(i, F.lit(7)).cast("string"),
+                 F.lit(".example.com/p/"), i.cast("string")).alias("url"))
+    sd = _span_docs(spark, sf_dir)
+    links = (
+        sd.select("doc_id", F.explode_outer("spans").alias("s"))
+        .where(F.col("s.kind") == "link")
+        .select(
+            F.concat(F.lit("host"),
+                     F.pmod(F.col("doc_id"), F.lit(7)).cast("string")).alias("src_host"),
+            F.col("s.media_ref").alias("dst_url"))
+    )
+    tagged = links.join(pages, links.dst_url == pages.url, "left").select(
+        "src_host", F.col("url").isNotNull().alias("known"))
+    new_cnt = F.sum((~F.col("known")).cast("int")).cast("long")
+    return tagged.groupBy("src_host").agg(
+        F.count("*").cast("long").alias("n_out"),
+        new_cnt.alias("n_new"),
+        F.round(new_cnt.cast("double") / F.count("*"), 9).alias("novelty"),
+        ((new_cnt.cast("double") / F.count("*")) < F.lit(NOVELTY_FLOOR))
+        .alias("saturated"),
+    )

@@ -354,3 +354,39 @@ def test_harvest_rate_curve(spark):
     for r in rows:
         n_rel = sum(1 for d in range(7) if r.band * 2 + d >= 9) / 7
         assert abs(r.n_relevant / r.fetched - n_rel) < 0.2
+
+
+def test_refresh_policy_uniform_beats_proportional(spark):
+    rows = {r.policy: r for r in S.q_refresh_policy_compare(spark, SF).collect()}
+    assert set(rows) == {"uniform", "proportional"}
+    uni, pro = rows["uniform"], rows["proportional"]
+    assert uni.n_pages == pro.n_pages > 0
+    # the Cho–GM TODS'03 result: at equal total budget, uniform refresh
+    # yields strictly higher corpus freshness than λ-proportional
+    assert uni.freshness > pro.freshness
+    assert 0.0 < pro.freshness < uni.freshness <= 1.0
+    # python surrogate fold pins the uniform number exactly
+    import duckdb
+    lams = [r[0] for r in duckdb.sql(
+        f"""select round(-ln((n - x + 0.5) / (n + 0.5)) / i, 9) from (
+            select (4 + doc_id % 13)::BIGINT n,
+                   (doc_id % (4 + doc_id % 13 + 1))::BIGINT x,
+                   (1 + doc_id % 5)::DOUBLE i
+            from '{SF}/documents.parquet')""").fetchall()]
+    f = S.REFRESH_RATE_PER_PAGE
+    s = sum(int(round(
+        (1.0 if lam <= 0 else (f / lam) * (1.0 - math.exp(-(lam / f))))
+        * S._FRESH_SCALE)) for lam in lams)
+    assert uni.freshness == round(s / (len(lams) * S._FRESH_SCALE), 9)
+
+
+def test_frontier_novelty_semantics(spark):
+    rows = S.q_frontier_novelty(spark, SF).collect()
+    assert rows and len(rows) <= 7
+    for r in rows:
+        assert 0 <= r.n_new <= r.n_out
+        assert abs(r.novelty - round(r.n_new / r.n_out, 9)) < 1e-9
+        assert r.saturated == (r.n_new / r.n_out < S.NOVELTY_FLOOR)
+    # the synthetic universe is target-sparse: most outlinks dangle, so
+    # no host reads as saturated mid-crawl
+    assert any(not r.saturated for r in rows)
