@@ -36,6 +36,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.urls import canonicalize, url_hash, url_host
 from .registry import query, table as _t
 
 # --------------------------------------------------------------------------- #
@@ -385,6 +386,96 @@ def host_budgets_from_errors(pages: DataFrame, base: DataFrame,
         .select(
             "host", "n_attempts", "n_transient",
             F.col("_err_pct").cast("int").alias("err_pct"),
+            decayed.cast("int").alias("budget"),
+        )
+    )
+
+
+def host_budgets_from_novelty(pages: DataFrame, frontier: DataFrame,
+                              base: DataFrame,
+                              floor_pct: int = 20,
+                              cfg=None) -> DataFrame:
+    """Saturation-feedback twin of ``host_budgets_from_yield`` — the
+    fourth control-loop leg (yield, authority, errors, and now frontier
+    GROWTH): a host whose extraction work keeps re-finding URLs the
+    crawl already knows has been crawled out, and further politeness
+    grants there buy no new frontier (the ``frontier_novelty`` query is
+    the offline twin of this signal; IRLbot keys queue admission off
+    the same ratio). budget = base · max(novelty_pct, floor_pct) / 100
+    in pure integer arithmetic, floored at 1 — saturated hosts decay
+    toward floor_pct, still-growing hosts keep their base.
+
+    Novelty here is DISCOVERY PER EXTRACTION, not "share of outlinks in
+    the seen set" (the cumulative seen set absorbs every extracted
+    outlink the same round it is extracted, so that ratio is ~0 for any
+    host the moment its first round ends): per TARGET host, n_new =
+    frontier rows with discovered_round ≥ 1 (every non-seed first
+    discovery) and n_out = Σ over rounds of that round's DISTINCT
+    followable extracted targets. Re-extracting a known URL in a later
+    round inflates n_out but never n_new — exactly the wasted work that
+    defines saturation — so a fresh crawl reads 100 and a drained one
+    decays toward its re-link density. n_new ≤ n_out by construction
+    (a first discovery is also that round's distinct extraction).
+    ``frontier`` is the engine's frontier log
+    (``eng.frontier_tbl.read(spark)``: url_hash, host,
+    discovered_round).
+
+    A host with NO extraction evidence keeps its base budget: zero
+    evidence is not saturation (depth-capped, throttled out, or newly
+    budgeted), mirroring the errors leg's no-attempts rule. Pass the
+    crawl's ``cfg`` so only FOLLOWABLE outlinks count (gates the
+    engine's include_external / exclude_social / exclude_domains would
+    drop can never grow the frontier).
+
+    Scale shape: one explode + a (round, host, hash) distinct + two
+    host-keyed hash aggs + broadcast joins against the host-vocabulary
+    base — no windows, bounded output at any corpus size."""
+    from .. import config as _cfgmod
+
+    strip = getattr(cfg, "strip_params", None) if cfg is not None else None
+    canon = canonicalize(F.col("_s.media_ref"), strip)
+    links = (
+        pages.where(F.col("status") == "fetched")
+        .select("host", "fetch_round", F.explode("spans").alias("_s"))
+        .where(F.col("_s.kind") == "link")
+        .select("host", "fetch_round", canon.alias("_u"))
+        .withColumn("_lh", url_host(F.col("_u")))
+    )
+    if cfg is not None:
+        if not cfg.include_external:
+            links = links.where(F.col("_lh") == F.col("host"))
+        if cfg.exclude_social:
+            soc = "|".join(d.replace(".", r"\.")
+                           for d in _cfgmod.SOCIAL_DOMAINS)
+            links = links.where(~F.col("_lh").rlike(f"(^|\\.)({soc})$"))
+        if cfg.exclude_domains:
+            links = links.where(~F.col("_lh").isin(cfg.exclude_domains))
+    per_host = (
+        links.select("fetch_round", F.col("_lh").alias("host"),
+                     url_hash(F.col("_u")).alias("_h"))
+        .distinct()
+        .groupBy("host")
+        .agg(F.count("*").cast("long").alias("n_out"))
+    )
+    grown = (
+        frontier.where(F.col("discovered_round") >= 1)
+        .groupBy("host")
+        .agg(F.count("*").cast("long").alias("n_new"))
+    )
+    nov_pct = F.expr("(CASE WHEN n_out = 0 THEN 100 "
+                     "ELSE (100 * least(n_new, n_out)) div n_out END)")
+    decayed = F.expr(
+        f"greatest(1, (budget * greatest(_nov_pct, {int(floor_pct)})) div 100)")
+    return (
+        base.select("host", F.col("budget").cast("long"))
+        .join(F.broadcast(per_host), "host", "left")
+        .join(F.broadcast(grown), "host", "left")
+        .withColumn("n_out", F.coalesce("n_out", F.lit(0)).cast("long"))
+        .withColumn("n_new", F.coalesce("n_new", F.lit(0)).cast("long"))
+        .withColumn("_nov_pct", nov_pct)
+        .select(
+            "host", "n_out", "n_new",
+            F.col("_nov_pct").cast("int").alias("novelty_pct"),
             decayed.cast("int").alias("budget"),
         )
     )

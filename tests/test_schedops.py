@@ -390,3 +390,61 @@ def test_frontier_novelty_semantics(spark):
     # the synthetic universe is target-sparse: most outlinks dangle, so
     # no host reads as saturated mid-crawl
     assert any(not r.saturated for r in rows)
+
+
+def test_novelty_budget_feedback_loop(spark, corpus_dir, tmp_path):
+    """crawl → host_budgets_from_novelty: a converged crawl (every
+    outlink already seen) decays budgets to the floor; an early-stage
+    crawl (1 round) keeps more of the base. Hosts with no outlink
+    evidence keep their base budget."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.config import CrawlConfig
+    from crawl4ai_spark.operators.frontier import CrawlEngine
+    from crawl4ai_spark.queries.schedops import host_budgets_from_novelty
+    from tests.test_crawl import get_seeds
+
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    seeds = get_seeds(spark, corpus_dir)[:1]
+
+    cfg = CrawlConfig(seeds=list(seeds), max_pages=None, max_depth=50,
+                      max_rounds=80)
+    full = CrawlEngine(spark, docs, cfg, str(tmp_path / "full"))
+    full.run()
+    base = (full.pages().select("host").distinct()
+            .withColumn("budget", F.lit(10)))
+
+    out_full = {r.host: r for r in host_budgets_from_novelty(
+        full.pages(), full.frontier_tbl.read(spark), base, cfg=cfg).collect()}
+    assert out_full
+    for r in out_full.values():
+        assert 0 <= r.n_new <= r.n_out
+        if r.n_out == 0:
+            # no evidence keeps the base budget
+            assert r.novelty_pct == 100 and r.budget == 10
+        else:
+            want = max(1, (10 * max(r.novelty_pct, 20)) // 100)
+            assert r.budget == want
+    # a drained crawl re-extracted known URLs round after round:
+    # discovery-per-extraction collapses well under fresh-crawl levels
+    # and the budget follows the exact integer formula
+    evid = [r for r in out_full.values() if r.n_out > 0]
+    assert evid
+    for r in evid:
+        assert 0 <= r.n_new <= r.n_out
+        assert r.novelty_pct == (100 * r.n_new) // r.n_out
+        assert r.budget == max(1, (10 * max(r.novelty_pct, 20)) // 100)
+        assert r.novelty_pct < 80
+
+    ecfg = CrawlConfig(seeds=list(seeds), max_pages=None, max_depth=50,
+                       max_rounds=1)
+    early = CrawlEngine(spark, docs, ecfg, str(tmp_path / "early"))
+    early.run()
+    out_early = host_budgets_from_novelty(
+        early.pages(), early.frontier_tbl.read(spark), base, cfg=ecfg).collect()
+    ev = [r for r in out_early if r.n_out > 0]
+    # a 1-round crawl's every distinct extraction IS a first discovery:
+    # novelty 100, base budget kept — and strictly above the drained run
+    assert ev and all(r.novelty_pct == 100 and r.budget == 10 for r in ev)
+    drained = {r.host: r.novelty_pct for r in evid}
+    assert all(r.novelty_pct > drained.get(r.host, 0) for r in ev)
