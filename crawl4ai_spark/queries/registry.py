@@ -145,6 +145,10 @@ _TAIL = [
     "cloaking_detect",
     "refresh_policy_compare",
     "frontier_novelty",
+    # round-4 session-7 additions (mergeable-sketch tier), local-tier
+    "seen_cardinality_hll",
+    "url_overlap_kmv",
+    "template_heavy_hitters",
 ]
 
 
