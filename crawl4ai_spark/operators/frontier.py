@@ -86,6 +86,7 @@ class CrawlEngine:
         trap_templates: DataFrame | None = None,
         nofollow_pages: DataFrame | None = None,
         url_scores: DataFrame | None = None,
+        politeness_map: DataFrame | None = None,
     ):
         self.spark = spark
         # NB: do NOT persist() the corpus — a deserialized nested-row cache
@@ -137,6 +138,33 @@ class CrawlEngine:
 
             self.host_budgets = budgets_from_crawl_delay(
                 robots, round_period_s=cfg.round_period_s
+            )
+        # Heritrix-style shared-infrastructure politeness: an explicit
+        # (host, pkey) mapping — e.g. vhost → resolved IP address, the
+        # ip_politeness query's universe — groups budgets, retry debits,
+        # and the rank-and-limit windows on pkey, so co-hosted vhosts
+        # share one grant. Hosts absent from the map keep their own
+        # hostname as the key (a partial DNS cache stays safe). Kept
+        # orthogonal to the PSL mode: a composed domain+map key would
+        # be ambiguous (which side wins for a mapped subdomain?), so the
+        # combination fails loudly.
+        if politeness_map is not None and cfg.politeness_key != "host":
+            raise ValueError(
+                "politeness_map requires politeness_key='host' "
+                f"(got {cfg.politeness_key!r})")
+        self.politeness_map = politeness_map
+        if politeness_map is not None and self.host_budgets is not None:
+            # roll ANY budgets table up to the mapped key with
+            # min(budget) — the same conservative fold as domain mode;
+            # budgets already keyed by pkey values (hostnames absent
+            # from the map) pass through as singleton groups.
+            pm = politeness_map.select(
+                F.col("host").alias("_mh"), F.col("pkey").alias("_mp"))
+            self.host_budgets = (
+                self.host_budgets
+                .join(F.broadcast(pm), F.col("host") == F.col("_mh"), "left")
+                .groupBy(F.coalesce("_mp", "host").alias("host"))
+                .agg(F.min("budget").alias("budget"))
             )
         if cfg.politeness_key == "domain" and self.host_budgets is not None:
             # roll ANY budgets table (explicit or robots-derived) up to
@@ -318,6 +346,15 @@ class CrawlEngine:
 
                 hk = "_pk"
                 cand = cand.withColumn(hk, registrable_domain(F.col("host")))
+            elif self.politeness_map is not None:
+                hk = "_pk"
+                pm = F.broadcast(self.politeness_map.select(
+                    F.col("host").alias("_mh"), F.col("pkey").alias("_mp")))
+                cand = (
+                    cand.join(pm, F.col("host") == F.col("_mh"), "left")
+                    .withColumn(hk, F.coalesce("_mp", "host"))
+                    .drop("_mh", "_mp")
+                )
             if retry_debits is not None:
                 debit = F.coalesce(F.col("_debit"), F.lit(0)).cast("long")
             else:
@@ -890,6 +927,16 @@ class CrawlEngine:
                             due_debits = due.groupBy(
                                 registrable_domain(F.col("host")).alias("_pk")
                             ).agg(F.count("*").cast("long").alias("_debit"))
+                        elif self.politeness_map is not None:
+                            pm = F.broadcast(self.politeness_map.select(
+                                F.col("host").alias("_mh"),
+                                F.col("pkey").alias("_mp")))
+                            due_debits = (
+                                due.join(pm, F.col("host") == F.col("_mh"),
+                                         "left")
+                                .groupBy(F.coalesce("_mp", "host").alias("_pk"))
+                                .agg(F.count("*").cast("long").alias("_debit"))
+                            )
                         else:
                             due_debits = due.groupBy("host").agg(
                                 F.count("*").cast("long").alias("_debit"))

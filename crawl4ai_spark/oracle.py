@@ -37,6 +37,7 @@ def run_oracle(
     budgets: dict[str, int] | None = None,
     redirects: dict[str, str] | None = None,
     max_redirect_hops: int = 2,
+    politeness_map: dict[str, str] | None = None,
 ) -> OracleResult:
     strategy = resolve_strategy(cfg)
 
@@ -92,6 +93,10 @@ def run_oracle(
             # PSL registrable domain — budgets dict is keyed the same way
             if getattr(cfg, "politeness_key", "host") == "domain":
                 pol_key = registrable_domain_py
+            elif politeness_map is not None:
+                # mapped mode mirror (engine politeness_map): vhost →
+                # shared key (e.g. IP); unmapped hosts keep themselves
+                pol_key = lambda h: politeness_map.get(h, h)  # noqa: E731
             else:
                 pol_key = lambda h: h  # noqa: E731
             by_key: dict[tuple[str, int], int] = {}

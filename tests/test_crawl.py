@@ -1088,3 +1088,100 @@ def test_age_boost_prevents_starvation(spark, tmp_path):
     # 0.3 + 1.0*age outranks 0.6 from the second waiting round on
     assert boosted.index(low) <= 6
     assert boosted == run("ab_boost2", 1.0)  # deterministic
+
+
+def test_politeness_map_ip_key(spark, corpus_dir, tmp_path):
+    """Heritrix-style IP politeness: an explicit (host, pkey) map groups
+    budgets/debits/windows on the shared key — co-hosted vhosts contend
+    for ONE grant — and the engine still reproduces the sequential
+    oracle exactly with the same mapping (the ip_politeness query is
+    the producer of both the map and the per-IP grants)."""
+    from crawl4ai_spark.functions.urls import url_host_py
+
+    docs, robots, _, pydocs, pyrobots, _ = _load(spark, corpus_dir)
+    hosts = sorted({url_host_py(u) for u in pydocs})
+    # fold the fixture's hosts onto two shared addresses by parity
+    pymap = {h: f"10.0.0.{i % 2}" for i, h in enumerate(hosts)}
+    pybudgets = {"10.0.0.0": 3, "10.0.0.1": 4}
+    pmap = spark.createDataFrame(list(pymap.items()), "host string, pkey string")
+    budgets = spark.createDataFrame(list(pybudgets.items()),
+                                    "host string, budget int")
+    for salts, name in ((1, "ipkey"), (4, "ipsalt")):
+        cfg = CrawlConfig(seeds=get_seeds(spark, corpus_dir), strategy="bfs",
+                          max_depth=3, max_pages=40, politeness=True,
+                          politeness_salts=salts)
+        eng = CrawlEngine(spark, docs, cfg, str(tmp_path / name),
+                          robots=robots, host_budgets=budgets,
+                          politeness_map=pmap)
+        eng.run()
+        got = [(r.rank, r.url, r.depth, r.status, r.title)
+               for r in eng.pages().orderBy("rank").collect()]
+        o = run_oracle(pydocs, cfg, robots=pyrobots, budgets=pybudgets,
+                       politeness_map=pymap)
+        want = [(p["rank"], p["url"], p["depth"], p["status"], p["title"])
+                for p in o.pages]
+        assert got == want and got
+        assert ({(r.url, r.state) for r in eng.url_seen().collect()}
+                == set(o.seen.items()))
+        if salts == 1:
+            # the shared cap binds per ADDRESS: no round dispatches more
+            # than the IP's budget across all of its vhosts together
+            per = {}
+            for r in eng.pages().collect():
+                k = (r.fetch_round, pymap[url_host_py(r.url)])
+                per[k] = per.get(k, 0) + 1
+            assert per and max(per.values()) <= max(pybudgets.values())
+            for (_, ip), n in per.items():
+                assert n <= pybudgets[ip], (ip, n)
+
+    # pooling: with EVERY host folded to one address (budget 3), the
+    # single shared grant caps the whole crawl per round — the IP twin
+    # of the domain test's example.com fold
+    one = {h: "10.9.9.9" for h in hosts}
+    cfg1 = CrawlConfig(seeds=get_seeds(spark, corpus_dir), strategy="bfs",
+                       max_depth=3, max_pages=40, politeness=True)
+    eng1 = CrawlEngine(
+        spark, docs, cfg1, str(tmp_path / "ipone"), robots=robots,
+        host_budgets=spark.createDataFrame([("10.9.9.9", 3)],
+                                           "host string, budget int"),
+        politeness_map=spark.createDataFrame(list(one.items()),
+                                             "host string, pkey string"))
+    eng1.run()
+    o1 = run_oracle(pydocs, cfg1, robots=pyrobots,
+                    budgets={"10.9.9.9": 3}, politeness_map=one)
+    got1 = [(r.rank, r.url) for r in eng1.pages().orderBy("rank").collect()]
+    assert got1 == [(p["rank"], p["url"]) for p in o1.pages] and got1
+    rounds: dict[int, int] = {}
+    for r in eng1.pages().collect():
+        rounds[r.fetch_round] = rounds.get(r.fetch_round, 0) + 1
+    total = sum(rounds.values())
+    assert max(rounds.values()) <= 3 and total > 3
+    assert len(rounds) >= -(-total // 3)
+
+
+def test_politeness_map_budget_rollup_and_validation(spark, corpus_dir, tmp_path):
+    """Host-keyed budgets fold to the mapped key with min() (the
+    conservative member paces the address, mirroring domain mode);
+    combining politeness_map with politeness_key='domain' fails loudly."""
+    import pytest as _pt
+
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    pmap = spark.createDataFrame(
+        [("host1.example.com", "10.1.1.1"), ("host2.example.com", "10.1.1.1")],
+        "host string, pkey string")
+    budgets = spark.createDataFrame(
+        [("host1.example.com", 7), ("host2.example.com", 3),
+         ("elsewhere.example.org", 9)],
+        "host string, budget int")
+    cfg = CrawlConfig(seeds=["https://host1.example.com/"], politeness=True,
+                      max_pages=1)
+    eng = CrawlEngine(spark, docs, cfg, str(tmp_path / "rollup"),
+                      host_budgets=budgets, politeness_map=pmap)
+    got = {r.host: r.budget for r in eng.host_budgets.collect()}
+    assert got == {"10.1.1.1": 3, "elsewhere.example.org": 9}
+    with _pt.raises(ValueError, match="politeness_map"):
+        CrawlEngine(spark, docs,
+                    CrawlConfig(seeds=["https://host1.example.com/"],
+                                politeness=True, politeness_key="domain"),
+                    str(tmp_path / "badmap"), host_budgets=budgets,
+                    politeness_map=pmap)
