@@ -149,6 +149,7 @@ _TAIL = [
     "seen_cardinality_hll",
     "url_overlap_kmv",
     "template_heavy_hitters",
+    "shard_rebalance",
 ]
 
 

@@ -421,3 +421,108 @@ def q_template_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").alias("template"), "n_exact", "cms_est",
         (F.col("cms_est") - F.col("n_exact")).cast("long").alias("overcount"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# shard_rebalance — rendezvous (HRW) vs modulo reshard movement
+# --------------------------------------------------------------------------- #
+HRW_N1 = 8
+HRW_N2 = 12
+
+
+@query(
+    "shard_rebalance",
+    f"""
+    WITH docs AS (
+        SELECT 'https://host' || (doc_id % 7)::VARCHAR || '.example.com/p/'
+                   || doc_id::VARCHAR AS url
+        FROM documents
+    ),
+    scores AS (
+        SELECT url, t.s AS s,
+               {h60_sql("(url || '#' || t.s::VARCHAR)")} AS score
+        FROM docs, range({HRW_N2}) t(s)
+    ),
+    a1 AS (
+        SELECT url, min(s)::BIGINT AS shard FROM scores
+        WHERE s < {HRW_N1}
+          AND score = (SELECT max(score) FROM scores i
+                       WHERE i.url = scores.url AND i.s < {HRW_N1})
+        GROUP BY url
+    ),
+    a2 AS (
+        SELECT url, min(s)::BIGINT AS shard FROM scores
+        WHERE score = (SELECT max(score) FROM scores i WHERE i.url = scores.url)
+        GROUP BY url
+    ),
+    hrw AS (
+        SELECT 'hrw' AS scheme, count(*)::BIGINT AS n_urls,
+               sum(CASE WHEN a1.shard <> a2.shard THEN 1 ELSE 0 END)::BIGINT AS n_moved
+        FROM a1 JOIN a2 USING (url)
+    ),
+    modm AS (
+        SELECT 'mod' AS scheme, count(*)::BIGINT AS n_urls,
+               sum(CASE WHEN ({h60_sql('url')} % {HRW_N1})
+                        <> ({h60_sql('url')} % {HRW_N2}) THEN 1 ELSE 0 END)::BIGINT AS n_moved
+        FROM docs
+    )
+    SELECT scheme, n_urls, n_moved,
+           round(n_moved::DOUBLE / n_urls * 100, 2) AS moved_pct
+    FROM (SELECT * FROM hrw UNION ALL SELECT * FROM modm)
+    """,
+)
+def q_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reshard-movement comparison for growing the URL-seen store from
+    8 to 12 shards: rendezvous/HRW hashing (Thaler & Ravishankar '96 —
+    each key goes to the shard maximizing h(key, shard)) moves only the
+    keys a NEW shard wins (expected (N2-N1)/N2 = 1/3), while modulo
+    assignment reassigns ~2/3 — the reason a 10^10-URL seen store keyed
+    by `h % n` cannot be grown without rehashing the world. The argmax
+    is computed as max-score + min-shard-at-max, identically sequenced
+    in both engines (ties deterministic); the per-key scores are
+    map-side only — at scale the argmax folds in one pass over a
+    generated column, nothing but (url, shard) pairs ever shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    urls = d.select(
+        F.concat(
+            F.lit("https://host"), F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+            F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+        ).alias("url")
+    )
+    scores = urls.select(
+        "url", F.explode(F.sequence(F.lit(0), F.lit(HRW_N2 - 1))).alias("s")
+    ).select(
+        "url", "s",
+        h60(F.concat(F.col("url"), F.lit("#"), F.col("s").cast("string"))).alias("score"),
+    )
+
+    def assign(sc: DataFrame) -> DataFrame:
+        mx = sc.groupBy("url").agg(F.max("score").alias("mx"))
+        return (
+            sc.join(mx, "url")
+            .where(F.col("score") == F.col("mx"))
+            .groupBy("url").agg(F.min("s").cast("long").alias("shard"))
+        )
+
+    a1 = assign(scores.where(F.col("s") < HRW_N1))
+    a2 = assign(scores)
+    hrw = (
+        a1.withColumnRenamed("shard", "s1")
+        .join(a2.withColumnRenamed("shard", "s2"), "url")
+        .agg(
+            F.count("*").cast("long").alias("n_urls"),
+            F.sum(F.when(F.col("s1") != F.col("s2"), 1).otherwise(0))
+            .cast("long").alias("n_moved"),
+        ).select(F.lit("hrw").alias("scheme"), "n_urls", "n_moved")
+    )
+    h = h60("url")
+    modm = urls.agg(
+        F.count("*").cast("long").alias("n_urls"),
+        F.sum(F.when(F.pmod(h, F.lit(HRW_N1)) != F.pmod(h, F.lit(HRW_N2)), 1)
+              .otherwise(0)).cast("long").alias("n_moved"),
+    ).select(F.lit("mod").alias("scheme"), "n_urls", "n_moved")
+    return hrw.unionByName(modm).select(
+        "scheme", "n_urls", "n_moved",
+        F.round(F.col("n_moved").cast("double") / F.col("n_urls") * 100, 2)
+        .alias("moved_pct"),
+    )

@@ -172,3 +172,27 @@ def test_cms_counter_matches_python_twin(spark):
         )
         assert r.cms_est == est, r.template
         assert r.n_exact == counts[r.template]
+
+
+def test_shard_rebalance_hrw_beats_modulo(spark):
+    rows = {r.scheme: r for r in K.q_shard_rebalance(spark, SF).collect()}
+    hrw, mod = rows["hrw"], rows["mod"]
+    assert hrw.n_urls == mod.n_urls > 0
+    # HRW moves ~ (N2-N1)/N2 = 1/3 of keys; modulo ~ 2/3. The gap is the
+    # whole point — allow generous slack at small n.
+    assert hrw.n_moved < mod.n_moved
+    assert hrw.moved_pct <= 50.0
+    assert mod.moved_pct >= 50.0
+    # python twin: HRW assignment is argmax of h60(url#shard), min shard on ties
+    ids = _doc_ids()
+    moved = 0
+    for i in ids:
+        u = f"https://host{i % 7}.example.com/p/{i}"
+        s1 = max(range(K.HRW_N1), key=lambda s: (h60_py(f"{u}#{s}"), -s))
+        s2 = max(range(K.HRW_N2), key=lambda s: (h60_py(f"{u}#{s}"), -s))
+        moved += s1 != s2
+        # growing the shard set never moves a key BETWEEN old shards:
+        # it only moves to a NEW shard (the HRW stability property)
+        if s1 != s2:
+            assert s2 >= K.HRW_N1, (u, s1, s2)
+    assert hrw.n_moved == moved
