@@ -1083,6 +1083,32 @@ def q_ip_politeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def ip_politeness_inputs(granted: DataFrame,
+                         cap: int = IP_ROUND_CAP) -> tuple[DataFrame, DataFrame]:
+    """Adapt an ``ip_politeness``-shaped rollup (host, ip, ip_req_total)
+    into the two ``CrawlEngine`` inputs of IP-keyed politeness: the
+    (host → pkey) ``politeness_map`` and the per-address budget table
+    (budget = least(cap, ip_req_total) — an uncapped address keeps its
+    aggregate request, a capped one gets exactly the cap; the engine's
+    per-key rank-and-limit then enforces the shared grant across the
+    address's vhosts). This is the engine-side consumption of the IP
+    rollup; the alternative FINER split — per-host ``granted`` budgets
+    with NO map — uses the same query output through the existing
+    host_budgets front door, but cannot pool unused grants between
+    co-hosted vhosts the way the shared key does.
+
+    Both outputs are host-vocabulary-sized (broadcastable at any crawl
+    scale); the map dedupes defensively so a grants table carrying
+    multiple rows per host cannot fan the budget join out."""
+    pmap = granted.select("host", F.col("ip").alias("pkey")).distinct()
+    budgets = (
+        granted.groupBy(F.col("ip").alias("host"))
+        .agg(F.least(F.lit(cap).cast("long"), F.max("ip_req_total"))
+             .cast("long").alias("budget"))
+    )
+    return pmap, budgets
+
+
 # --------------------------------------------------------------------------- #
 # harvest_rate — focused-crawl efficiency curve
 # --------------------------------------------------------------------------- #

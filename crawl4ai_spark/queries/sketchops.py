@@ -11,7 +11,7 @@ KMV/bottom-k, Count-Min) are *mergeable*: each executor folds its
 partition into a constant-size state, states merge associatively
 across shards/rounds, and nothing but the sketch ever shuffles.
 
-All three queries below compute the sketch with **integer-exact
+The sketch queries below compute the sketch with **integer-exact
 arithmetic in pure column expressions** (the only floating-point steps
 are final divisions of exact integers, identically sequenced in both
 engines), so the DuckDB oracle certifies the sketch bit-for-bit — not

@@ -448,3 +448,47 @@ def test_novelty_budget_feedback_loop(spark, corpus_dir, tmp_path):
     assert ev and all(r.novelty_pct == 100 and r.budget == 10 for r in ev)
     drained = {r.host: r.novelty_pct for r in evid}
     assert all(r.novelty_pct > drained.get(r.host, 0) for r in ev)
+
+
+def test_ip_politeness_inputs_close_the_loop(spark, corpus_dir, tmp_path):
+    """ip_politeness → ip_politeness_inputs → CrawlEngine(politeness_map,
+    host_budgets): the IP rollup's map + per-address budgets drive a real
+    crawl that still matches the sequential oracle exactly, and every
+    round's dispatch per address stays under its budget."""
+    from crawl4ai_spark.config import CrawlConfig
+    from crawl4ai_spark.functions.urls import url_host_py
+    from crawl4ai_spark.operators.frontier import CrawlEngine
+    from crawl4ai_spark.oracle import load_docs_pandas, run_oracle
+    from tests.test_crawl import get_seeds
+
+    granted = S.q_ip_politeness(spark, SF)
+    pmap, budgets = S.ip_politeness_inputs(granted)
+    # adapter invariants: one map row per host; budget = min(cap, total)
+    g = granted.collect()
+    assert pmap.count() == len({r.host for r in g})
+    bmap = {r.host: r.budget for r in budgets.collect()}
+    for r in g:
+        assert bmap[r.ip] == min(S.IP_ROUND_CAP, r.ip_req_total)
+
+    # drive the engine with the adapter outputs over the fixture corpus
+    # (fixture hosts hostK.example.com, K<12, overlap the rollup's
+    # host0..20 universe — mapped hosts pool per address, any unmapped
+    # host keys on itself)
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    pydocs = load_docs_pandas(f"{corpus_dir}/documents.parquet")
+    cfg = CrawlConfig(seeds=get_seeds(spark, corpus_dir), strategy="bfs",
+                      max_depth=3, max_pages=40, politeness=True)
+    eng = CrawlEngine(spark, docs, cfg, str(tmp_path / "iploop"),
+                      host_budgets=budgets, politeness_map=pmap)
+    eng.run()
+    pymap = {r.host: r.pkey for r in pmap.collect()}
+    o = run_oracle(pydocs, cfg, budgets=bmap, politeness_map=pymap)
+    got = [(r.rank, r.url) for r in eng.pages().orderBy("rank").collect()]
+    assert got == [(p["rank"], p["url"]) for p in o.pages] and got
+    per = {}
+    for r in eng.pages().collect():
+        h = url_host_py(r.url)
+        per.setdefault((r.fetch_round, pymap.get(h, h)), 0)
+        per[(r.fetch_round, pymap.get(h, h))] += 1
+    for (_, key), n in per.items():
+        assert n <= bmap.get(key, 10**9), (key, n)
