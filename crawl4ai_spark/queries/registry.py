@@ -150,6 +150,7 @@ _TAIL = [
     "url_overlap_kmv",
     "template_heavy_hitters",
     "shard_rebalance",
+    "stream_cardinality_hll",
 ]
 
 

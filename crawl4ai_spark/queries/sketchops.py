@@ -182,15 +182,11 @@ def q_seen_cardinality_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimates. At 10^10 URLs only 64 registers per shard ever shuffle."""
     urls = _urls(spark, sf_dir)
     h = h60("url")
-    base = urls.select(
+    idx_c, rho_c = hll_register_cols(h)
+    rho = urls.select(
         F.pmod(h, F.lit(N_SHARDS)).alias("shard"),
-        F.shiftright(h, HLL_W).alias("idx"),
-        h.bitwiseAND(F.lit(HLL_POW_W - 1)).alias("v"),
-    )
-    rho = base.select(
-        "shard", "idx",
-        F.when(F.col("v") == 0, F.lit(HLL_W + 1))
-        .otherwise(F.lit(HLL_W + 1) - F.length(F.bin("v"))).alias("rho"),
+        idx_c.alias("idx"),
+        rho_c.alias("rho"),
     )
     regs = rho.groupBy("shard", "idx").agg(F.max("rho").alias("m"))
     allregs = regs.select(F.col("shard").cast("long").alias("shard"), "idx", "m").unionByName(
@@ -201,10 +197,10 @@ def q_seen_cardinality_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_present"),
         F.expr(f"sum(shiftleft(CAST(1 AS BIGINT), {HLL_W} - m))").cast("long").alias("s_present"),
     )
-    ex = base.groupBy(F.col("shard").cast("long").alias("shard")).agg(
+    ex = rho.groupBy(F.col("shard").cast("long").alias("shard")).agg(
         F.count("*").cast("long").alias("n_exact")
     ).unionByName(
-        base.agg(F.count("*").cast("long").alias("n_exact"))
+        rho.agg(F.count("*").cast("long").alias("n_exact"))
         .select(F.lit(-1).cast("long").alias("shard"), "n_exact")
     )
     est = agg.join(ex, "shard").select(
@@ -525,4 +521,46 @@ def q_shard_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scheme", "n_urls", "n_moved",
         F.round(F.col("n_moved").cast("double") / F.col("n_urls") * 100, 2)
         .alias("moved_pct"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# reusable HLL pieces (shared with the streaming cardinality tracker)
+# --------------------------------------------------------------------------- #
+def hll_register_cols(h) -> tuple:
+    """(idx, rho) columns for a 60-bit non-negative hash column: top
+    p bits index the register, rho = leading-zero count of the low W
+    bits + 1 (bin() has no leading zeros in either engine, so rho is
+    W+1 - bit_length, with the v=0 case pinned explicitly)."""
+    idx = F.shiftright(h, HLL_W)
+    v = h.bitwiseAND(F.lit(HLL_POW_W - 1))
+    rho = (
+        F.when(v == 0, F.lit(HLL_W + 1))
+        .otherwise(F.lit(HLL_W + 1) - F.length(F.bin(v)))
+    )
+    return idx, rho
+
+
+def hll_estimate(regs: DataFrame) -> DataFrame:
+    """One-row estimate from a max-merged register table (idx, m):
+    (v_zero, s_fixed, est) — the identical fixed-point arithmetic the
+    seen_cardinality_hll query certifies against DuckDB."""
+    agg = regs.agg(
+        F.count("*").cast("long").alias("n_present"),
+        F.expr(f"sum(shiftleft(CAST(1 AS BIGINT), {HLL_W} - m))")
+        .cast("long").alias("s_present"),
+    ).select(
+        (F.lit(HLL_M) - F.col("n_present")).cast("long").alias("v_zero"),
+        (F.col("s_present")
+         + (F.lit(HLL_M) - F.col("n_present")) * F.lit(HLL_POW_W))
+        .cast("long").alias("s_fixed"),
+    )
+    lc = F.array(*[F.lit(x) for x in HLL_LC])
+    raw = F.lit(HLL_C) / F.col("s_fixed")
+    return agg.select(
+        "v_zero", "s_fixed",
+        F.round(
+            F.when((raw <= F.lit(HLL_LC_CUT)) & (F.col("v_zero") > 0),
+                   F.get(lc, F.col("v_zero").cast("int")))
+            .otherwise(raw), 2).alias("est"),
     )

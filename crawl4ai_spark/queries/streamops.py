@@ -233,3 +233,75 @@ def q_stream_url_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("url", url_host(F.col("url")).alias("host"))
     stream_frontier_ingest(spark, cand, seen_dir, out_dir, os.path.join(base, "ckp"))
     return spark.read.parquet(out_dir)
+
+
+# --------------------------------------------------------------------------- #
+# streaming HLL cardinality: the seen-set distinct estimate as a
+# continuous stage (streaming/ingest.stream_hll_registers)
+# --------------------------------------------------------------------------- #
+def _hll_stream_oracle() -> str:
+    from .sketchops import (HLL_C, HLL_LC_CUT, HLL_M, HLL_POW_W, HLL_W,
+                            _HLL_LC_SQL, _VARIANTS_SQL)
+    from ..functions.hashing import h60_sql
+
+    return f"""
+    WITH {_VARIANTS_SQL},
+    hs AS (SELECT {h60_sql('url')} AS h FROM urls),
+    rho AS (
+        SELECT h // {HLL_POW_W} AS idx,
+               (CASE WHEN h % {HLL_POW_W} = 0 THEN {HLL_W + 1}
+                     ELSE {HLL_W + 1} - length(bin(h % {HLL_POW_W})) END) AS rho
+        FROM hs
+    ),
+    regs AS (SELECT idx, max(rho) AS m FROM rho GROUP BY 1),
+    agg AS (
+        SELECT count(*)::BIGINT AS n_present,
+               sum((1::BIGINT << ({HLL_W} - m)))::BIGINT AS s_present
+        FROM regs
+    ),
+    st AS (
+        SELECT ({HLL_M} - n_present)::BIGINT AS v_zero,
+               (s_present + ({HLL_M} - n_present) * {HLL_POW_W})::BIGINT AS s_fixed
+        FROM agg
+    )
+    SELECT v_zero, s_fixed,
+           round(CASE WHEN ({HLL_C!r} / s_fixed) <= {HLL_LC_CUT!r} AND v_zero > 0
+                      THEN {_HLL_LC_SQL}[v_zero + 1]
+                      ELSE {HLL_C!r} / s_fixed END, 2) AS est
+    FROM st
+    """
+
+
+@query("stream_cardinality_hll", _hll_stream_oracle())
+def q_stream_cardinality_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous distinct-URL cardinality of the seen stream: the
+    messy-variant URL stream (duplicates INCLUDED — register max is
+    idempotent, so HLL needs no dropDuplicates state at all, unlike the
+    exact dedup twin) folds per micro-batch into 64 registers appended
+    to a durable store; the estimate is the max-merge of the store.
+    Batch-boundary invariant by construction, so the fully-drained
+    availableNow run equals the batch sketch the DuckDB oracle
+    computes over the distinct canonical URLs."""
+    from ..functions.urls import canonicalize
+    from ..streaming.ingest import read_hll_registers, stream_hll_registers
+    from .sketchops import hll_estimate
+
+    name = f"stream_hll_{uuid.uuid4().hex[:8]}"
+    ckp = os.path.join(tempfile.gettempdir(), f"ckp_{name}")
+    regs_dir = os.path.join(tempfile.gettempdir(), f"regs_{name}")
+    docs = read_documents_stream(spark, f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id").cast("long")
+    h = F.pmod(i, F.lit(7)).cast("string")
+    variants = docs.select(
+        F.explode(
+            F.array(
+                F.concat(F.lit("https://host"), h, F.lit(".example.com/p/"), i.cast("string")),
+                F.concat(F.lit("HTTPS://HOST"), h, F.lit(".EXAMPLE.COM/p/"), i.cast("string"), F.lit("#sec")),
+                F.concat(F.lit("https://host"), h, F.lit(".example.com:443/p/"), i.cast("string"), F.lit("?z=1&a=2")),
+            )
+        ).alias("url_raw")
+    )
+    stream_hll_registers(
+        spark, variants.select(canonicalize("url_raw").alias("url")),
+        regs_dir, ckp)
+    return hll_estimate(read_hll_registers(spark, regs_dir))

@@ -69,3 +69,50 @@ def stream_frontier_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_hll_registers(
+    spark: SparkSession,
+    urls_stream: DataFrame,
+    regs_dir: str,
+    checkpoint_dir: str,
+    url_col: str = "url",
+) -> None:
+    """Continuous HyperLogLog cardinality tracking of a URL stream:
+    per micro-batch, fold the batch into its 64-register sketch (one
+    tiny hash agg) and APPEND the batch registers to the durable regs
+    store; the current estimate is always ``read_hll_registers`` →
+    hll_estimate. Register max is commutative/associative+idempotent,
+    so the folded state is batch-boundary invariant BY CONSTRUCTION —
+    however the source splits, the max-merged store equals the batch
+    sketch over all data (proved in tests with maxFilesPerTrigger=1).
+    Streaming-engine state is ZERO (like stream_frontier_ingest, the
+    durability lives in the store); the append-only store grows ≤64
+    rows per batch and a periodic compaction (read → max → overwrite)
+    folds history without changing any estimate."""
+    from ..functions.hashing import h60
+    from ..queries.sketchops import hll_register_cols
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        idx, rho = hll_register_cols(h60(F.col(url_col)))
+        regs = (
+            batch_df.select(idx.alias("idx"), rho.alias("rho"))
+            .groupBy("idx").agg(F.max("rho").alias("m"))
+        )
+        regs.write.mode("append").parquet(regs_dir)
+
+    q = (
+        urls_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_hll_registers(spark: SparkSession, regs_dir: str) -> DataFrame:
+    """Max-merge the append-only register store to the current sketch."""
+    return (
+        spark.read.parquet(regs_dir)
+        .groupBy("idx").agg(F.max("m").alias("m"))
+    )

@@ -244,3 +244,54 @@ def test_stream_url_ingest_batch_boundary_invariant(spark, tmp_path):
     # the seen store ends as history + feed exactly
     n_store = spark.read.parquet(seen_dir).count()
     assert n_store == history.count() + len(got)
+
+
+def test_stream_hll_registers_boundary_invariant(spark, tmp_path):
+    """The streaming HLL register store, drained one file per trigger
+    (4 micro-batches, duplicates crossing every boundary), max-merges to
+    EXACTLY the batch sketch over all data — register max is
+    commutative/associative/idempotent, so the estimate cannot depend on
+    how the source split."""
+    import os
+
+    from crawl4ai_spark.functions.hashing import h60
+    from crawl4ai_spark.queries.sketchops import hll_estimate, hll_register_cols
+    from crawl4ai_spark.streaming.ingest import (read_hll_registers,
+                                                 stream_hll_registers)
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    src = str(tmp_path / "src")
+    d.repartition(4).write.parquet(src)
+
+    def urls(df):
+        i = F.col("doc_id").cast("long")
+        # %500 folds introduce heavy cross-file duplicates
+        return df.select(F.explode(F.array(
+            F.concat(F.lit("https://host"), F.pmod(i, F.lit(7)).cast("string"),
+                     F.lit(".example.com/p/"), i.cast("string")),
+            F.concat(F.lit("https://host"),
+                     F.pmod(F.pmod(i, F.lit(500)), F.lit(7)).cast("string"),
+                     F.lit(".example.com/p/"), F.pmod(i, F.lit(500)).cast("string")),
+        )).alias("url"))
+
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    regs_dir = str(tmp_path / "regs")
+    stream_hll_registers(spark, urls(stream), regs_dir, str(tmp_path / "ckp"))
+
+    batches = [f for f in os.listdir(str(tmp_path / "ckp") + "/commits") if f.isdigit()]
+    assert len(batches) > 1, f"expected multiple micro-batches, got {batches}"
+    # store holds per-batch register rows; the merge equals the batch twin
+    idx, rho = hll_register_cols(h60(F.col("url")))
+    want = {(r.idx, r.m) for r in
+            urls(d).select(idx.alias("idx"), rho.alias("rho"))
+            .groupBy("idx").agg(F.max("rho").alias("m")).collect()}
+    got = {(r.idx, r.m) for r in read_hll_registers(spark, regs_dir).collect()}
+    assert got == want
+    # estimate lands near the exact distinct count (64 registers -> 13% sigma)
+    est = hll_estimate(read_hll_registers(spark, regs_dir)).collect()[0].est
+    exact = urls(d).distinct().count()
+    assert abs(est - exact) / exact <= 0.5
