@@ -63,6 +63,12 @@ HEADLINE_QUERIES = [
     "spans_fit_filter",
     "events_tumbling",
     "events_sessionize",
+    # round-4 session-6/7 tiers: graph feedback + mergeable sketches
+    "opic_importance",
+    "trustrank",
+    "seen_cardinality_hll",
+    "url_overlap_kmv",
+    "template_heavy_hitters",
 ]
 
 

@@ -131,8 +131,16 @@ class CrawlConfig:
     # only (or "bloom" when use_bloom=True, back-compat); "cuckoo" →
     # 4-slot/16-bit-fingerprint cuckoo tables (operators/cuckoo.py) —
     # supports deletion (recrawl/TTL) and lower fpp per byte. Both
-    # shard by pmod(url_hash, bloom_shards).
+    # shard by pmod(url_hash, bloom_shards). "bloom_hrw" → Bloom shards
+    # addressed by rendezvous hashing (growable: see sidecar_grow_at).
     seen_sidecar: str | None = None
+    # bloom_hrw only: when the tracked seen-set estimate exceeds
+    # grow_at × n_shards, DOUBLE the shard set mid-crawl. HRW addressing
+    # makes growth incremental — only the new shards' bitsets are built
+    # (a key's winner never moves between surviving shards), old bitsets
+    # stay byte-identical, and the grown set persists via the round
+    # checkpoint so rollback/resume replays it exactly. None = fixed set.
+    sidecar_grow_at: int | None = None
     cuckoo_buckets: int = 1 << 15     # buckets/shard (× 4 slots × 2 B = 256 KiB)
     # Iceberg-style state maintenance: every N rounds (after the round's
     # checkpoint) bin-pack small data files in the engine tables
@@ -172,6 +180,15 @@ class CrawlConfig:
             raise ValueError(
                 f"politeness_key must be 'host' or 'domain', got "
                 f"{self.politeness_key!r}")
+        if self.seen_sidecar not in (None, "bloom", "cuckoo", "bloom_hrw"):
+            raise ValueError(
+                f"seen_sidecar must be None, 'bloom', 'cuckoo' or "
+                f"'bloom_hrw', got {self.seen_sidecar!r}")
+        if self.sidecar_grow_at is not None and self.seen_sidecar != "bloom_hrw":
+            raise ValueError(
+                "sidecar_grow_at requires seen_sidecar='bloom_hrw' — "
+                "modulo-addressed sidecars cannot grow without a full "
+                "rebuild (growth moves keys between surviving shards)")
 
 
 def resolve_strategy(cfg: CrawlConfig) -> str:

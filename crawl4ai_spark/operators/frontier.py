@@ -59,7 +59,13 @@ from ..functions.scoring import keyword_score, link_score
 from ..functions.urls import canonicalize, url_hash, url_host, url_path
 from ..tables import Checkpoint, SnapshotTable
 from .cuckoo import build_cuckoo_shards, cuckoo_anti_join, cuckoo_delete, merge_cuckoo_shards
-from .seen_filter import bloom_anti_join, build_bloom_shards, merge_bloom_shards
+from .seen_filter import (
+    bloom_anti_join,
+    build_bloom_shards,
+    build_bloom_shards_hrw,
+    grow_bloom_shards,
+    merge_bloom_shards,
+)
 
 FRONTIER_COLS = [
     "url", "url_hash", "host", "host_salt", "depth", "score",
@@ -119,6 +125,11 @@ class CrawlEngine:
         self.retries_tbl = SnapshotTable(state_dir, "retries")
         self.state_dir = state_dir
         self.ckp = Checkpoint(state_dir)
+        # bloom_hrw shard ids + seen-size estimate: concrete values are
+        # (re)established at run() entry (fresh → range(bloom_shards);
+        # resume → checkpoint), growth updates them per round
+        self._hrw_ids: list[int] = list(range(cfg.bloom_shards))
+        self._seen_est = 0
         self.robots = robots
         self.host_budgets = host_budgets
         # F8 completion: with politeness on, no explicit budgets table,
@@ -528,9 +539,13 @@ class CrawlEngine:
 
     def _sidecar_build(self, rows: DataFrame) -> DataFrame:
         cfg = self.cfg
-        if self._sidecar_kind() == "cuckoo":
+        kind = self._sidecar_kind()
+        if kind == "cuckoo":
             return build_cuckoo_shards(
                 rows, n_shards=cfg.bloom_shards, n_buckets=cfg.cuckoo_buckets)
+        if kind == "bloom_hrw":
+            return build_bloom_shards_hrw(
+                rows, self._hrw_ids, n_bits=cfg.bloom_bits, k=cfg.bloom_k)
         return build_bloom_shards(
             rows, n_shards=cfg.bloom_shards, n_bits=cfg.bloom_bits, k=cfg.bloom_k)
 
@@ -547,10 +562,15 @@ class CrawlEngine:
     def _sidecar_anti_join(self, new_links: DataFrame, seen: DataFrame) -> DataFrame:
         cfg = self.cfg
         shards = self.bloom_tbl.read(self.spark)
-        if self._sidecar_kind() == "cuckoo":
+        kind = self._sidecar_kind()
+        if kind == "cuckoo":
             return cuckoo_anti_join(
                 new_links, seen, shards, url_col="url", hash_col="url_hash",
                 n_shards=cfg.bloom_shards, n_buckets=cfg.cuckoo_buckets)
+        if kind == "bloom_hrw":
+            return bloom_anti_join(
+                new_links, seen, shards, url_col="url", hash_col="url_hash",
+                n_bits=cfg.bloom_bits, k=cfg.bloom_k, shard_ids=self._hrw_ids)
         return bloom_anti_join(
             new_links, seen, shards, url_col="url", hash_col="url_hash",
             n_shards=cfg.bloom_shards, n_bits=cfg.bloom_bits, k=cfg.bloom_k)
@@ -846,6 +866,11 @@ class CrawlEngine:
             # pending materialization until a round leaves a remainder
             self._pending_mode = "delta"
             self._pending_est = int(sobs.get["n"])
+            # bloom_hrw: the shard-id set is engine state (growth changes
+            # it mid-crawl) — initialized here, persisted per round in the
+            # checkpoint so rollback/resume replays growth exactly
+            self._hrw_ids = list(range(cfg.bloom_shards))
+            self._seen_est = self._pending_est
             if self._sidecar_kind():
                 self.bloom_tbl.overwrite(self._sidecar_build(seeds))
             round_no, fetched = 1, 0
@@ -859,6 +884,12 @@ class CrawlEngine:
                 if name in ck["versions"]:
                     tbl.rollback(ck["versions"][name])
             round_no, fetched = ck["round"] + 1, ck["fetched"]
+            self._hrw_ids = ck.get("hrw_ids") or list(range(cfg.bloom_shards))
+            self._seen_est = ck.get("seen_est", 0)
+            if self._sidecar_kind() == "bloom_hrw" and not ck.get("seen_est"):
+                # checkpoint predates the estimate: recount the log once
+                fr = self.frontier_tbl.read(spark)
+                self._seen_est = 0 if fr is None else fr.count()
             if cfg.max_retries > 0:
                 if "retries_est" in ck:
                     self._retries_est = ck["retries_est"]
@@ -1010,12 +1041,7 @@ class CrawlEngine:
                 if retries_out and round_no < cfg.max_rounds:
                     # backoff gap: nothing due yet — commit an empty round
                     # so due_round can be reached (bounded by the backoff)
-                    self.ckp.commit(round_no, self._versions(), {
-                        "fetched": fetched,
-                        "pending_mode": getattr(self, "_pending_mode", "table"),
-                        "pending_est": self._pending_est,
-                        "retries_est": self._retries_est,
-                    })
+                    self.ckp.commit(round_no, self._versions(), self._ckp_extra(fetched))
                     round_no += 1
                     continue
                 break
@@ -1135,6 +1161,36 @@ class CrawlEngine:
                 if seen_delta is not None:
                     self.bloom_tbl.overwrite(self._sidecar_merge(
                         self.bloom_tbl.read(spark), seen_delta))
+                # incremental HRW growth: when the seen estimate (seeds +
+                # Σ fresh appends — exact for the frontier log) crosses
+                # grow_at keys/shard, DOUBLE the shard set. Only the new
+                # shards' bitsets are built (keys they win under the grown
+                # id set — one scan, ≈half the keys written); surviving
+                # bitsets pass through byte-identical, stale bits and all
+                # (Bloom superset: no false negatives, fpp nudge only).
+                # The overwrite lands BEFORE this round's checkpoint, so
+                # versions + hrw_ids commit atomically per round.
+                self._seen_est += n_fresh
+                if (self._sidecar_kind() == "bloom_hrw"
+                        and cfg.sidecar_grow_at is not None
+                        and self._seen_est
+                        > cfg.sidecar_grow_at * len(self._hrw_ids)):
+                    tg = time.monotonic()
+                    old_ids = self._hrw_ids
+                    nxt_id = max(old_ids) + 1
+                    new_ids = list(range(nxt_id, nxt_id + len(old_ids)))
+                    all_ids = old_ids + new_ids
+                    seen_all = self.frontier_tbl.read(spark).select(
+                        "url", "url_hash")
+                    blk = self.seen_tbl.read(spark)
+                    if blk is not None:
+                        seen_all = seen_all.unionByName(
+                            blk.select("url", "url_hash"))
+                    self.bloom_tbl.overwrite(grow_bloom_shards(
+                        seen_all, self.bloom_tbl.read(spark), all_ids,
+                        new_ids, n_bits=cfg.bloom_bits, k=cfg.bloom_k))
+                    self._hrw_ids = all_ids
+                    self._prof_mark(round_no, "sidecar_grow", tg)
 
             elapsed = time.monotonic() - t0
             metrics = (
@@ -1154,12 +1210,7 @@ class CrawlEngine:
                 self._flush_metrics()
 
             fetched += n_sel
-            self.ckp.commit(round_no, self._versions(), {
-                "fetched": fetched,
-                "pending_mode": getattr(self, "_pending_mode", "table"),
-                "pending_est": self._pending_est,
-                "retries_est": self._retries_est,
-            })
+            self.ckp.commit(round_no, self._versions(), self._ckp_extra(fetched))
             if cfg.auto_compact_every and round_no % cfg.auto_compact_every == 0:
                 # after the checkpoint: a crash mid-compaction resumes from
                 # the just-committed round; the compact snapshots (if any
@@ -1177,16 +1228,23 @@ class CrawlEngine:
             # version so a later resume(rollback) can never delete the
             # durably-written metrics rows
             self._flush_metrics()
-            self.ckp.commit(round_no - 1, self._versions(), {
-                "fetched": fetched,
-                "pending_mode": getattr(self, "_pending_mode", "table"),
-                "pending_est": self._pending_est,
-                "retries_est": self._retries_est,
-            })
+            self.ckp.commit(round_no - 1, self._versions(), self._ckp_extra(fetched))
         else:
             self._flush_metrics()
         self._prof_mark(round_no, "final_metrics_flush", _tf)
         return {"rounds": round_no - 1, "fetched": fetched}
+
+    def _ckp_extra(self, fetched: int) -> dict:
+        """Per-round checkpoint extras: progress counters plus the
+        bloom_hrw shard-id set (growth state — rollback must replay it)."""
+        return {
+            "fetched": fetched,
+            "pending_mode": getattr(self, "_pending_mode", "table"),
+            "pending_est": self._pending_est,
+            "retries_est": self._retries_est,
+            "seen_est": getattr(self, "_seen_est", 0),
+            "hrw_ids": getattr(self, "_hrw_ids", None),
+        }
 
     def _versions(self) -> dict[str, int]:
         return {

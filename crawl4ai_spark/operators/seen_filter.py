@@ -43,6 +43,20 @@ def bit_positions(url: Column | str, n_bits: int = DEFAULT_BITS, k: int = DEFAUL
     ])
 
 
+def _fold_bitsets(pos: DataFrame, n_bits: int) -> DataFrame:
+    """Fold ``(shard, pos: array<long>)`` rows into one bitset per shard
+    (applyInPandas — numpy OR over the shard's bit positions)."""
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        bits = np.zeros(n_bits // 8, dtype=np.uint8)
+        if len(pdf):
+            flat = np.concatenate(pdf["pos"].to_numpy())
+            np.bitwise_or.at(bits, (flat // 8).astype(np.int64), (1 << (flat % 8)).astype(np.uint8))
+        return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])], "bits": [bits.tobytes()]})
+
+    return pos.groupBy("shard").applyInPandas(build, "shard int, bits binary")
+
+
 def build_bloom_shards(
     seen: DataFrame,
     url_col: str = "url",
@@ -57,15 +71,80 @@ def build_bloom_shards(
         shard_of(hash_col, n_shards).alias("shard"),
         bit_positions(url_col, n_bits, k).alias("pos"),
     )
+    return _fold_bitsets(pos, n_bits)
 
-    def build(pdf: pd.DataFrame) -> pd.DataFrame:
-        bits = np.zeros(n_bits // 8, dtype=np.uint8)
-        if len(pdf):
-            flat = np.concatenate(pdf["pos"].to_numpy())
-            np.bitwise_or.at(bits, (flat // 8).astype(np.int64), (1 << (flat % 8)).astype(np.uint8))
-        return pd.DataFrame({"shard": [int(pdf["shard"].iloc[0])], "bits": [bits.tobytes()]})
 
-    return pos.groupBy("shard").applyInPandas(build, "shard int, bits binary")
+# --------------------------------------------------------------------------- #
+# Rendezvous (HRW) shard addressing — the growable sidecar.
+#
+# Modulo addressing cannot grow: changing ``n_shards`` moves keys BETWEEN
+# surviving shards (shard_rebalance query: ~65% movement 8→12), and a key
+# tested against its new shard's old bitset would read a FALSE NEGATIVE —
+# so modulo growth forces a full sidecar rebuild from the 10^10-row seen
+# set. Under rendezvous hashing (Thaler & Ravishankar, HRW '98) a key's
+# winner is argmax over shards of mix(key, shard_id); adding shards leaves
+# every old shard's score untouched, so a winner either STAYS or moves to
+# a NEW shard — never between old shards. Growth therefore builds bitsets
+# only for the new shards (one scan, writes only the won keys) and keeps
+# every old bitset byte-identical: keys that left remain as stale set bits
+# (a Bloom superset — still no false negatives, marginally higher fpp,
+# reclaimed at the next full rebuild/compaction).
+# --------------------------------------------------------------------------- #
+
+
+def hrw_shard_of(url_hash: Column | str, shard_ids: list[int]) -> Column:
+    """Rendezvous winner: the shard id maximizing xxhash64(id, url_hash).
+    Pure column expression (array of (score, id) structs → array_max);
+    struct ordering breaks score ties by the smaller id, deterministically."""
+    h = F.col(url_hash) if isinstance(url_hash, str) else url_hash
+    scored = F.array(*[
+        F.struct(F.xxhash64(F.lit(int(s)), h).alias("w"),
+                 F.lit(int(s)).cast("int").alias("id"))
+        for s in sorted(int(s) for s in shard_ids)
+    ])
+    return F.array_max(scored)["id"]
+
+
+def build_bloom_shards_hrw(
+    seen: DataFrame,
+    shard_ids: list[int],
+    url_col: str = "url",
+    hash_col: str = "url_hash",
+    n_bits: int = DEFAULT_BITS,
+    k: int = DEFAULT_K,
+    only_ids: list[int] | None = None,
+) -> DataFrame:
+    """Bloom shards addressed by rendezvous winner over ``shard_ids``.
+    ``only_ids`` restricts the fold to keys won by those shards — the
+    incremental growth path (new shards only, old bitsets untouched)."""
+    pos = seen.select(
+        hrw_shard_of(hash_col, shard_ids).alias("shard"),
+        bit_positions(url_col, n_bits, k).alias("pos"),
+    )
+    if only_ids is not None:
+        pos = pos.where(F.col("shard").isin([int(i) for i in only_ids]))
+    return _fold_bitsets(pos, n_bits)
+
+
+def grow_bloom_shards(
+    seen_all: DataFrame,
+    blooms: DataFrame,
+    all_ids: list[int],
+    new_ids: list[int],
+    url_col: str = "url",
+    hash_col: str = "url_hash",
+    n_bits: int = DEFAULT_BITS,
+    k: int = DEFAULT_K,
+) -> DataFrame:
+    """Grow the HRW sidecar to ``all_ids`` (⊇ the old ids ∪ ``new_ids``):
+    build bitsets ONLY for the new shards from the keys they win under the
+    grown id set; surviving shards' rows pass through byte-identical. The
+    one full-seen-set scan writes only the moved fraction (≈ |new|/|all|
+    of keys); nothing else shuffles."""
+    new_bits = build_bloom_shards_hrw(
+        seen_all, all_ids, url_col=url_col, hash_col=hash_col,
+        n_bits=n_bits, k=k, only_ids=new_ids)
+    return blooms.unionByName(new_bits)
 
 
 def bloom_maybe_seen(
@@ -76,10 +155,16 @@ def bloom_maybe_seen(
     n_shards: int = 16,
     n_bits: int = DEFAULT_BITS,
     k: int = DEFAULT_K,
+    shard_ids: list[int] | None = None,
 ) -> DataFrame:
     """Append ``maybe_seen`` boolean. False → definitely not in the seen
-    set (Bloom guarantee); True → must be confirmed by the exact join."""
-    withpos = candidates.withColumn("_shard", shard_of(hash_col, n_shards)).withColumn(
+    set (Bloom guarantee); True → must be confirmed by the exact join.
+    ``shard_ids`` switches addressing from modulo to rendezvous (the
+    growable sidecar) — a missing shard row (no keys won yet) tests
+    definitely-new, which is exact for that shard."""
+    addr = (shard_of(hash_col, n_shards) if shard_ids is None
+            else hrw_shard_of(hash_col, shard_ids))
+    withpos = candidates.withColumn("_shard", addr).withColumn(
         "_pos", bit_positions(url_col, n_bits, k)
     )
     joined = withpos.join(F.broadcast(blooms.withColumnRenamed("shard", "_shard")), "_shard", "left")

@@ -246,7 +246,7 @@ def test_resume_is_exact(spark, corpus_dir, tmp_path):
     assert sa == sb
 
 
-@pytest.mark.parametrize("sidecar", ["bloom", "cuckoo"])
+@pytest.mark.parametrize("sidecar", ["bloom", "cuckoo", "bloom_hrw"])
 def test_sidecar_engine_matches_exact(spark, corpus_dir, tmp_path, sidecar):
     """Either maybe-seen sidecar (Bloom via use_bloom back-compat, or
     seen_sidecar='cuckoo') must produce identical pages + seen set (F10
@@ -258,6 +258,9 @@ def test_sidecar_engine_matches_exact(spark, corpus_dir, tmp_path, sidecar):
     if sidecar == "bloom":
         side_cfg = replace(base, use_bloom=True, bloom_shards=4,
                            bloom_bits=1 << 16, bloom_k=5)
+    elif sidecar == "bloom_hrw":
+        side_cfg = replace(base, seen_sidecar="bloom_hrw", bloom_shards=4,
+                           bloom_bits=1 << 16, bloom_k=5, sidecar_grow_at=5)
     else:
         side_cfg = replace(base, seen_sidecar="cuckoo", bloom_shards=4,
                            cuckoo_buckets=1 << 8)
@@ -275,7 +278,7 @@ def test_sidecar_engine_matches_exact(spark, corpus_dir, tmp_path, sidecar):
     assert s1 == s2
 
 
-@pytest.mark.parametrize("sidecar", ["bloom", "cuckoo"])
+@pytest.mark.parametrize("sidecar", ["bloom", "cuckoo", "bloom_hrw"])
 def test_sweep_sidecar_robots_no_duplicate_seen(spark, corpus_dir, tmp_path, sidecar):
     """Sweep + sidecar + robots: blocked URLs live in seen_tbl (not the
     frontier log), so the sidecar's merge delta must include them —
@@ -291,6 +294,9 @@ def test_sweep_sidecar_robots_no_duplicate_seen(spark, corpus_dir, tmp_path, sid
     if sidecar == "bloom":
         bloom_cfg = replace(base, use_bloom=True, bloom_shards=4,
                             bloom_bits=1 << 16, bloom_k=5)
+    elif sidecar == "bloom_hrw":
+        bloom_cfg = replace(base, seen_sidecar="bloom_hrw", bloom_shards=4,
+                            bloom_bits=1 << 16, bloom_k=5, sidecar_grow_at=5)
     else:
         bloom_cfg = replace(base, seen_sidecar="cuckoo", bloom_shards=4,
                             cuckoo_buckets=1 << 8)
