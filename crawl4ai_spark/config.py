@@ -122,6 +122,24 @@ class CrawlConfig:
     # reference's static ordering (oracle-conformant); the boosted order
     # remains deterministic (same tiebreaks on the boosted key).
     age_boost: float | None = None
+    # Content-seen dedup (Heritrix's content-digest "duplicate detection"
+    # / IRLbot's content-seen test): a fetched page whose span-content
+    # digest was already EXTRACTED by an earlier-ranked page contributes
+    # no outlinks — the explode/canonicalize/redirect/dedup pipeline is
+    # skipped for mirror copies (session-id aliases, print views, cross-
+    # host mirrors; 25-30% of real crawls). The page itself is still
+    # fetched/logged/indexed. Result-INVARIANT by construction: identical
+    # content ⇒ identical link set, so suppression is exact iff the
+    # earlier extraction was at depth ≤ this page's depth (its links
+    # passed every depth gate the later copy's would) and, with
+    # include_external=False, on the same host (the internal-only filter
+    # keys on the parent host). The engine enforces exactly that rule —
+    # digest = xxhash64(spans [, host]); suppress iff an earlier-rank,
+    # shallower-or-equal extraction of the same digest exists (history
+    # min-depth table + in-batch running-min window) — so pages/seen/
+    # order are byte-identical to content_dedup=False (tested per
+    # strategy). Digest min-depths checkpoint per round (resume-exact).
+    content_dedup: bool = False
     use_bloom: bool = False           # Bloom-sidecar prefilter for the seen-set anti-join
     bloom_shards: int = 16
     bloom_bits: int = 1 << 23         # bits per shard (1 MiB)

@@ -51,7 +51,7 @@ from __future__ import annotations
 import os
 import time
 
-from pyspark.sql import DataFrame, Observation, SparkSession, Window
+from pyspark.sql import Column, DataFrame, Observation, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..config import SOCIAL_DOMAINS, CrawlConfig, resolve_strategy
@@ -123,6 +123,11 @@ class CrawlEngine:
         # so no anti-join against pages is ever needed, and checkpoint
         # rollback replays the exact due/not-due split.
         self.retries_tbl = SnapshotTable(state_dir, "retries")
+        # content-seen digests (cfg.content_dedup): append-only
+        # (digest, min_depth) rows — the shallowest depth at which each
+        # span-content digest has been EXTRACTED. A later fetched copy at
+        # depth ≥ that min contributes no outlinks (see config.py).
+        self.digests_tbl = SnapshotTable(state_dir, "digests")
         self.state_dir = state_dir
         self.ckp = Checkpoint(state_dir)
         # bloom_hrw shard ids + seen-size estimate: concrete values are
@@ -681,6 +686,47 @@ class CrawlEngine:
             }
         return self._xc
 
+    def _content_digest(self) -> Column:
+        """Span-content digest for content-seen dedup. With
+        include_external=False (default) the digest keys on (host,
+        content): the internal-only link filter keys on the PARENT host,
+        so only same-host copies are link-equivalent; with externals
+        allowed, content alone determines the link set (config.py)."""
+        cols = [F.to_json("spans")]
+        if not self.cfg.include_external:
+            cols.append(F.col("host"))
+        return F.xxhash64(*cols)
+
+    def _content_gate(self, parents: DataFrame) -> DataFrame:
+        """Content-seen suppression (cfg.content_dedup): drop a fetched
+        page iff an earlier-rank page with the same digest was extracted
+        at depth ≤ this page's depth — exactly the condition under which
+        its whole link set is already enqueued (identical content ⇒
+        identical links; shallower-or-equal ⇒ every p_depth gate passed
+        at least as generously), so pages/seen/order stay byte-identical
+        to content_dedup=False (tested per strategy). Two checks: the
+        digests table carries the min EXTRACTED depth per digest over all
+        previous rounds (all earlier ranks by construction) — a plain
+        hash join on the 8-byte digest, broadcast by AQE while small,
+        never forced (one row per distinct content at 10^10 scale is not
+        a broadcast side); and an in-batch running-min window per digest
+        (group size = this batch's copies of ONE document — mirror-group
+        sized, never frontier-sized) for same-round copies."""
+        parents = parents.withColumn("_dig", self._content_digest())
+        hist = self.digests_tbl.read(self.spark)
+        if hist is not None:
+            hmin = hist.groupBy("dig").agg(F.min("min_depth").alias("_hmin"))
+            parents = (
+                parents.join(hmin.withColumnRenamed("dig", "_dig"), "_dig", "left")
+                .where(F.col("_hmin").isNull() | (F.col("_hmin") > F.col("depth")))
+                .drop("_hmin"))
+        w = (Window.partitionBy("_dig")
+             .orderBy(F.col("rank").asc(), F.col("url").asc())
+             .rowsBetween(Window.unboundedPreceding, -1))
+        return (parents.withColumn("_bmin", F.min("depth").over(w))
+                .where(F.col("_bmin").isNull() | (F.col("_bmin") > F.col("depth")))
+                .drop("_bmin"))
+
     def _extract_links(self, pages_batch: DataFrame, round_no: int) -> DataFrame:
         cfg = self.cfg
         xc = self._extract_cols()
@@ -692,6 +738,10 @@ class CrawlEngine:
                 self.nofollow_pages.select(F.col("url").alias("_nf_url")))
             parents = parents.join(
                 nf, parents["url"] == nf["_nf_url"], "left_anti")
+        if cfg.content_dedup:
+            parents = self._content_gate(parents)
+            # stashed for the round's digest-table append (run loop)
+            self._gated_parents = parents
         links = (
             parents
             .select(
@@ -880,7 +930,8 @@ class CrawlEngine:
             for name, tbl in (("frontier", self.frontier_tbl), ("url_seen", self.seen_tbl),
                               ("pages", self.pages_tbl), ("metrics", self.metrics_tbl),
                               ("blooms", self.bloom_tbl), ("redirects", self.redirects_tbl),
-                              ("pending", self.pending_tbl), ("retries", self.retries_tbl)):
+                              ("pending", self.pending_tbl), ("retries", self.retries_tbl),
+                              ("digests", self.digests_tbl)):
                 if name in ck["versions"]:
                     tbl.rollback(ck["versions"][name])
             round_no, fetched = ck["round"] + 1, ck["fetched"]
@@ -1080,6 +1131,26 @@ class CrawlEngine:
             self._batch_est = max(1, n_fresh)  # sweep: next round's batch
             self._prof_mark(round_no, "extract+dedup+write_frontier", t1)
 
+            if cfg.content_dedup:
+                # record this round's extracted digests: per-digest min
+                # depth, appended only where it improves the table (rows
+                # per digest ≤ max_depth, so the table stays ~one row per
+                # distinct content). Lands BEFORE the round checkpoint —
+                # versions commit atomically, rollback/resume replays it.
+                td = time.monotonic()
+                bmin = (self._gated_parents
+                        .select(F.col("_dig").alias("dig"), "depth")
+                        .groupBy("dig").agg(F.min("depth").alias("min_depth")))
+                dhist = self.digests_tbl.read(spark)
+                if dhist is not None:
+                    h = dhist.groupBy("dig").agg(F.min("min_depth").alias("_h"))
+                    bmin = (bmin.join(h, "dig", "left")
+                            .where(F.col("_h").isNull()
+                                   | (F.col("min_depth") < F.col("_h")))
+                            .drop("_h"))
+                self.digests_tbl.append(bmin)
+                self._prof_mark(round_no, "content_digests", td)
+
             if not sweep:
                 # incremental pending maintenance. leftover is EXACT:
                 # n_sel/n_fresh are observed counts, pending_est was exact
@@ -1256,6 +1327,7 @@ class CrawlEngine:
             "redirects": self.redirects_tbl.current_version(),
             "pending": self.pending_tbl.current_version(),
             "retries": self.retries_tbl.current_version(),
+            "digests": self.digests_tbl.current_version(),
         }
 
     METRICS_FLUSH_ROUNDS = 8
@@ -1272,7 +1344,7 @@ class CrawlEngine:
         out: dict[str, int] = {}
         for name, tbl in (("frontier", self.frontier_tbl), ("pages", self.pages_tbl),
                           ("url_seen", self.seen_tbl), ("metrics", self.metrics_tbl),
-                          ("redirects", self.redirects_tbl)):
+                          ("redirects", self.redirects_tbl), ("digests", self.digests_tbl)):
             v = tbl.compact(self.spark, target_bytes=target_bytes, min_files=min_files)
             if v is not None:
                 out[name] = v
@@ -1290,7 +1362,8 @@ class CrawlEngine:
         for name, tbl in (("frontier", self.frontier_tbl), ("url_seen", self.seen_tbl),
                           ("pages", self.pages_tbl), ("metrics", self.metrics_tbl),
                           ("blooms", self.bloom_tbl), ("redirects", self.redirects_tbl),
-                          ("pending", self.pending_tbl), ("retries", self.retries_tbl)):
+                          ("pending", self.pending_tbl), ("retries", self.retries_tbl),
+                          ("digests", self.digests_tbl)):
             keep = ck["versions"].get(name)
             if keep:
                 out[name] = tbl.expire_snapshots(keep)
