@@ -307,6 +307,45 @@ def crawl_recrawl_throughput(spark, work_dir: str, n_docs: int, n_hosts: int = 4
     }
 
 
+def crawl_dedup_throughput(spark, work_dir: str, n_docs: int, n_hosts: int = 40) -> dict:
+    """Content-seen dedup on a 25%-mirror corpus (VirtualCorpus
+    mirror_every=4 — the duplicate-content share Heritrix reports for
+    real crawls): the same sweep with content_dedup off vs on. The ON
+    run skips outlink extraction for mirror copies (digest gate) at the
+    cost of per-round digest-table maintenance; the ratio is the
+    feature's NET throughput effect at this duplicate rate. Results are
+    invariant by construction (tested), so off/on fetch identical sets."""
+    from crawl4ai_spark.config import CrawlConfig
+    from crawl4ai_spark.fixtures import VirtualCorpus
+    from crawl4ai_spark.operators.frontier import CrawlEngine
+
+    vc = VirtualCorpus(n_docs=n_docs, n_hosts=n_hosts, mirror_every=4)
+    seeds = vc.seed_urls(n_hosts - 1, 4096)
+    out: dict = {}
+    for label, flag in (("off", False), ("on", True)):
+        cfg = CrawlConfig(
+            seeds=seeds, max_depth=8, max_pages=None, include_external=True,
+            politeness=False, respect_robots=False, track_order=False,
+            round_size=None, max_rounds=5, content_dedup=flag,
+        )
+        state = os.path.join(work_dir, f"state_dedup_{label}")
+        shutil.rmtree(state, ignore_errors=True)
+        eng = CrawlEngine(spark, vc, cfg, state)
+        t0 = time.monotonic()
+        res = eng.run()
+        elapsed = time.monotonic() - t0
+        out[label] = {
+            "fetched": res["fetched"],
+            "crawl_sec": round(elapsed, 3),
+            "urls_per_sec": round(res["fetched"] / elapsed, 1),
+        }
+    assert out["on"]["fetched"] == out["off"]["fetched"]
+    out["mirror_rate"] = 0.25
+    out["speedup_on_vs_off"] = round(
+        out["on"]["urls_per_sec"] / out["off"]["urls_per_sec"], 3)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -384,11 +423,20 @@ def main() -> None:
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
+    # single run (tertiary metric): content-seen dedup net effect on a
+    # 25%-mirror corpus (off vs on inside the one call)
+    work = f"/dev/shm/bench_dcrawl_{os.getpid()}"
+    try:
+        cdedup = crawl_dedup_throughput(spark, work, n_docs)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
     total = round(sum(sum(r) for r in qspread.values())
                   + sum(c["crawl_sec"] for c in crawl_runs)
                   + sum(c["crawl_sec"] for c in ordered_runs)
                   + polite["crawl_sec"] + retry["crawl_sec"]
-                  + recrawl["crawl_sec"] + scored["crawl_sec"], 3)
+                  + recrawl["crawl_sec"] + scored["crawl_sec"]
+                  + cdedup["off"]["crawl_sec"] + cdedup["on"]["crawl_sec"], 3)
     # Detail line FIRST (per-run spreads, for humans / BENCH.md); the
     # compact summary goes LAST so the driver's tail-capture parse always
     # sees one complete JSON object (BENCH_r03 lost its headline when the
@@ -403,6 +451,7 @@ def main() -> None:
         "crawl_retry": retry,
         "crawl_recrawl": recrawl,
         "crawl_scored": scored,
+        "crawl_content_dedup": cdedup,
     }))
     print(json.dumps({
         "metric": "urls_fetched_deduped_per_sec",

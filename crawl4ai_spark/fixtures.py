@@ -273,11 +273,22 @@ class VirtualCorpus:
     """
 
     def __init__(self, n_docs: int, n_hosts: int = 20,
-                 min_spans: int = 6, extra_spans: int = 14):
+                 min_spans: int = 6, extra_spans: int = 14,
+                 mirror_every: int | None = None):
         self.n_docs = n_docs
         self.n_hosts = n_hosts
         self.min_spans = min_spans
         self.extra_spans = extra_spans
+        # mirror_every=k: the last doc of every k-consecutive group
+        # (i % k == k-1) serves the GROUP HEAD's content byte-identically
+        # (spans synthesized from index i - (k-1)) — a 1/k duplicate-
+        # content rate modeling the mirror/print-view/session-id-alias
+        # share of real crawls (Heritrix reports 25-30%; k=4 ≈ 25%).
+        # Consecutive indices share a host block, so mirrors are
+        # same-host — visible to content_dedup under either digest
+        # keying. URL validity/status still key on the REQUESTED index;
+        # only the served content aliases. None = every doc unique.
+        self.mirror_every = mirror_every
         # Column-expression cache: the spans synthesis tree is ~5k nodes
         # and costs ~0.8s of py4j round-trips to BUILD — per crawl round
         # that was pure driver overhead. Column objects are unresolved
@@ -343,15 +354,31 @@ class VirtualCorpus:
             # inlining it at every use site made the spans tree ~70 KB of
             # duplicated regexp_extract/pow chains — ~0.65 s of driver
             # analyze+optimize per crawl round, batch-size-independent
+            def _with_content_i(i: Column, body) -> Column:
+                # mirror_every: group tails serve the group head's content.
+                # The remapped index gets its OWN let-binding — inlining
+                # the when(pmod...) wrapper at each of the ~400 index use
+                # sites inside the spans tree would re-bloat the plan the
+                # let-binding exists to shrink. mirror off → no extra node.
+                if self.mirror_every is None:
+                    return body(i)
+                k = int(self.mirror_every)
+                ci = F.when(F.pmod(i, F.lit(k)) == k - 1,
+                            i - (k - 1)).otherwise(i)
+                return _let(ci, body)
+
             spans_c = _let(i_raw, lambda i: F.when(
                 _valid(i),
-                spans_for_index(i, self.n_docs, self.n_hosts, self.min_spans,
-                                self.extra_spans, lazy=lazy, steps=steps),
+                _with_content_i(i, lambda ci: spans_for_index(
+                    ci, self.n_docs, self.n_hosts, self.min_spans,
+                    self.extra_spans, lazy=lazy, steps=steps)),
             ).otherwise(F.lit(None)))
             st_c = _let(i_raw, lambda i: F.when(
                 _valid(i), F.lit("fetched")).otherwise(F.lit(None)))
             title_c = (
-                _let(i_raw, lambda i: F.when(_valid(i), _words(i, F.lit(0), "t")))
+                _let(i_raw, lambda i: F.when(
+                    _valid(i),
+                    _with_content_i(i, lambda ci: _words(ci, F.lit(0), "t"))))
                 if self.min_spans >= 1 else F.lit(None).cast("string")
             )
             self._expr_cache[key] = (spans_c, st_c, title_c)

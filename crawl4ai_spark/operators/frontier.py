@@ -647,7 +647,7 @@ class CrawlEngine:
             is_tr = st == F.lit("transient")
             spans_out = F.when(is_tr, F.lit(None)).otherwise(spans_out)
             title = F.when(is_tr, F.col("url")).otherwise(title)
-        return joined.select(
+        out = [
             "url", "url_hash", "host", "depth",
             rank.alias("rank"),
             F.lit(round_no).alias("fetch_round"),
@@ -655,7 +655,13 @@ class CrawlEngine:
             title.alias("title"),
             spans_out.alias("spans"), "score", "parent_rank", "parent_offset", "path",
             attempt.alias("attempt"),
-        )
+        ]
+        if cfg.content_dedup:
+            # content-seen digest materialized at fetch time: the gate and
+            # the digest-table append read it column-pruned from the round
+            # delta instead of rehashing every span array (twice) per round
+            out.append(self._content_digest(spans_out).alias("_dig"))
+        return joined.select(*out)
 
     # ------------------------------------------------------------------ #
     def _extract_cols(self) -> dict:
@@ -686,13 +692,19 @@ class CrawlEngine:
             }
         return self._xc
 
-    def _content_digest(self) -> Column:
-        """Span-content digest for content-seen dedup. With
-        include_external=False (default) the digest keys on (host,
-        content): the internal-only link filter keys on the PARENT host,
-        so only same-host copies are link-equivalent; with externals
-        allowed, content alone determines the link set (config.py)."""
-        cols = [F.to_json("spans")]
+    def _content_digest(self, spans: Column | None = None) -> Column:
+        """Span-content digest for content-seen dedup — xxhash64 straight
+        over the nested span array (hash expressions support nested rows;
+        no JSON serialization). With include_external=False (default) the
+        digest keys on (host, content): the internal-only link filter
+        keys on the PARENT host, so only same-host copies are
+        link-equivalent; with externals allowed, content alone determines
+        the link set (config.py). Computed ONCE, in the fetch projection,
+        and materialized as the pages log's ``_dig`` column — the gate
+        and the digest-table append then read a column-pruned
+        (url, rank, depth, _dig) slice of the round delta and never
+        rescan or rehash the spans payload."""
+        cols = [F.col("spans") if spans is None else spans]
         if not self.cfg.include_external:
             cols.append(F.col("host"))
         return F.xxhash64(*cols)
@@ -706,26 +718,58 @@ class CrawlEngine:
         at least as generously), so pages/seen/order stay byte-identical
         to content_dedup=False (tested per strategy). Two checks: the
         digests table carries the min EXTRACTED depth per digest over all
-        previous rounds (all earlier ranks by construction) — a plain
-        hash join on the 8-byte digest, broadcast by AQE while small,
-        never forced (one row per distinct content at 10^10 scale is not
-        a broadcast side); and an in-batch running-min window per digest
-        (group size = this batch's copies of ONE document — mirror-group
-        sized, never frontier-sized) for same-round copies."""
-        parents = parents.withColumn("_dig", self._content_digest())
+        previous rounds (all earlier ranks by construction), and an
+        in-batch running-min window per digest (group size = this batch's
+        copies of ONE document — mirror-group sized, never
+        frontier-sized) for same-round copies.
+
+        Scale shape: the decision runs on a SLIM projection (url, rank,
+        depth, digest — the digest is read column-pruned from the round
+        delta), so the heavy spans payload never enters the gate; the
+        history check STREAMS the O(crawl-history) digest table map-side
+        against a broadcast of the slim batch (inner probe, `hits`) —
+        the history table is never shuffled, aggregated, or broadcast,
+        the same one-pass-over-the-log shape as the exact URL-seen
+        anti-join. The verdict applies back as a broadcast anti-join
+        against the SUPPRESSED url set — bounded by the round's
+        duplicate count, a fraction of the operator-chosen round budget
+        at any corpus size."""
+        slim = parents.select("url", "rank", "depth", "_dig").persist()
+        self._slim_handle = slim
         hist = self.digests_tbl.read(self.spark)
+        self._hist_for_round = hist
         if hist is not None:
-            hmin = hist.groupBy("dig").agg(F.min("min_depth").alias("_hmin"))
-            parents = (
-                parents.join(hmin.withColumnRenamed("dig", "_dig"), "_dig", "left")
-                .where(F.col("_hmin").isNull() | (F.col("_hmin") > F.col("depth")))
-                .drop("_hmin"))
+            # history-suppressed urls: hist streams, slim broadcasts
+            hits = (hist.join(
+                        F.broadcast(slim),
+                        (hist["dig"] == slim["_dig"])
+                        & (hist["min_depth"] <= slim["depth"]), "inner")
+                    .select(slim["url"].alias("_hu")).distinct())
+            marked = (slim.join(F.broadcast(hits),
+                                slim["url"] == hits["_hu"], "left")
+                      .withColumn("_hsup", F.col("_hu").isNotNull())
+                      .drop("_hu"))
+        else:
+            marked = slim.withColumn("_hsup", F.lit(False))
+        # in-batch running min over history-SURVIVING earlier rows only
+        # (a history-suppressed copy was never extracted this round; its
+        # digest's historical extraction already gated everyone above)
         w = (Window.partitionBy("_dig")
              .orderBy(F.col("rank").asc(), F.col("url").asc())
              .rowsBetween(Window.unboundedPreceding, -1))
-        return (parents.withColumn("_bmin", F.min("depth").over(w))
-                .where(F.col("_bmin").isNull() | (F.col("_bmin") > F.col("depth")))
-                .drop("_bmin"))
+        bmin = F.min(F.when(~F.col("_hsup"), F.col("depth"))).over(w)
+        marked = marked.withColumn(
+            "_sup", F.col("_hsup") | F.coalesce(
+                bmin <= F.col("depth"), F.lit(False)))
+        # marked feeds TWO actions this round (the broadcast anti-join
+        # inside the frontier append, then the digest-table append) —
+        # persist so the history probe + window run once, not twice
+        marked = marked.persist()
+        self._marked_handle = marked
+        self._gated_slim = marked.where(~F.col("_sup")).select(
+            "url", "_dig", "depth")
+        suppressed = marked.where(F.col("_sup")).select("url")
+        return parents.join(F.broadcast(suppressed), "url", "left_anti")
 
     def _extract_links(self, pages_batch: DataFrame, round_no: int) -> DataFrame:
         cfg = self.cfg
@@ -739,9 +783,8 @@ class CrawlEngine:
             parents = parents.join(
                 nf, parents["url"] == nf["_nf_url"], "left_anti")
         if cfg.content_dedup:
+            # (also stashes self._gated_slim for the digest-table append)
             parents = self._content_gate(parents)
-            # stashed for the round's digest-table append (run loop)
-            self._gated_parents = parents
         links = (
             parents
             .select(
@@ -1138,17 +1181,25 @@ class CrawlEngine:
                 # distinct content). Lands BEFORE the round checkpoint —
                 # versions commit atomically, rollback/resume replays it.
                 td = time.monotonic()
-                bmin = (self._gated_parents
-                        .select(F.col("_dig").alias("dig"), "depth")
-                        .groupBy("dig").agg(F.min("depth").alias("min_depth")))
-                dhist = self.digests_tbl.read(spark)
+                bmin = (self._gated_slim
+                        .groupBy(F.col("_dig").alias("dig"))
+                        .agg(F.min("depth").alias("min_depth")))
+                dhist = self._hist_for_round
                 if dhist is not None:
-                    h = dhist.groupBy("dig").agg(F.min("min_depth").alias("_h"))
-                    bmin = (bmin.join(h, "dig", "left")
-                            .where(F.col("_h").isNull()
-                                   | (F.col("min_depth") < F.col("_h")))
-                            .drop("_h"))
+                    # strict improvements only (keeps the table ~one row
+                    # per digest): a batch min is blocked by any existing
+                    # row at ≤ its depth. hist STREAMS map-side against
+                    # the broadcast batch aggregate — never shuffled.
+                    blockers = (dhist.join(
+                                    F.broadcast(bmin),
+                                    (dhist["dig"] == bmin["dig"])
+                                    & (dhist["min_depth"]
+                                       <= bmin["min_depth"]), "inner")
+                                .select(dhist["dig"]).distinct())
+                    bmin = bmin.join(blockers, "dig", "left_anti")
                 self.digests_tbl.append(bmin)
+                self._marked_handle.unpersist()
+                self._slim_handle.unpersist()
                 self._prof_mark(round_no, "content_digests", td)
 
             if not sweep:
@@ -1621,6 +1672,10 @@ class CrawlEngine:
         v = (None if as_of_round is None
              else self._versions_at(as_of_round)["pages"])
         df = self.pages_tbl.read(self.spark, v)
+        if df is not None and "_dig" in df.columns:
+            # engine-internal content-seen digest — not part of the
+            # public pages surface (schema-stable across content_dedup)
+            df = df.drop("_dig")
         if df is None or not resolved:
             return df
         return df.where(F.col("status") != "transient")

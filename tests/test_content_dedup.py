@@ -158,6 +158,32 @@ def test_content_dedup_cross_host(spark, tmp_path, include_external):
         assert digs.select("dig").distinct().count() < fetched
 
 
+def test_content_dedup_virtual_mirror_invariance(spark, tmp_path):
+    """VirtualCorpus(mirror_every=4): a 25%-duplicate synthetic web (the
+    bench corpus for crawl_dedup_throughput). Tracked-order crawl with
+    content_dedup on must equal off exactly, and the digests table must
+    show the mirror share actually folding."""
+    from crawl4ai_spark.fixtures import VirtualCorpus
+
+    vc = VirtualCorpus(n_docs=4000, n_hosts=6, mirror_every=4)
+    # 8 consecutive doc indices: every 4-block ends in a mirror of its
+    # head, so the seed set itself carries ≥1 duplicate-content pair
+    seeds = vc.seed_urls(5, 8)
+    base = CrawlConfig(seeds=seeds, strategy="bfs", max_depth=3,
+                       max_pages=80, round_size=20, include_external=True,
+                       respect_robots=False)
+    off = CrawlEngine(spark, vc, base, str(tmp_path / "off"))
+    off.run()
+    on = CrawlEngine(spark, vc, replace(base, content_dedup=True),
+                     str(tmp_path / "on"))
+    on.run()
+    assert page_tuples(on) == page_tuples(off)
+    assert seen_set(on) == seen_set(off)
+    fetched = on.pages().where("status = 'fetched'").count()
+    n_digs = on.digests_tbl.read(spark).select("dig").distinct().count()
+    assert n_digs < fetched, "mirror corpus produced no content folds"
+
+
 def test_content_dedup_resume_exact(spark, tmp_path):
     """Kill after round 1 → resume: the digests table rolls back with the
     checkpoint and replays exactly; final tables equal an uninterrupted
