@@ -151,6 +151,10 @@ _TAIL = [
     "template_heavy_hitters",
     "shard_rebalance",
     "stream_cardinality_hll",
+    # round-4 session-9 additions (index-build tier), local-tier
+    "inverted_postings",
+    "index_search",
+    "bpe_pair_counts",
 ]
 
 

@@ -37,6 +37,8 @@ UDF_QUERIES = {
 FINAL_RANK_QUERIES = {
     "ann_cosine_topk", "ann_lsh_bucket", "ann_ivf_probe",
     "keywords_topn", "politeness_select",
+    # top-k first (TakeOrderedAndProject), then rank over <=K rows
+    "index_search", "bpe_pair_counts",
 }
 # streaming queries execute via writeStream; their batch-plan dump is
 # not meaningful here
