@@ -155,6 +155,9 @@ _TAIL = [
     "inverted_postings",
     "index_search",
     "bpe_pair_counts",
+    # round-4 session-10 additions (feed front door), local-tier
+    "feed_ingest",
+    "feed_fresh",
 ]
 
 
