@@ -17,5 +17,6 @@ from . import schedops  # noqa: F401,E402
 from . import sketchops  # noqa: F401,E402
 from . import indexops  # noqa: F401,E402
 from . import feedops  # noqa: F401,E402
+from . import focusedops  # noqa: F401,E402
 
 from .crawlops import q_crawl_bfs_reachable  # noqa: F401,E402

@@ -155,9 +155,11 @@ _TAIL = [
     "inverted_postings",
     "index_search",
     "bpe_pair_counts",
-    # round-4 session-10 additions (feed front door), local-tier
+    # round-4 session-10 additions (feed front door + focused crawl),
+    # local-tier
     "feed_ingest",
     "feed_fresh",
+    "nb_term_stats",
 ]
 
 
