@@ -14,7 +14,7 @@ from __future__ import annotations
 import os
 import re
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 # extension lists mirror the reference's collection JS (crawl_agent.py:753-761)
@@ -100,7 +100,9 @@ def collect_downloads(
 def warc_format(df: DataFrame, url_col: str = "url", payload_col: str = "raw_md",
                 date: str = "2026-01-01T00:00:00Z",
                 content_type: str = "text/plain",
-                record_type: str = "resource") -> DataFrame:
+                record_type: str = "resource",
+                refers_to: Column | None = None,
+                record_id_salt: str = "") -> DataFrame:
     """S6b: render each page as an ISO 28500 (WARC/1.0) record — the
     archive format every crawl ecosystem (Common Crawl, IA) exchanges.
     Adds ``content_length`` (payload octets) and ``warc`` (the full
@@ -113,24 +115,61 @@ def warc_format(df: DataFrame, url_col: str = "url", payload_col: str = "raw_md"
     content is a resource record, which standard tooling (warcio, CDX
     indexers) ingests without an HTTP status line. Pure column
     expressions appended in the scan projection — no Python, no
-    shuffle."""
+    shuffle.
+
+    ``refers_to`` (a Column holding the referenced record's id, e.g.
+    ``<urn:h60:...>``) inserts a ``WARC-Refers-To`` header after
+    WARC-Date — the ISO 28500 back-pointer a derived record (WET
+    ``conversion``, ``revisit``) carries to its source capture.
+    ``record_id_salt`` is appended to the URI before hashing the
+    record id so a derived record's id differs from its source's
+    (two records about one URI must not collide). Defaults keep the
+    output byte-identical to the pre-parameter behavior."""
     from ..functions.hashing import h60
 
     url = F.col(url_col)
     payload = F.coalesce(F.col(payload_col), F.lit(""))
     crlf = F.lit("\r\n")
     n = F.octet_length(payload)
+    id_src = F.concat(url, F.lit(record_id_salt)) if record_id_salt else url
+    refers = (
+        (F.lit("WARC-Refers-To: "), refers_to, crlf)
+        if refers_to is not None else ()
+    )
     rec = F.concat(
         F.lit("WARC/1.0"), crlf,
         F.lit(f"WARC-Type: {record_type}"), crlf,
-        F.lit("WARC-Record-ID: <urn:h60:"), h60(url).cast("string"), F.lit(">"), crlf,
+        F.lit("WARC-Record-ID: <urn:h60:"), h60(id_src).cast("string"), F.lit(">"), crlf,
         F.lit("WARC-Date: "), F.lit(date), crlf,
+        *refers,
         F.lit("WARC-Target-URI: "), url, crlf,
         F.lit(f"Content-Type: {content_type}"), crlf,
         F.lit("Content-Length: "), n.cast("string"), crlf,
         crlf, payload, crlf, crlf,
     )
     return df.withColumn("content_length", n.cast("long")).withColumn("warc", rec)
+
+
+def wet_format(df: DataFrame, url_col: str = "url", text_col: str = "text",
+               date: str = "2026-01-01T00:00:00Z") -> DataFrame:
+    """WET export (Common Crawl's extracted-text sidecar): a WARC/1.0
+    ``conversion`` record per page whose payload is the extracted
+    plain text and whose ``WARC-Refers-To`` points at the source
+    capture's record id (the same urn:h60 id ``warc_format`` mints for
+    that URI). The record's own id is salted (``#wet``) so the
+    conversion and its source never collide. Same scale posture as
+    warc_format: scan-projection column expressions only; parts
+    written via ``write_warc``-style lineSep folding concatenate into
+    valid WET streams."""
+    from ..functions.hashing import h60
+
+    src_id = F.concat(
+        F.lit("<urn:h60:"), h60(F.col(url_col)).cast("string"), F.lit(">"))
+    return warc_format(
+        df, url_col=url_col, payload_col=text_col, date=date,
+        content_type="text/plain", record_type="conversion",
+        refers_to=src_id, record_id_salt="#wet",
+    )
 
 
 def write_warc(df: DataFrame, out_dir: str, url_col: str = "url",

@@ -1166,6 +1166,51 @@ def q_warc_export(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------- #
+# S6c: WET export (Common Crawl extracted-text sidecar) — a WARC/1.0
+# ``conversion`` record per page: payload = extracted plain text,
+# WARC-Refers-To = the source capture's urn:h60 record id, own record
+# id salted ('#wet') so source and derivative never collide. Completes
+# the interchange family (WARC response/resource + revisit + CDXJ +
+# WET). sinks.wet_format renders it in the scan projection; the oracle
+# rebuilds the byte-identical record in SQL.
+# --------------------------------------------------------------------------- #
+@query(
+    "wet_export",
+    f"""
+    SELECT doc_id::BIGINT AS doc_id,
+           {_graph_url_sql('doc_id')} AS url,
+           strlen(coalesce(text, ''))::BIGINT AS content_length,
+           'WARC/1.0' || chr(13) || chr(10)
+           || 'WARC-Type: conversion' || chr(13) || chr(10)
+           || 'WARC-Record-ID: <urn:h60:'
+           || {H.h60_sql(_graph_url_sql('doc_id') + " || '#wet'")}::VARCHAR
+           || '>' || chr(13) || chr(10)
+           || 'WARC-Date: 2026-01-01T00:00:00Z' || chr(13) || chr(10)
+           || 'WARC-Refers-To: <urn:h60:'
+           || {H.h60_sql(_graph_url_sql('doc_id'))}::VARCHAR || '>' || chr(13) || chr(10)
+           || 'WARC-Target-URI: ' || {_graph_url_sql('doc_id')} || chr(13) || chr(10)
+           || 'Content-Type: text/plain' || chr(13) || chr(10)
+           || 'Content-Length: ' || strlen(coalesce(text, ''))::VARCHAR
+           || chr(13) || chr(10) || chr(13) || chr(10)
+           || coalesce(text, '') || chr(13) || chr(10) || chr(13) || chr(10) AS wet
+    FROM documents
+    """,
+)
+def q_wet_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sinks import wet_format
+
+    d = _t(spark, sf_dir, "documents")
+    pages = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        _graph_url(F.col("doc_id").cast("long")).alias("url"),
+        F.col("text"),
+    )
+    return wet_format(pages, url_col="url", text_col="text").select(
+        "doc_id", "url", "content_length", F.col("warc").alias("wet"),
+    )
+
+
+# --------------------------------------------------------------------------- #
 # S-tier + freshness: sitemap lastmod vs fetch log — the reopen set
 # (operators.sitemap.stale_from_sitemap feeds CrawlEngine.reopen).
 # Sitemap XML and the fetch log are both synthesized from documents;

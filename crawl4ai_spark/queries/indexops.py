@@ -227,3 +227,67 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("rank", F.row_number().over(w)).select(
         "rank", "pair", "n"
     )
+
+
+# --------------------------------------------------------------------------- #
+# Tokenizer vocabulary coverage / OOV-rate analytics — the sizing input
+# for the BPE trainer (operators/bpe.py): given a candidate vocab (the
+# top-K corpus words by frequency, lexicographic tie-break — the same
+# "most frequent first" greedy that word-level tokenizers and BPE's
+# base-vocab selection use), what fraction of each document's tokens
+# falls outside it? Corpus-scale posture: the vocab is a K-row
+# TakeOrderedAndProject (per-partition heads, never a global sort)
+# broadcast into a left join; per-doc counts fold map-side. The
+# "train the tokenizer on a sample, measure OOV on the corpus" loop is
+# exactly this query pointed at two tables.
+# --------------------------------------------------------------------------- #
+VOCAB_K = 16
+
+
+@query(
+    "vocab_coverage",
+    f"""
+    WITH toks AS (
+        SELECT doc_id::BIGINT AS doc_id, u.w AS w
+        FROM documents, unnest({tokens_sql('text')}) AS u(w)
+    ),
+    vocab AS (
+        SELECT w FROM (
+            SELECT w, count(*)::BIGINT AS n FROM toks GROUP BY 1
+            ORDER BY n DESC, w LIMIT {VOCAB_K}
+        )
+    )
+    SELECT t.doc_id,
+           count(*)::BIGINT AS n_tokens,
+           sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_oov,
+           round(sum(CASE WHEN v.w IS NULL THEN 1 ELSE 0 END)::DOUBLE
+                 / count(*)::DOUBLE, 9) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON t.w = v.w
+    GROUP BY 1
+    """,
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        F.explode(tokens("text")).alias("w"),
+    )
+    vocab = (
+        toks.groupBy("w").agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "w").limit(VOCAB_K)
+        .select("w", F.lit(True).alias("in_vocab"))
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+             .alias("n_oov"),
+        )
+    )
+    return per_doc.select(
+        "doc_id", "n_tokens", "n_oov",
+        F.round(F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"), 9)
+         .alias("oov_rate"),
+    )

@@ -1520,3 +1520,186 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.log(u) / w, 9).alias("es_key"),
     )
     return keyed.orderBy(F.desc("es_key"), "doc_id").limit(WS_K)
+
+
+# --------------------------------------------------------------------------- #
+# Interpolated Kneser-Ney bigram LM counting kernel (Kneser & Ney
+# ICASSP'95; Chen & Goodman '98 interpolated form) — the trainer leg of
+# the CCNet perplexity gate: perplexity_bucket SCORES documents with a
+# hashed LM; this produces the smoothed model from the corpus itself
+# (CCNet trains KenLM 5-grams on Wikipedia — same counting shapes, here
+# at order 2 so the full model is oracle-checkable).
+#
+#   p_kn(w2|w1) = (c(w1 w2) - D)/c(w1 .) + D * N1+(w1 .)/c(w1 .) * N1+(. w2)/B
+#
+# with discount D = 0.75, N1+(w1 .) = distinct continuations of w1,
+# N1+(. w2) = distinct left contexts of w2 (the Kneser-Ney continuation
+# count — "how many contexts does w2 complete", not raw frequency), and
+# B = distinct bigram types. Scale shape: one explode + three map-side-
+# combined groupBys on slim (word, word) keys + a 1-row broadcast for B
+# — no windows, no collect. Vocabulary-sized output at any corpus size
+# (Heaps' law), exactly like the BPE trainer's (word, freq) posture.
+# Float discipline: both engines evaluate the identical expression
+# shape left-to-right on doubles, rounded to 9 decimals.
+# --------------------------------------------------------------------------- #
+KN_D = 0.75
+
+
+@query(
+    "kn_bigram_lm",
+    f"""
+    WITH grams AS (
+        SELECT g.g AS gram
+        FROM documents,
+             unnest({H.shingles_sql(T.tokens_sql('text'), 2)}) AS g(g)
+    ),
+    bigrams AS (
+        SELECT split_part(gram, ' ', 1) AS w1,
+               split_part(gram, ' ', 2) AS w2,
+               count(*)::BIGINT AS c
+        FROM grams GROUP BY 1, 2
+    ),
+    lefts AS (
+        SELECT w1, sum(c)::BIGINT AS tot, count(*)::BIGINT AS n1f
+        FROM bigrams GROUP BY 1
+    ),
+    rights AS (
+        SELECT w2, count(*)::BIGINT AS n1b FROM bigrams GROUP BY 1
+    ),
+    total AS (
+        SELECT count(*)::BIGINT AS b FROM bigrams
+    )
+    SELECT bg.w1, bg.w2, bg.c,
+           l.tot AS c_w1, l.n1f AS n1plus_fwd, r.n1b AS n1plus_back,
+           total.b AS n_bigram_types,
+           round((bg.c::DOUBLE - {KN_D}) / l.tot::DOUBLE
+                 + {KN_D} * l.n1f::DOUBLE / l.tot::DOUBLE
+                   * (r.n1b::DOUBLE / total.b::DOUBLE), 9) AS p_kn
+    FROM bigrams bg
+    JOIN lefts l USING (w1)
+    JOIN rights r USING (w2)
+    CROSS JOIN total
+    """,
+)
+def q_kn_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    grams = d.select(
+        F.explode(H.shingles(T.tokens("text"), 2)).alias("gram"))
+    bigrams = grams.select(
+        F.split_part(F.col("gram"), F.lit(" "), F.lit(1)).alias("w1"),
+        F.split_part(F.col("gram"), F.lit(" "), F.lit(2)).alias("w2"),
+    ).groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    lefts = bigrams.groupBy("w1").agg(
+        F.sum("c").alias("c_w1"), F.count("*").alias("n1plus_fwd"))
+    rights = bigrams.groupBy("w2").agg(F.count("*").alias("n1plus_back"))
+    total = bigrams.agg(F.count("*").alias("n_bigram_types"))
+    joined = (
+        bigrams.join(lefts, "w1").join(rights, "w2")
+        .crossJoin(F.broadcast(total))
+    )
+    d_ = F.lit(KN_D)
+    p = (
+        (F.col("c").cast("double") - d_) / F.col("c_w1").cast("double")
+        + d_ * F.col("n1plus_fwd").cast("double") / F.col("c_w1").cast("double")
+        * (F.col("n1plus_back").cast("double") / F.col("n_bigram_types").cast("double"))
+    )
+    return joined.select(
+        "w1", "w2", "c", "c_w1", "n1plus_fwd", "n1plus_back",
+        "n_bigram_types", F.round(p, 9).alias("p_kn"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# License detection — the provenance gate a training-data pipeline runs
+# before anything else keeps a page: rel="license" / Creative-Commons
+# href markers (the machine-readable channel ccREL defines and CC
+# license chooser emits) and the "all rights reserved" text claim.
+# train_ok is the conservative policy: permissive licenses only (BY,
+# BY-SA, CC0/public domain); NC/ND restrict reuse and an explicit
+# rights reservation or NO marker defaults to not-ok. A deterministic
+# footer is synthesized per doc_id (the fixture-synthesis pattern of
+# feedops/meta_robots); detection is one regexp_extract + substring
+# tests in the scan projection — scale-free.
+# --------------------------------------------------------------------------- #
+_LIC_FOOTER_SQL = """
+    (CASE doc_id % 9
+     WHEN 0 THEN '<footer><a rel="license" href="https://creativecommons.org/licenses/by/4.0/">CC BY 4.0</a></footer>'
+     WHEN 1 THEN '<footer><a rel="license" href="https://creativecommons.org/licenses/by-sa/4.0/">CC BY-SA 4.0</a></footer>'
+     WHEN 2 THEN '<footer><a rel="license" href="https://creativecommons.org/licenses/by-nc/4.0/">CC BY-NC 4.0</a></footer>'
+     WHEN 3 THEN '<footer><a rel="license" href="https://creativecommons.org/licenses/by-nd/4.0/">CC BY-ND</a></footer>'
+     WHEN 4 THEN '<footer><a rel="license" href="http://creativecommons.org/licenses/by-nc-sa/3.0/">some rights</a></footer>'
+     WHEN 5 THEN '<footer><a rel="license" href="https://creativecommons.org/publicdomain/zero/1.0/">CC0</a></footer>'
+     WHEN 6 THEN '<footer><p>&copy; 2026 Example. All Rights Reserved.</p></footer>'
+     ELSE '<footer><p>about | contact</p></footer>' END)
+"""
+
+
+def _lic_footer(i: F.Column) -> F.Column:
+    cases = {
+        0: '<footer><a rel="license" href="https://creativecommons.org/licenses/by/4.0/">CC BY 4.0</a></footer>',
+        1: '<footer><a rel="license" href="https://creativecommons.org/licenses/by-sa/4.0/">CC BY-SA 4.0</a></footer>',
+        2: '<footer><a rel="license" href="https://creativecommons.org/licenses/by-nc/4.0/">CC BY-NC 4.0</a></footer>',
+        3: '<footer><a rel="license" href="https://creativecommons.org/licenses/by-nd/4.0/">CC BY-ND</a></footer>',
+        4: '<footer><a rel="license" href="http://creativecommons.org/licenses/by-nc-sa/3.0/">some rights</a></footer>',
+        5: '<footer><a rel="license" href="https://creativecommons.org/publicdomain/zero/1.0/">CC0</a></footer>',
+        6: '<footer><p>&copy; 2026 Example. All Rights Reserved.</p></footer>',
+    }
+    expr = F.lit("<footer><p>about | contact</p></footer>")
+    for k, v in cases.items():
+        expr = F.when(F.pmod(i, F.lit(9)) == k, F.lit(v)).otherwise(expr)
+    return expr
+
+
+@query(
+    "license_detect",
+    f"""
+    WITH pages AS (
+        SELECT doc_id::BIGINT AS doc_id,
+               ('<html><body><p>' || coalesce(text, '') || '</p>'
+                || {_LIC_FOOTER_SQL} || '</body></html>') AS html
+        FROM documents
+    ),
+    det AS (
+        SELECT doc_id,
+               regexp_extract(html, 'creativecommons\\.org/licenses/([a-z-]+)/', 1) AS cc_variant,
+               (html LIKE '%creativecommons.org/publicdomain/zero/%') AS is_cc0,
+               (lower(html) LIKE '%all rights reserved%') AS is_arr
+        FROM pages
+    )
+    SELECT doc_id,
+           CASE WHEN is_cc0 THEN 'cc0'
+                WHEN cc_variant <> '' THEN 'cc-' || cc_variant
+                WHEN is_arr THEN 'all-rights-reserved'
+                ELSE 'none' END AS license,
+           CASE WHEN is_cc0 THEN TRUE
+                WHEN cc_variant IN ('by', 'by-sa') THEN TRUE
+                ELSE FALSE END AS train_ok
+    FROM det
+    """,
+)
+def q_license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    html = F.concat(
+        F.lit("<html><body><p>"), F.coalesce(F.col("text"), F.lit("")),
+        F.lit("</p>"), _lic_footer(i), F.lit("</body></html>"),
+    )
+    det = d.select(
+        i.alias("doc_id"),
+        F.regexp_extract(html, r"creativecommons\.org/licenses/([a-z-]+)/", 1)
+         .alias("cc_variant"),
+        html.contains("creativecommons.org/publicdomain/zero/").alias("is_cc0"),
+        F.lower(html).contains("all rights reserved").alias("is_arr"),
+    )
+    lic = (
+        F.when(F.col("is_cc0"), F.lit("cc0"))
+        .when(F.col("cc_variant") != "", F.concat(F.lit("cc-"), F.col("cc_variant")))
+        .when(F.col("is_arr"), F.lit("all-rights-reserved"))
+        .otherwise(F.lit("none"))
+    )
+    ok = (
+        F.when(F.col("is_cc0"), F.lit(True))
+        .when(F.col("cc_variant").isin("by", "by-sa"), F.lit(True))
+        .otherwise(F.lit(False))
+    )
+    return det.select("doc_id", lic.alias("license"), ok.alias("train_ok"))

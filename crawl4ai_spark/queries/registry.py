@@ -160,6 +160,12 @@ _TAIL = [
     "feed_ingest",
     "feed_fresh",
     "nb_term_stats",
+    # round-4 session-11 additions, local-tier
+    "wet_export",
+    "kn_bigram_lm",
+    "vocab_coverage",
+    "license_detect",
+    "host_lang_profile",
 ]
 
 

@@ -1375,3 +1375,72 @@ def q_frontier_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((new_cnt.cast("double") / F.count("*")) < F.lit(NOVELTY_FLOOR))
         .alias("saturated"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# Per-host language profile — the steering signal for a multilingual
+# crawl (CCNet/OSCAR split their pipelines per language; a crawler with
+# per-language corpus targets allocates host budgets by what a host
+# actually serves). One hash groupBy on (host, lang) + a host-total
+# broadcast join; shares are integer-ratio-derived doubles rounded to
+# 9 (identical op sequence both engines); dominance is count-then-lang
+# deterministic (no window — a self-join on the per-host max keeps the
+# plan two hash aggs + two broadcast-size joins, scale-free in the
+# number of languages).
+# --------------------------------------------------------------------------- #
+LANG_N_HOSTS = 7
+
+
+@query(
+    "host_lang_profile",
+    f"""
+    WITH counts AS (
+        SELECT 'host' || (doc_id % {LANG_N_HOSTS})::VARCHAR || '.example.com' AS host,
+               lang, count(*)::BIGINT AS n_docs
+        FROM documents GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT host, sum(n_docs)::BIGINT AS host_docs,
+               max(n_docs)::BIGINT AS max_docs
+        FROM counts GROUP BY 1
+    ),
+    dom AS (
+        SELECT c.host, min(c.lang) AS dom_lang
+        FROM counts c JOIN totals t
+          ON c.host = t.host AND c.n_docs = t.max_docs
+        GROUP BY 1
+    )
+    SELECT c.host, c.lang, c.n_docs, t.host_docs,
+           round(c.n_docs::DOUBLE / t.host_docs::DOUBLE, 9) AS share,
+           (c.lang = d.dom_lang) AS is_dominant
+    FROM counts c
+    JOIN totals t ON c.host = t.host
+    JOIN dom d ON c.host = d.host
+    """,
+)
+def q_host_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    host = F.concat(
+        F.lit("host"),
+        F.pmod(F.col("doc_id").cast("long"), F.lit(LANG_N_HOSTS)).cast("string"),
+        F.lit(".example.com"),
+    )
+    counts = d.select(host.alias("host"), "lang").groupBy("host", "lang").agg(
+        F.count("*").alias("n_docs"))
+    totals = counts.groupBy("host").agg(
+        F.sum("n_docs").alias("host_docs"), F.max("n_docs").alias("max_docs"))
+    dom = (
+        counts.join(totals, "host")
+        .where(F.col("n_docs") == F.col("max_docs"))
+        .groupBy("host").agg(F.min("lang").alias("dom_lang"))
+    )
+    return (
+        counts.join(totals.select("host", "host_docs"), "host")
+        .join(dom, "host")
+        .select(
+            "host", "lang", "n_docs", "host_docs",
+            F.round(F.col("n_docs").cast("double") / F.col("host_docs").cast("double"), 9)
+             .alias("share"),
+            (F.col("lang") == F.col("dom_lang")).alias("is_dominant"),
+        )
+    )

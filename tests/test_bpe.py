@@ -164,3 +164,26 @@ def test_property_train_matches_reference(spark, words, n_merges):
     assert merges == ref_merges
     got = {r["word"]: tuple(r["syms"]) for r in out.collect()}
     assert got == ref_words
+
+
+def test_vocab_coverage_oov_accounting(spark):
+    """vocab_coverage vs a pure-Python recompute: the top-K vocab is
+    frequency-then-lexicographic deterministic and per-doc OOV counts
+    match exactly (the sizing loop a tokenizer trainer runs)."""
+    from collections import Counter
+
+    from crawl4ai_spark.queries.indexops import VOCAB_K, q_vocab_coverage
+
+    sf = "/root/testdata/sf0.001"
+    docs = {r.doc_id: (r.text or "").split()
+            for r in spark.read.parquet(f"{sf}/documents.parquet").collect()}
+    freq = Counter(w for ws in docs.values() for w in ws)
+    vocab = {w for w, _ in sorted(freq.items(),
+                                  key=lambda kv: (-kv[1], kv[0]))[:VOCAB_K]}
+    rows = {r.doc_id: r for r in q_vocab_coverage(spark, sf).collect()}
+    assert set(rows) == set(docs)
+    for i, ws in docs.items():
+        r = rows[i]
+        assert r.n_tokens == len(ws)
+        assert r.n_oov == sum(1 for w in ws if w not in vocab)
+        assert 0.0 <= r.oov_rate <= 1.0

@@ -572,3 +572,47 @@ def test_sample_weighted_es_semantics(spark):
     for r in rows:
         assert r.es_key <= 0.0
         assert r.w == 1 + len(docs[r.doc_id]) // WS_CHARS_PER_UNIT
+
+
+def test_kn_bigram_lm_is_proper_distribution(spark):
+    """Interpolated KN sanity: with the unseen-continuation mass added
+    back (D * N1+(w1 .)/c(w1 .) * sum_unseen N1+(. w2)/B), every
+    context w1's probabilities sum to exactly 1 — the smoothed model is
+    a proper distribution, not just per-row arithmetic. Also pins the
+    continuation identity sum_w2 N1+(. w2) == B."""
+    from crawl4ai_spark.queries.pipelineops import KN_D, q_kn_bigram_lm
+
+    rows = q_kn_bigram_lm(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    b = rows[0].n_bigram_types
+    n1b = {}                      # per-w2 continuation count (global)
+    by_w1 = {}
+    for r in rows:
+        n1b[r.w2] = r.n1plus_back
+        by_w1.setdefault(r.w1, []).append(r)
+    assert sum(n1b.values()) == b          # sum of N1+(. w2) == B
+    for w1, rs in by_w1.items():
+        tot, n1f = rs[0].c_w1, rs[0].n1plus_fwd
+        assert tot == sum(r.c for r in rs) and n1f == len(rs)
+        seen = {r.w2 for r in rs}
+        unseen_mass = sum(v for w2, v in n1b.items() if w2 not in seen)
+        full = sum(r.p_kn for r in rs) + KN_D * n1f / tot * (unseen_mass / b)
+        assert abs(full - 1.0) < 1e-6, (w1, full)
+
+
+def test_license_detect_classes(spark):
+    """The provenance gate maps each synthesized footer class to its
+    license label, and train_ok holds exactly for the permissive set
+    (BY, BY-SA, CC0) — NC/ND, rights reservations, and missing markers
+    are all excluded."""
+    from crawl4ai_spark.queries.pipelineops import q_license_detect
+
+    want = {0: "cc-by", 1: "cc-by-sa", 2: "cc-by-nc", 3: "cc-by-nd",
+            4: "cc-by-nc-sa", 5: "cc0", 6: "all-rights-reserved",
+            7: "none", 8: "none"}
+    ok = {"cc-by", "cc-by-sa", "cc0"}
+    rows = q_license_detect(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.license == want[r.doc_id % 9]
+        assert r.train_ok == (r.license in ok)

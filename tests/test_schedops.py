@@ -492,3 +492,23 @@ def test_ip_politeness_inputs_close_the_loop(spark, corpus_dir, tmp_path):
         per[(r.fetch_round, pymap.get(h, h))] += 1
     for (_, key), n in per.items():
         assert n <= bmap.get(key, 10**9), (key, n)
+
+
+def test_host_lang_profile_shares_and_dominance(spark):
+    """Per-host language mix: shares sum to 1 per host, every host has
+    at least one dominant row, dominance = max doc count with the
+    lexicographically-smallest language breaking ties."""
+    from crawl4ai_spark.queries.schedops import q_host_lang_profile
+
+    rows = q_host_lang_profile(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    hosts = {}
+    for r in rows:
+        hosts.setdefault(r.host, []).append(r)
+    for host, rs in hosts.items():
+        assert abs(sum(r.share for r in rs) - 1.0) < 1e-6
+        assert all(r.host_docs == sum(x.n_docs for x in rs) for r in rs)
+        top = max(r.n_docs for r in rs)
+        dom = min(r.lang for r in rs if r.n_docs == top)
+        for r in rs:
+            assert r.is_dominant == (r.lang == dom)

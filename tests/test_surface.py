@@ -242,6 +242,42 @@ class TestWarcSink:
         uris = {re.search(r"WARC-Target-URI: (\S+)", r).group(1) for r in records}
         assert uris == {u for u, _ in rows}
 
+    def test_wet_format_refers_to_and_roundtrip(self, spark):
+        """WET conversion records: WARC-Refers-To carries the SOURCE
+        capture's urn:h60 record id (the id warc_format mints for the
+        same URI), the conversion's own id is salted so the two never
+        collide, and the record parses back through parse_warc with
+        the extra header tolerated and the payload intact."""
+        import re
+
+        from crawl4ai_spark.operators.sinks import (
+            parse_warc, warc_format, wet_format)
+
+        rows = [("https://a.com/1", "extracted text"),
+                ("https://a.com/2", "héllo\r\n\r\nWARC/1.0 decoy")]
+        df = spark.createDataFrame(rows, "url string, text string")
+        src = {r.url: r.warc for r in
+               warc_format(df, payload_col="text").collect()}
+        wet = {r.url: r.warc for r in wet_format(df).collect()}
+        for url, _ in rows:
+            rec = wet[url]
+            assert rec.startswith("WARC/1.0\r\nWARC-Type: conversion\r\n")
+            src_id = re.search(r"WARC-Record-ID: (<urn:h60:\d+>)",
+                               src[url]).group(1)
+            own_id = re.search(r"WARC-Record-ID: (<urn:h60:\d+>)",
+                               rec).group(1)
+            assert f"WARC-Refers-To: {src_id}\r\n" in rec
+            assert own_id != src_id          # salted id never collides
+        # parse tolerates the extra header; decoy payload framed exactly
+        stream = spark.createDataFrame(
+            [("s0", "".join(wet[u] for u, _ in rows))],
+            "stream_id string, stream string")
+        recs = {r.url: r for r in parse_warc(stream).collect()}
+        assert recs["https://a.com/2"].payload == "héllo\r\n\r\nWARC/1.0 decoy"
+        assert all(r.warc_type == "conversion" for r in recs.values())
+        # default warc_format output is byte-identical with no refers_to
+        assert "WARC-Refers-To" not in src["https://a.com/1"]
+
     def test_parse_warc_length_respecting_roundtrip(self, spark, tmp_path):
         """S6b read path: parse(export(X)) == X even when payloads embed
         a full decoy record header and blank lines — a regex/split
