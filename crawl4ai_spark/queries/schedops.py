@@ -1444,3 +1444,123 @@ def q_host_lang_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("lang") == F.col("dom_lang")).alias("is_dominant"),
         )
     )
+
+
+# --------------------------------------------------------------------------- #
+# Engine-side trap mining + the one-call generation planner
+# --------------------------------------------------------------------------- #
+def trap_templates_from_frontier(frontier: DataFrame,
+                                 min_share: float = TRAP_MIN_SHARE,
+                                 min_params: int = TRAP_MIN_PARAMS,
+                                 min_urls: int = 1) -> DataFrame:
+    """Engine-side twin of ``crawl_traps``: mine (host, template) trap
+    classes from the engine's OWN frontier log (``eng.frontier_tbl
+    .read(spark)`` — url, host) instead of a synthesized corpus, using
+    the identical templating the engine's extraction-time trap filter
+    applies (hex runs ≥ 8 → '{h}' first, then digit runs → '{d}').
+    Output is the flagged rows only, shaped exactly for
+    ``CrawlEngine(trap_templates=...)`` — the mine → crawl feedback leg
+    beside yield/errors/novelty → budget.
+
+    Scale shape: template derivation is pure string exprs in the scan;
+    the distinct + groupBy shuffles carry one row per (host, template)
+    class (bounded by the template vocabulary, not URL count); the
+    host-share window runs over that class table."""
+    path = F.regexp_replace(F.col("url"), "^[a-z]+://[^/]*", "")
+    tpl = F.regexp_replace(
+        F.regexp_replace(path, r"[0-9a-f]{8,}", "{h}"), r"[0-9]+", "{d}")
+    urls = frontier.select("host", "url", tpl.alias("template")).distinct()
+    per_tpl = urls.groupBy("host", "template").agg(
+        F.countDistinct("url").alias("n_urls"))
+    n_params = (
+        F.length("template")
+        - F.length(F.replace(F.col("template"), F.lit("{"), F.lit("")))
+    ).cast("int")
+    w = Window.partitionBy("host")
+    return (
+        per_tpl.withColumn("n_params", n_params)
+        .withColumn("_share",
+                    F.col("n_urls").cast("double") / F.sum("n_urls").over(w))
+        .where((F.col("_share") >= F.lit(min_share))
+               & (F.col("n_params") >= F.lit(min_params))
+               & (F.col("n_urls") >= F.lit(min_urls)))
+        .select("host", "template")
+    )
+
+
+def plan_next_generation(pages: DataFrame, frontier: DataFrame, cfg=None, *,
+                         total_budget: int = TOTAL_BUDGET,
+                         budget_min: int = BUDGET_MIN,
+                         budget_max: int = BUDGET_MAX,
+                         err_cap_pct: int = 80,
+                         novelty_floor_pct: int = 20,
+                         rank: str | None = "opic",
+                         mine_traps: bool = True,
+                         trap_min_urls: int = 1) -> dict:
+    """The generation planner: ONE call from generation N's outputs to
+    generation N+1's ``CrawlEngine`` inputs, composing every control
+    leg this engine closes individually:
+
+    - ``host_budgets``: yield → errors → novelty chained (a host's
+      grant is its yield-proportional share, decayed by its transient
+      rate, decayed again by frontier saturation — each leg's output
+      is the next leg's base, so the composed budget is monotonically
+      ≤ the yield-only grant and ≥ 1).
+    - ``url_scores``: the observed outlink graph (fetched pages' link
+      spans) ranked by OPIC (Abiteboul WWW'03 — the importance measure
+      built for crawling; ``rank="pagerank"`` swaps the estimator,
+      ``rank=None`` skips scoring) and normalized into the engine's
+      [0, 1] scorer scale by ``linkgraph.scores_from_rank``.
+    - ``trap_templates``: (host, template) classes mined from the
+      frontier log by ``trap_templates_from_frontier``.
+
+    Freshness is deliberately NOT composed here: reopen sets come from
+    the channel-specific producers (stale_from_sitemap, feed_fresh,
+    recrawl_schedule / poisson_revisit) because each needs evidence
+    this generation's tables don't carry alone (sitemaps, feeds, or a
+    multi-generation observation log) — pass their output to
+    ``eng.reopen`` beside these inputs.
+
+    Usage::
+
+        plan = plan_next_generation(g1.pages(),
+                                    g1.frontier_tbl.read(spark), cfg)
+        g2 = CrawlEngine(spark, docs, cfg2, state_dir,
+                         host_budgets=plan["host_budgets"],
+                         url_scores=plan["url_scores"],
+                         trap_templates=plan["trap_templates"])
+
+    Scale shape: every leg is host- or template-vocabulary bounded;
+    the graph rank is the OPIC/PageRank per-iteration join+agg over
+    the observed edge list; nothing here touches blob payloads."""
+    from ..operators.linkgraph import opic, pagerank, scores_from_rank
+
+    by_yield = host_budgets_from_yield(
+        pages, total_budget=total_budget,
+        budget_min=budget_min, budget_max=budget_max)
+    by_err = host_budgets_from_errors(
+        pages, by_yield.select("host", "budget"), err_cap_pct=err_cap_pct)
+    budgets = host_budgets_from_novelty(
+        pages, frontier, by_err.select("host", "budget"),
+        floor_pct=novelty_floor_pct, cfg=cfg).select("host", "budget")
+
+    scores = None
+    if rank is not None:
+        edges = (
+            pages.where(F.col("status") == "fetched")
+            .select(F.col("url").alias("src_url"),
+                    F.explode("spans").alias("_s"))
+            .where(F.col("_s.kind") == "link")
+            .select("src_url", F.col("_s.media_ref").alias("dst_url"))
+        )
+        if rank == "opic":
+            scores = scores_from_rank(opic(edges), col="importance")
+        elif rank == "pagerank":
+            scores = scores_from_rank(pagerank(edges), col="rank")
+        else:
+            raise ValueError(f"unknown rank estimator: {rank!r}")
+
+    traps = (trap_templates_from_frontier(frontier, min_urls=trap_min_urls)
+             if mine_traps else None)
+    return {"host_budgets": budgets, "url_scores": scores,
+            "trap_templates": traps}

@@ -512,3 +512,85 @@ def test_host_lang_profile_shares_and_dominance(spark):
         dom = min(r.lang for r in rs if r.n_docs == top)
         for r in rs:
             assert r.is_dominant == (r.lang == dom)
+
+
+def test_trap_templates_from_frontier_mines_the_log(spark):
+    """The engine-side miner flags exactly the parameter-rich dominant
+    template from a frontier log shaped like the engine's own: 12
+    calendar URLs (/cal/{d}/{d} — 2 params, 75% of the host) flag;
+    the article class (1 param) and the other host never do."""
+    rows = [("https://h0.example.com/cal/%d/%d" % (2000 + i % 3, 1 + i), "h0.example.com")
+            for i in range(12)]
+    rows += [("https://h0.example.com/article/%d" % i, "h0.example.com")
+             for i in range(4)]
+    rows += [("https://h1.example.com/about", "h1.example.com")]
+    fr = spark.createDataFrame(rows, "url string, host string")
+    got = {(r.host, r.template)
+           for r in S.trap_templates_from_frontier(fr).collect()}
+    assert got == {("h0.example.com", "/cal/{d}/{d}")}
+    # min_urls guard: demand more distinct URLs than the class has
+    assert S.trap_templates_from_frontier(fr, min_urls=13).count() == 0
+
+
+def test_plan_next_generation_composes_all_legs(spark, corpus_dir, tmp_path):
+    """The one-call planner: gen-1 crawl → plan → gen-2 engine inputs.
+    Budgets equal the hand-chained yield→errors→novelty legs, scores
+    equal scores_from_rank(opic(observed edges)), and a gen-2 crawl
+    driven by all three inputs respects the composed per-(host, round)
+    grant."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.config import CrawlConfig
+    from crawl4ai_spark.operators.frontier import CrawlEngine
+    from crawl4ai_spark.operators.linkgraph import opic, scores_from_rank
+    from tests.test_crawl import get_seeds
+
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    seeds = get_seeds(spark, corpus_dir)
+    cfg1 = CrawlConfig(seeds=seeds, strategy="bfs", max_depth=3,
+                       max_pages=40, respect_robots=False)
+    g1 = CrawlEngine(spark, docs, cfg1, str(tmp_path / "gen1"))
+    g1.run()
+    pages, frontier = g1.pages(), g1.frontier_tbl.read(spark)
+
+    plan = S.plan_next_generation(
+        pages, frontier, cfg1,
+        total_budget=6, budget_min=1, budget_max=2, trap_min_urls=2)
+
+    # budgets == the chained legs, computed by hand
+    by_yield = S.host_budgets_from_yield(pages, total_budget=6,
+                                         budget_min=1, budget_max=2)
+    by_err = S.host_budgets_from_errors(
+        pages, by_yield.select("host", "budget"))
+    want = {r.host: r.budget for r in S.host_budgets_from_novelty(
+        pages, frontier, by_err.select("host", "budget"),
+        cfg=cfg1).collect()}
+    got = {r.host: r.budget for r in plan["host_budgets"].collect()}
+    assert got == want and got
+    assert all(1 <= b <= 2 for b in got.values())
+
+    # scores == the OPIC adapter over the observed edge list
+    edges = (
+        pages.where(F.col("status") == "fetched")
+        .select(F.col("url").alias("src_url"), F.explode("spans").alias("s"))
+        .where(F.col("s.kind") == "link")
+        .select("src_url", F.col("s.media_ref").alias("dst_url"))
+    )
+    want_s = {r.url: r.score
+              for r in scores_from_rank(opic(edges), col="importance").collect()}
+    got_s = {r.url: r.score for r in plan["url_scores"].collect()}
+    assert got_s == want_s and got_s
+
+    # the composed inputs drive a real gen-2 crawl; the grant binds
+    cfg2 = CrawlConfig(seeds=seeds, strategy="bfs", max_depth=3,
+                       max_pages=40, politeness=True, respect_robots=False)
+    g2 = CrawlEngine(spark, docs, cfg2, str(tmp_path / "gen2"),
+                     host_budgets=plan["host_budgets"],
+                     url_scores=plan["url_scores"],
+                     trap_templates=plan["trap_templates"])
+    g2.run()
+    per: dict[tuple, int] = {}
+    for r in g2.pages().collect():
+        per[(r.fetch_round, r.host)] = per.get((r.fetch_round, r.host), 0) + 1
+    for (_, host), n in per.items():
+        assert n <= got.get(host, 10**9), (host, n)
