@@ -166,6 +166,7 @@ _TAIL = [
     "vocab_coverage",
     "license_detect",
     "host_lang_profile",
+    "wat_export",
 ]
 
 

@@ -722,3 +722,106 @@ def q_session_steps_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_links_visible"),
         (v == F.col("n")).alias("sess_done"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# WAT export (Common Crawl's metadata sidecar, completing the
+# WARC / WAT / WET interchange triple): a WARC/1.0 ``metadata`` record
+# per page whose JSON payload carries the envelope subset consumers
+# actually read — target URI, page title, and the ordered outlink list
+# (the input the CC link-graph / webgraph pipelines are built from).
+# WARC-Refers-To points at the source capture, the record id is salted
+# ('#wat'). Scale posture: the outlink array is built with array HOFs
+# (filter/transform on the span column — map-side, NO explode), the
+# JSON by string concat in the scan projection; double-quote/backslash
+# escaping on the title mirrors in both engines.
+# --------------------------------------------------------------------------- #
+from ..functions import hashing as _H  # noqa: E402 (tier-local import)
+
+_WAT_H60_OWN = _H.h60_sql("url || '#wat'")
+_WAT_H60_SRC = _H.h60_sql("url")
+
+
+@query(
+    "wat_export",
+    f"""
+    WITH {_SP_SQL},
+    perdoc AS (
+        SELECT doc_id,
+               coalesce(max(CASE WHEN g = 0 THEN gtext END), '') AS title,
+               coalesce(string_agg(CASE WHEN kind = 'link'
+                            THEN '{{"url":"' || ref || '"}}' END, ',' ORDER BY g), '') AS links_json,
+               count(*) FILTER (WHERE kind = 'link')::BIGINT AS n_links
+        FROM spans GROUP BY doc_id
+    ),
+    pages AS (
+        SELECT d.doc_id::BIGINT AS doc_id,
+               'https://host' || (d.doc_id % 7)::VARCHAR || '.example.com/p/'
+                   || d.doc_id::VARCHAR AS url,
+               coalesce(p.n_links, 0) AS n_links,
+               ('{{"Envelope":{{"WARC-Header-Metadata":{{"WARC-Target-URI":"'
+                || 'https://host' || (d.doc_id % 7)::VARCHAR || '.example.com/p/' || d.doc_id::VARCHAR
+                || '"}},"Payload-Metadata":{{"HTML-Metadata":{{"Head":{{"Title":"'
+                || replace(replace(coalesce(p.title, ''), '\\', '\\\\'), '"', '\\"')
+                || '"}},"Links":[' || coalesce(p.links_json, '') || ']}}}}}}}}') AS payload
+        FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+    ),
+    recs AS (
+        SELECT doc_id, url, n_links, payload,
+               {{RID_OWN}} AS rid_own, {{RID_SRC}} AS rid_src
+        FROM pages
+    )
+    SELECT doc_id, url, n_links,
+           strlen(payload)::BIGINT AS content_length,
+           'WARC/1.0' || chr(13) || chr(10)
+           || 'WARC-Type: metadata' || chr(13) || chr(10)
+           || 'WARC-Record-ID: <urn:h60:'
+           || rid_own::VARCHAR || '>' || chr(13) || chr(10)
+           || 'WARC-Date: 2026-01-01T00:00:00Z' || chr(13) || chr(10)
+           || 'WARC-Refers-To: <urn:h60:' || rid_src::VARCHAR || '>' || chr(13) || chr(10)
+           || 'WARC-Target-URI: ' || url || chr(13) || chr(10)
+           || 'Content-Type: application/json' || chr(13) || chr(10)
+           || 'Content-Length: ' || strlen(payload)::VARCHAR
+           || chr(13) || chr(10) || chr(13) || chr(10)
+           || payload || chr(13) || chr(10) || chr(13) || chr(10) AS wat
+    FROM recs
+    """.replace("{RID_OWN}", _WAT_H60_OWN).replace("{RID_SRC}", _WAT_H60_SRC),
+)
+def q_wat_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sinks import warc_format
+    from ..functions.hashing import h60
+
+    sd = _span_docs(spark, sf_dir)
+    url = F.concat(
+        F.lit("https://host"),
+        F.pmod(F.col("doc_id"), F.lit(7)).cast("string"),
+        F.lit(".example.com/p/"), F.col("doc_id").cast("string"),
+    )
+    first = F.get(F.col("spans"), 0)
+    title = F.coalesce(
+        F.when(first["kind"] == "heading", first["text"]), F.lit(""))
+    esc = F.replace(F.replace(title, F.lit("\\"), F.lit("\\\\")),
+                    F.lit('"'), F.lit('\\"'))
+    links = F.filter(F.col("spans"), lambda s: s.kind == "link")
+    links_json = F.concat_ws(
+        ",", F.transform(links, lambda s: F.concat(
+            F.lit('{"url":"'), s.media_ref, F.lit('"}'))))
+    payload = F.concat(
+        F.lit('{"Envelope":{"WARC-Header-Metadata":{"WARC-Target-URI":"'),
+        url,
+        F.lit('"},"Payload-Metadata":{"HTML-Metadata":{"Head":{"Title":"'),
+        esc, F.lit('"},"Links":['), links_json, F.lit("]}}}}"),
+    )
+    pages = sd.select(
+        F.col("doc_id"), url.alias("url"),
+        F.size(links).cast("long").alias("n_links"),
+        payload.alias("payload"),
+    )
+    src_id = F.concat(F.lit("<urn:h60:"), h60(F.col("url")).cast("string"),
+                      F.lit(">"))
+    return warc_format(
+        pages, url_col="url", payload_col="payload",
+        content_type="application/json", record_type="metadata",
+        refers_to=src_id, record_id_salt="#wat",
+    ).select("doc_id", "url", "n_links", "content_length",
+             F.col("warc").alias("wat"))

@@ -278,6 +278,39 @@ class TestWarcSink:
         # default warc_format output is byte-identical with no refers_to
         assert "WARC-Refers-To" not in src["https://a.com/1"]
 
+    def test_wat_export_json_and_roundtrip(self, spark):
+        """WAT metadata records: the payload is VALID JSON whose link
+        list matches the page's link spans in span order, the envelope
+        carries the target URI, and the full record stream parses back
+        through parse_warc (metadata type, refers-to tolerated)."""
+        import json
+
+        from crawl4ai_spark.operators.sinks import parse_warc
+        from crawl4ai_spark.queries.spansops import (_span_docs,
+                                                     q_wat_export)
+
+        sf = "/root/testdata/sf0.001"
+        rows = {r.doc_id: r for r in q_wat_export(spark, sf).collect()}
+        spans = {r.doc_id: r.spans for r in _span_docs(spark, sf).collect()}
+        assert set(rows) == set(spans)
+        for i, r in rows.items():
+            payload = r.wat.split("\r\n\r\n")[1]
+            doc = json.loads(payload)          # valid JSON, always
+            env = doc["Envelope"]
+            assert env["WARC-Header-Metadata"]["WARC-Target-URI"] == r.url
+            links = [l["url"] for l in
+                     env["Payload-Metadata"]["HTML-Metadata"]["Links"]]
+            want = [s.media_ref for s in spans[i] if s.kind == "link"]
+            assert links == want and r.n_links == len(want)
+        # the concatenated records survive the length-respecting parser
+        sample = [rows[i] for i in sorted(rows)[:5]]
+        stream = spark.createDataFrame(
+            [("s0", "".join(r.wat for r in sample))],
+            "stream_id string, stream string")
+        back = parse_warc(stream).collect()
+        assert [b.url for b in back] == [r.url for r in sample]
+        assert all(b.warc_type == "metadata" for b in back)
+
     def test_parse_warc_length_respecting_roundtrip(self, spark, tmp_path):
         """S6b read path: parse(export(X)) == X even when payloads embed
         a full decoy record header and blank lines — a regex/split
