@@ -192,3 +192,119 @@ def revisit_priors_from_sitemap(parsed: DataFrame) -> DataFrame:
         .groupBy("url")
         .agg(F.max("lambda_prior_per_h").alias("lambda_prior_per_h"))
     )
+
+
+# --------------------------------------------------------------------------- #
+# The PUBLISH side of the protocol: build urlset files from a URL table
+# --------------------------------------------------------------------------- #
+SITEMAP_MAX_URLS = 50_000   # sitemaps.org hard cap per urlset file
+SM_BUCKETS = 64             # two-level ranking sub-shards per host
+
+
+def _xml_escape(c: F.Column) -> F.Column:
+    """Minimal <loc> escaping — the inverse of _xml_unescape's core
+    (amp first on unescape means amp LAST here would double-escape;
+    escaping must do amp FIRST)."""
+    out = F.replace(c, F.lit("&"), F.lit("&amp;"))
+    out = F.replace(out, F.lit("<"), F.lit("&lt;"))
+    return F.replace(out, F.lit(">"), F.lit("&gt;"))
+
+
+def build_sitemaps(urls: DataFrame, host_col: str = "host",
+                   url_col: str = "url", lastmod_col: str | None = None,
+                   max_per_file: int = SITEMAP_MAX_URLS,
+                   buckets: int = SM_BUCKETS) -> DataFrame:
+    """sitemaps.org EXPORT — the inverse of ``parse_sitemaps``: render a
+    (host, url[, lastmod]) table into urlset XML files respecting the
+    protocol's hard 50,000-URLs-per-file cap. Returns (host, file_idx,
+    n_urls, xml); ``parse_sitemaps(build_sitemaps(t))`` recovers the
+    canonical URL set exactly (round-trip test).
+
+    The cap needs an exact per-host rank, and a mega-host must not
+    serialize one window task, so ranking is TWO-LEVEL under the total
+    order (bucket, url) — the seq_pack block trick applied to windows:
+    in-bucket ``row_number`` windows are bounded by a (host, bucket)
+    sub-shard, bucket offsets come from a per-host window over the
+    ≤``buckets``-row count table, and global rank = offset + in-bucket
+    rank. File assembly is the bounded collect pattern (≤
+    ``max_per_file`` entries per group by construction). Input is
+    assumed unique per (host, url) — dedupe upstream (the seen set /
+    pages log already is)."""
+    from ..functions.hashing import h60
+    from pyspark.sql import Window
+
+    h, u = F.col(host_col), F.col(url_col)
+    lastmod = (
+        F.when(F.col(lastmod_col).isNotNull(),
+               F.concat(F.lit("<lastmod>"), F.col(lastmod_col),
+                        F.lit("</lastmod>")))
+        .otherwise(F.lit(""))
+        if lastmod_col else F.lit("")
+    )
+    base = urls.select(
+        h.alias("host"), u.alias("url"),
+        F.pmod(h60(u), F.lit(buckets)).cast("int").alias("bkt"),
+        F.concat(F.lit("<url><loc>"), _xml_escape(u), F.lit("</loc>"),
+                 lastmod, F.lit("</url>")).alias("entry"),
+    )
+    in_rank = F.row_number().over(
+        Window.partitionBy("host", "bkt").orderBy("url"))
+    ranked = base.withColumn("in_rank", in_rank)
+    counts = base.groupBy("host", "bkt").agg(F.count("*").alias("n"))
+    off = F.coalesce(
+        F.sum("n").over(
+            Window.partitionBy("host").orderBy("bkt")
+            .rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0))
+    offsets = counts.withColumn("off", off).select("host", "bkt", "off")
+    files = (
+        ranked.join(offsets, ["host", "bkt"])
+        .withColumn("rank", F.col("off") + F.col("in_rank"))
+        .withColumn("file_idx",
+                    F.floor((F.col("rank") - 1) / max_per_file).cast("int"))
+    )
+    body = F.array_join(
+        F.transform(F.array_sort(F.collect_list(F.struct("rank", "entry"))),
+                    lambda s: s.entry), "")
+    return (
+        files.groupBy("host", "file_idx")
+        .agg(F.count("*").cast("long").alias("n_urls"), body.alias("xml"))
+        .select(
+            "host", "file_idx", "n_urls",
+            F.concat(
+                F.lit('<?xml version="1.0" encoding="UTF-8"?>'
+                      '<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+                F.col("xml"), F.lit("</urlset>"),
+            ).alias("xml"),
+        )
+    )
+
+
+def build_sitemap_index(files: DataFrame,
+                        path_tpl: str = "/sitemap-{i}.xml") -> DataFrame:
+    """The sitemapindex companion: one index XML per host listing its
+    urlset file URLs (``https://<host><path_tpl>`` with ``{i}`` =
+    file_idx) — what robots.txt's ``Sitemap:`` line points at when a
+    site exceeds one file. Bounded by files-per-host (n_urls/50k)."""
+    pre, _, post = path_tpl.partition("{i}")
+    loc = F.concat(F.lit("https://"), F.col("host"), F.lit(pre),
+                   F.col("file_idx").cast("string"), F.lit(post))
+    entry = F.concat(F.lit("<sitemap><loc>"), _xml_escape(loc),
+                     F.lit("</loc></sitemap>"))
+    body = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("file_idx", "e"))),
+            lambda s: s.e), "")
+    return (
+        files.select("host", "file_idx", entry.alias("e"))
+        .groupBy("host")
+        .agg(F.count("*").cast("long").alias("n_files"), body.alias("xml"))
+        .select(
+            "host", "n_files",
+            F.concat(
+                F.lit('<?xml version="1.0" encoding="UTF-8"?>'
+                      '<sitemapindex xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'),
+                F.col("xml"), F.lit("</sitemapindex>"),
+            ).alias("xml"),
+        )
+    )

@@ -2396,3 +2396,64 @@ def q_cloaking_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         jac.alias("jaccard"),
         (jac < F.lit(CLOAK_JACCARD)).alias("is_cloaked"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# S-tier publish side: sitemap GENERATION (operators/sitemap.py
+# build_sitemaps) — urlset files under the protocol's per-file URL cap.
+# The Spark side runs the real two-level (bucket offsets + in-bucket
+# rank) machinery that keeps mega-host windows bounded; the oracle
+# ranks the straightforward way (one global row_number per host under
+# the same (bucket, url) total order), so hash equality PROVES the
+# two-level rank is the global rank. Cap shrunk to 40 here so the
+# fixture's ~70-URL hosts actually shard.
+# --------------------------------------------------------------------------- #
+SMG_CAP = 40
+
+
+@query(
+    "sitemap_generate",
+    f"""
+    WITH urls AS (
+        SELECT 'host' || (doc_id % {N_HOSTS})::VARCHAR || '.example.com' AS host,
+               {_graph_url_sql('doc_id')} AS url,
+               '2026-01-' || lpad(((doc_id % 28) + 1)::VARCHAR, 2, '0') AS lastmod
+        FROM documents
+    ),
+    ranked AS (
+        SELECT host, url, lastmod,
+               {H.h60_sql('url')} % 64 AS bkt,
+               row_number() OVER (PARTITION BY host
+                                  ORDER BY {H.h60_sql('url')} % 64, url) AS rnk
+        FROM urls
+    ),
+    files AS (
+        SELECT host, ((rnk - 1) // {SMG_CAP})::INT AS file_idx,
+               count(*)::BIGINT AS n_urls,
+               string_agg(
+                   '<url><loc>'
+                   || replace(replace(replace(url, '&', '&amp;'), '<', '&lt;'), '>', '&gt;')
+                   || '</loc><lastmod>' || lastmod || '</lastmod></url>',
+                   '' ORDER BY rnk) AS body
+        FROM ranked GROUP BY 1, 2
+    )
+    SELECT host, file_idx, n_urls,
+           '<?xml version="1.0" encoding="UTF-8"?><urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">'
+           || body || '</urlset>' AS xml
+    FROM files
+    """,
+)
+def q_sitemap_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sitemap import build_sitemaps
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    urls = d.select(
+        F.concat(F.lit("host"), F.pmod(i, F.lit(N_HOSTS)).cast("string"),
+                 F.lit(".example.com")).alias("host"),
+        _graph_url(i).alias("url"),
+        F.concat(F.lit("2026-01-"),
+                 F.lpad((F.pmod(i, F.lit(28)) + 1).cast("string"), 2, "0"))
+         .alias("lastmod"),
+    )
+    return build_sitemaps(urls, lastmod_col="lastmod", max_per_file=SMG_CAP)

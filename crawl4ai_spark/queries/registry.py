@@ -167,6 +167,7 @@ _TAIL = [
     "license_detect",
     "host_lang_profile",
     "wat_export",
+    "sitemap_generate",
 ]
 
 

@@ -246,3 +246,54 @@ def test_changefreq_parse_and_priors(spark):
     assert priors["https://a.com/slow"] == CHANGEFREQ_LAMBDA_H["monthly"]
     assert "https://a.com/junk" not in priors   # outside the enum: no prior
     assert "https://a.com/none" not in priors
+
+
+def test_build_sitemaps_roundtrip_and_cap(spark):
+    """The publish side: build_sitemaps respects the per-file URL cap
+    EXACTLY (every file ≤ cap, all but the last per host full),
+    parse_sitemaps recovers the canonical URL set and lastmod values
+    bit-for-bit (round-trip identity incl. &-escaping), and the
+    sitemapindex lists every generated file once."""
+    from pyspark.sql import functions as F
+
+    from crawl4ai_spark.functions.urls import canonicalize_py
+    from crawl4ai_spark.operators.sitemap import (build_sitemap_index,
+                                                  build_sitemaps,
+                                                  parse_sitemaps)
+
+    rows = [("h0.example.com", f"https://h0.example.com/p/{i}?b=2&a=1",
+             f"2026-02-{(i % 27) + 1:02d}") for i in range(23)]
+    rows += [("h1.example.com", f"https://h1.example.com/x/{i}", None)
+             for i in range(5)]
+    urls = spark.createDataFrame(rows, "host string, url string, lastmod string")
+    files = build_sitemaps(urls, lastmod_col="lastmod", max_per_file=10)
+    got_files = files.collect()
+    # cap holds exactly; per host, every file but the highest-idx is full
+    per_host: dict[str, list] = {}
+    for f in got_files:
+        assert 1 <= f.n_urls <= 10
+        per_host.setdefault(f.host, []).append(f)
+    assert {h: len(fs) for h, fs in per_host.items()} == {
+        "h0.example.com": 3, "h1.example.com": 1}
+    for fs in per_host.values():
+        last = max(f.file_idx for f in fs)
+        assert all(f.n_urls == 10 for f in fs if f.file_idx != last)
+    # round-trip: parse recovers every (host, canonical url, lastmod)
+    back = parse_sitemaps(
+        files.select("host", "xml"), host_col="host", xml_col="xml")
+    got = {(r.src_host, r.url, r.lastmod) for r in back.collect()}
+    want = {(h, canonicalize_py(u), lm) for h, u, lm in rows}
+    assert got == want and all(r.kind == "url" for r in back.collect())
+    # the index lists each file exactly once, in file order
+    idx = {r.host: r for r in build_sitemap_index(files).collect()}
+    assert idx["h0.example.com"].n_files == 3
+    for h, fs in per_host.items():
+        for f in fs:
+            assert f"<sitemap><loc>https://{h}/sitemap-{f.file_idx}.xml</loc></sitemap>" \
+                in idx[h].xml
+    # an index parses as kind='sitemap' entries pointing at the files
+    pidx = parse_sitemaps(
+        build_sitemap_index(files).select("host", "xml"),
+        host_col="host", xml_col="xml").collect()
+    assert all(r.kind == "sitemap" for r in pidx)
+    assert sum(1 for r in pidx if r.src_host == "h0.example.com") == 3
