@@ -182,3 +182,40 @@ def apply_bpe(words: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
         .withColumn("syms", F.filter(F.split(F.col("repr"), SEP), lambda x: x != ""))
         .drop("repr")
     )
+
+
+def encode_corpus(docs: DataFrame, merges: list[tuple[str, str]],
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Tokenize a document corpus with a learned merge list — the
+    APPLY side of the trainer, and the step that turns crawled pages
+    into training-ready token sequences (feed the output to
+    ``seq_pack``'s token budgeting).
+
+    The corpus is never re-encoded row by row: encoding a word depends
+    only on the word, so the DISTINCT word table (Heaps' law: ~10^8-9
+    rows at 100 TB, vs ~10^13 token occurrences) is encoded once via
+    ``apply_bpe``'s vectorized regexp fold and joined back on the word
+    key — the same move the trainer itself lives on. Positions ride the
+    explode so per-document token order is exact; reassembly is the
+    bounded collect pattern (one document's tokens).
+
+    Returns (id_col, n_words, n_tokens, tokens: array<string>) — token
+    IDs are one broadcast vocab join away and deliberately not minted
+    here (the vocab table owns the id space)."""
+    w = F.col("_w")
+    toks = docs.select(
+        F.col(id_col), F.posexplode(tokens(text_col)).alias("_pos", "_w"))
+    words = apply_bpe(toks.select(w.alias("word")).distinct(), merges)
+    joined = toks.join(words, toks["_w"] == words["word"]).select(
+        id_col, "_pos", "syms")
+    per_doc = joined.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("_pos", "syms"))),
+                lambda s: s.syms)).alias("tokens"),
+    )
+    return per_doc.select(
+        id_col, "n_words",
+        F.size("tokens").cast("long").alias("n_tokens"), "tokens")

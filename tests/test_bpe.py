@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from crawl4ai_spark.operators.bpe import (
     apply_bpe,
+    encode_corpus,
     train_bpe,
     word_freqs,
 )
@@ -187,3 +188,24 @@ def test_vocab_coverage_oov_accounting(spark):
         assert r.n_tokens == len(ws)
         assert r.n_oov == sum(1 for w in ws if w not in vocab)
         assert 0.0 <= r.oov_rate <= 1.0
+
+
+def test_encode_corpus_matches_reference_in_order(spark):
+    """Corpus encoding via the distinct-word join: every document's
+    token sequence equals the pure-Python per-word encode flattened in
+    word order, across repeated words, multi-space gaps, and docs
+    sharing words (the join fan-out must not reorder or drop)."""
+    merges, _ = ref_train(CORPUS, 8)
+    docs = [
+        (0, "low lower lowest"),
+        (1, "slow  slow glow"),          # repeated word + double space
+        (2, "newer widest low slow"),
+        (3, "glow"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {r.doc_id: (r.n_words, r.n_tokens, list(r.tokens))
+           for r in encode_corpus(df, merges).collect()}
+    for i, text in docs:
+        words = text.split()
+        want = [s for w in words for s in ref_encode(w, merges)]
+        assert got[i] == (len(words), len(want), want), i
