@@ -1564,3 +1564,45 @@ def plan_next_generation(pages: DataFrame, frontier: DataFrame, cfg=None, *,
              if mine_traps else None)
     return {"host_budgets": budgets, "url_scores": scores,
             "trap_templates": traps}
+
+
+def host_budgets_from_lang(profile: DataFrame, targets: dict[str, int],
+                           total_budget: int = TOTAL_BUDGET,
+                           budget_min: int = BUDGET_MIN,
+                           budget_max: int = BUDGET_MAX) -> DataFrame:
+    """Language-targeted budgets — the FIFTH control leg (yield,
+    authority, errors, growth, and now LANGUAGE): a multilingual
+    pipeline with per-language corpus targets (the mix_weights /
+    CCNet-split world) should spend its politeness grants on the hosts
+    that actually serve the under-collected languages. ``profile`` is
+    ``host_lang_profile``'s shape (host, lang, share); ``targets`` maps
+    lang → integer weight (e.g. the mix_weights sample-rate
+    percentages). A host's relevance is Σ share·weight over its
+    languages, kept in FIXED POINT (share round-scaled to 1e9 before
+    the integer multiply) so the fold is associative and order-free;
+    budget = clamp(total · host_rel ÷ Σ rel), integer floor division,
+    zero-total guarded like host_budget_alloc. Hosts serving no target
+    language decay to ``budget_min``, not zero — politeness budgets
+    gate pacing, never reachability.
+
+    One host-keyed hash agg + a 1-row broadcast — host-vocabulary
+    bounded at any corpus scale."""
+    if not targets:
+        raise ValueError("targets must map at least one lang to a weight")
+    w = F.lit(0).cast("long")
+    for lang, weight in sorted(targets.items()):
+        w = F.when(F.col("lang") == lang, F.lit(int(weight)).cast("long")).otherwise(w)
+    rel = (F.round(F.col("share") * 1_000_000_000).cast("long") * w)
+    per_host = profile.select("host", rel.alias("_rel")).groupBy("host").agg(
+        F.sum("_rel").alias("rel"))
+    tot = per_host.agg(F.greatest(F.lit(1).cast("long"),
+                                  F.sum("rel")).alias("total_rel"))
+    budget = F.greatest(
+        F.lit(budget_min).cast("long"),
+        F.least(F.lit(budget_max).cast("long"),
+                F.expr(f"({total_budget} * rel) div total_rel")),
+    ).cast("int")
+    return (
+        per_host.crossJoin(F.broadcast(tot))
+        .select("host", "rel", budget.alias("budget"))
+    )

@@ -594,3 +594,33 @@ def test_plan_next_generation_composes_all_legs(spark, corpus_dir, tmp_path):
         per[(r.fetch_round, r.host)] = per.get((r.fetch_round, r.host), 0) + 1
     for (_, host), n in per.items():
         assert n <= got.get(host, 10**9), (host, n)
+
+
+def test_host_budgets_from_lang_steers_toward_targets(spark):
+    """The fifth control leg: with an es-only target, the es-serving
+    host takes the grant share, the en-only host decays to the floor
+    (never zero), clamps hold, and an empty target map raises."""
+    import pytest
+
+    prof = spark.createDataFrame(
+        [("a.com", "es", 0.8), ("a.com", "en", 0.2),
+         ("b.com", "en", 1.0),
+         ("c.com", "es", 0.5), ("c.com", "fr", 0.5)],
+        "host string, lang string, share double")
+    out = {r.host: r for r in S.host_budgets_from_lang(
+        prof, {"es": 100}, total_budget=100, budget_min=2,
+        budget_max=70).collect()}
+    assert set(out) == {"a.com", "b.com", "c.com"}
+    assert out["b.com"].budget == 2                    # floor, not zero
+    assert out["a.com"].budget > out["c.com"].budget   # 0.8 vs 0.5 share
+    assert all(2 <= r.budget <= 70 for r in out.values())
+    # fixed-point relevance is exact: 0.8e9*100 vs 0.5e9*100
+    assert out["a.com"].rel == 80_000_000_000
+    assert out["c.com"].rel == 50_000_000_000
+    with pytest.raises(ValueError):
+        S.host_budgets_from_lang(prof, {})
+    # all-zero-weight targets: guard yields floors, no div-by-zero
+    zero = {r.host: r.budget for r in S.host_budgets_from_lang(
+        prof, {"zz": 1}, total_budget=100, budget_min=2,
+        budget_max=70).collect()}
+    assert set(zero.values()) == {2}
