@@ -291,3 +291,251 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n_oov").cast("double") / F.col("n_tokens").cast("double"), 9)
          .alias("oov_rate"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# index_phrase — positional-postings phrase retrieval. The capability a
+# term-only index can't express: "fast scan" as an exact adjacent-token
+# phrase, answered the way a positional index answers it — intersect the
+# two terms' postings streams on (doc, position+1). Scale shape: the
+# term filter lands in the scan projection (only query-term rows survive
+# the map side, ~doc_freq rows per term out of the whole corpus), and
+# the adjacency check is an equi-join on (doc_id, pos) — co-partitioned
+# by doc_id, no window, no global sort. k-word phrases chain k-1 of
+# these joins; each intersection shrinks the stream. Reference tie-in:
+# /root/reference/ai_agent.py:240-261 ranks pages by substring keyword
+# hits — this is the token-exact phrase counterpart a web index needs
+# (substring matching can't distinguish "fast scan" from "fast scanner").
+# --------------------------------------------------------------------------- #
+PHRASE = ("fast", "scan")  # distinct words: adjacency matches can't overlap
+
+
+@query(
+    "index_phrase",
+    f"""
+    WITH tok AS (
+        SELECT doc_id::BIGINT AS doc_id, {tokens_sql('text')} AS t
+        FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, u.i::BIGINT AS pos, t[u.i] AS term
+        FROM tok, unnest(generate_series(1, len(t))) AS u(i)
+    ),
+    a AS (SELECT doc_id, pos FROM pos WHERE term = '{PHRASE[0]}'),
+    b AS (SELECT doc_id, pos FROM pos WHERE term = '{PHRASE[1]}')
+    SELECT a.doc_id, count(*)::BIGINT AS n_hits, min(a.pos)::BIGINT AS first_pos
+    FROM a JOIN b ON a.doc_id = b.doc_id AND a.pos + 1 = b.pos
+    GROUP BY a.doc_id
+    """,
+)
+def q_index_phrase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text"
+    )
+    # 1-based positions to match the oracle's generate_series(1, len)
+    pos = d.select(
+        "doc_id", F.posexplode(tokens("text")).alias("pos0", "term")
+    ).select("doc_id", (F.col("pos0") + 1).cast("long").alias("pos"), "term")
+    a = pos.where(F.col("term") == PHRASE[0]).select("doc_id", "pos")
+    b = pos.where(F.col("term") == PHRASE[1]).select(
+        "doc_id", F.col("pos").alias("pos_b")
+    )
+    hits = a.join(b, (a["doc_id"] == b["doc_id"]) & (a["pos"] + 1 == F.col("pos_b"))).select(
+        a["doc_id"].alias("doc_id"), "pos"
+    )
+    return hits.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_hits"), F.min("pos").alias("first_pos")
+    )
+
+
+# --------------------------------------------------------------------------- #
+# index_snippets — KWIC (keyword-in-context) snippet generation, the
+# result-page half of the search story: for every document matching the
+# query term, the ±SNIP_CTX-token window around the FIRST occurrence.
+# Pure array functions (array_position + slice + array_join) evaluated
+# inside the scan projection — no explode, no shuffle at all: the whole
+# query is a map-side pass over the corpus, which is exactly how a
+# production snippet pass over 100 TB must run (one scan, zero exchange).
+# Both engines' position builtins return 0 for "absent", so the match
+# gate is position >= 1 in each.
+# --------------------------------------------------------------------------- #
+SNIP_TERM = "vector"
+SNIP_CTX = 3  # tokens of context on each side
+
+
+@query(
+    "index_snippets",
+    f"""
+    WITH tok AS (
+        SELECT doc_id::BIGINT AS doc_id, {tokens_sql('text')} AS t
+        FROM documents
+    ),
+    hit AS (
+        SELECT doc_id, t, list_position(t, '{SNIP_TERM}')::BIGINT AS pos
+        FROM tok
+    )
+    SELECT doc_id, pos,
+           array_to_string(
+               t[greatest(1, pos - {SNIP_CTX}):(pos + {SNIP_CTX})], ' ') AS snippet
+    FROM hit WHERE pos >= 1
+    """,
+)
+def q_index_snippets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    t = tokens("text")
+    hit = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        t.alias("t"),
+        F.array_position(t, SNIP_TERM).alias("pos"),
+    ).where(F.col("pos") >= 1)
+    start = F.greatest(F.lit(1), F.col("pos") - SNIP_CTX)
+    length = F.col("pos") + SNIP_CTX - start + 1  # slice clamps at array end
+    return hit.select(
+        "doc_id", "pos",
+        F.array_join(F.slice(F.col("t"), start, length.cast("int")), " ").alias(
+            "snippet"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# postings_compress — delta-gap + varint (vbyte) compressed-size estimate
+# per term, the storage-planning pass of an index build: postings lists
+# are stored doc-ordered as gaps, each gap in ceil(bit_length/7) vbyte
+# bytes. Integer-exact across engines with NO libm: bit_length =
+# length(bin(gap)) (both engines render without leading zeros; gap >= 1
+# always — the first gap is doc_id - (-1) >= 1, later gaps are between
+# distinct ascending ids). Scale shape: the per-term window IS the
+# doc-ordered postings sort every index build pays, partitioned by term
+# (bounded by df). Caveat for stopword-grade mega-terms (df ~ corpus):
+# production splits their lists into doc-range blocks and patches block
+# boundaries with the previous block's max id — the two-level prefix
+# pattern dataops.seq_pack already demonstrates; result-identical, so
+# the simple form stays here as the certified semantics.
+# --------------------------------------------------------------------------- #
+@query(
+    "postings_compress",
+    f"""
+    WITH toks AS (
+        SELECT d.doc_id::BIGINT AS doc_id, t.term
+        FROM documents d,
+             unnest({tokens_sql("d.text")}) AS t(term)
+    ),
+    postings AS (SELECT DISTINCT term, doc_id FROM toks),
+    gaps AS (
+        SELECT term,
+               doc_id - coalesce(
+                   lag(doc_id) OVER (PARTITION BY term ORDER BY doc_id),
+                   -1) AS gap
+        FROM postings
+    )
+    SELECT term, count(*)::BIGINT AS df,
+           (count(*) * 8)::BIGINT AS raw_bytes,
+           sum((length(bin(gap)) + 6) // 7)::BIGINT AS vbyte_bytes
+    FROM gaps GROUP BY term
+    """,
+)
+def q_postings_compress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pos = _toks(spark, sf_dir).distinct()
+    w = Window.partitionBy("term").orderBy("doc_id")
+    gap = F.col("doc_id") - F.coalesce(
+        F.lag("doc_id").over(w), F.lit(-1).cast("long"))
+    g = pos.select("term", gap.alias("gap"))
+    vbytes = F.floor(
+        (F.length(F.bin(F.col("gap"))) + F.lit(6)) / F.lit(7)).cast("long")
+    return g.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        (F.count(F.lit(1)) * 8).cast("long").alias("raw_bytes"),
+        F.sum(vbytes).alias("vbyte_bytes"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# spell_correct — SymSpell-style distributed spelling suggestion: the
+# deletion-neighborhood trick (Garbe's symmetric delete algorithm,
+# public domain) turns edit-distance-1 lookup into an equi-join. Key
+# set K(x) = {x} ∪ delete-1 variants of x; q and w are candidates iff
+# K(q) ∩ K(w) != ∅ (covers deletion, insertion, AND substitution at
+# distance 1 — transpositions surface too and are cut by the exact
+# levenshtein verify, which both engines implement as integer DP).
+# Scale shape: the vocabulary is Heaps-law (tiny vs the corpus); keys
+# multiply it by avg word length only; the join co-partitions on the
+# key; the per-query rank window is bounded by the candidate count.
+# Reference tie-in: /root/reference/ai_agent.py:240-261 matches user
+# keywords against page text verbatim — this is the typo-tolerant
+# lookup a real search front end puts in front of that.
+# --------------------------------------------------------------------------- #
+SPELL_QUERIES = ("sprk", "windoww", "hish", "merge", "zzzz")
+SPELL_TOP = 3
+
+_DELETES_SQL = (
+    "list_distinct(list_append(list_transform("
+    "generate_series(1, length({x})), "
+    "i -> substr({x}, 1, i - 1) || substr({x}, i + 1, length({x}))), {x}))"
+)
+
+
+def _delete_keys(col: str) -> "F.Column":
+    w = F.col(col)
+    variants = F.transform(
+        F.sequence(F.lit(1), F.length(w)),
+        lambda i: F.concat(w.substr(F.lit(1), i - F.lit(1)),
+                           w.substr(i + F.lit(1), F.length(w))))
+    return F.array_union(F.array(w), variants)
+
+
+@query(
+    "spell_correct",
+    f"""
+    WITH vocab AS (
+        SELECT t.term AS w, count(*)::BIGINT AS freq
+        FROM documents d,
+             unnest({tokens_sql("d.text")}) AS t(term)
+        GROUP BY t.term
+    ),
+    vkeys AS (
+        SELECT w, freq, unnest({_DELETES_SQL.format(x="w")}) AS k
+        FROM vocab
+    ),
+    q AS (SELECT unnest({list(SPELL_QUERIES)}) AS q),
+    qkeys AS (
+        SELECT q, unnest({_DELETES_SQL.format(x="q")}) AS k FROM q
+    ),
+    cand AS (
+        SELECT DISTINCT qkeys.q, vkeys.w, vkeys.freq
+        FROM qkeys JOIN vkeys USING (k)
+        WHERE levenshtein(qkeys.q, vkeys.w) <= 1
+    ),
+    ranked AS (
+        SELECT q AS query_term, w AS suggestion,
+               levenshtein(q, w)::BIGINT AS dist, freq,
+               row_number() OVER (
+                   PARTITION BY q
+                   ORDER BY levenshtein(q, w), freq DESC, w) AS rnk
+        FROM cand
+    )
+    SELECT query_term, suggestion, dist, freq, rnk::BIGINT AS rnk
+    FROM ranked WHERE rnk <= {SPELL_TOP}
+    """,
+)
+def q_spell_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select("text")
+    vocab = (d.select(F.explode(tokens("text")).alias("w"))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("freq")))
+    vkeys = vocab.select(
+        "w", "freq", F.explode(_delete_keys("w")).alias("k"))
+    q = spark.createDataFrame([(t,) for t in SPELL_QUERIES], ["q"])
+    qkeys = q.select("q", F.explode(_delete_keys("q")).alias("k"))
+    cand = (qkeys.join(vkeys, "k")
+            .select("q", "w", "freq").distinct()
+            .where(F.levenshtein("q", "w") <= 1))
+    win = Window.partitionBy("q").orderBy(
+        F.levenshtein("q", "w").asc(), F.col("freq").desc(),
+        F.col("w").asc())
+    return (cand
+            .withColumn("rnk", F.row_number().over(win).cast("long"))
+            .where(F.col("rnk") <= SPELL_TOP)
+            .select(F.col("q").alias("query_term"),
+                    F.col("w").alias("suggestion"),
+                    F.levenshtein("q", "w").cast("long").alias("dist"),
+                    "freq", "rnk"))

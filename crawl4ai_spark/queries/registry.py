@@ -168,6 +168,11 @@ _TAIL = [
     "host_lang_profile",
     "wat_export",
     "sitemap_generate",
+    # round-4 session-12 additions (positional-index tier), local-tier
+    "index_phrase",
+    "index_snippets",
+    "postings_compress",
+    "spell_correct",
 ]
 
 
