@@ -140,6 +140,22 @@ class CrawlConfig:
     # order are byte-identical to content_dedup=False (tested per
     # strategy). Digest min-depths checkpoint per round (resume-exact).
     content_dedup: bool = False
+    # Conditional re-fetch (HTTP 304 model) for reopen() revisits: a
+    # re-dispatched URL whose span-content digest is UNCHANGED since its
+    # last successful fetch logs status='not_modified' with null spans
+    # (no body came over the wire — the prior generation's row carries
+    # the content) and contributes no outlinks (extraction gates on
+    # status='fetched'), exactly an If-None-Match revalidation hit. The
+    # digest compare is the sandbox stand-in for the server's ETag
+    # validator. reopen() snapshots each due URL's latest fetched digest
+    # into an overwrite-mode revisit_digests state table (broadcast-
+    # sized: one row per due URL), so the per-round cost is one
+    # broadcast left-join on the batch — first fetches and fresh crawls
+    # are byte-identical to conditional_fetch=False (no revisits ⇒ the
+    # table never matches). Changed pages fetch normally; their new
+    # outlinks still dedup against the URL-seen set. queries/crawlops
+    # revisit_304 is the analytics twin (bandwidth saved per host).
+    conditional_fetch: bool = False
     use_bloom: bool = False           # Bloom-sidecar prefilter for the seen-set anti-join
     bloom_shards: int = 16
     bloom_bits: int = 1 << 23         # bits per shard (1 MiB)

@@ -128,6 +128,12 @@ class CrawlEngine:
         # span-content digest has been EXTRACTED. A later fetched copy at
         # depth ≥ that min contributes no outlinks (see config.py).
         self.digests_tbl = SnapshotTable(state_dir, "digests")
+        # conditional re-fetch validators (cfg.conditional_fetch):
+        # overwrite-mode (url, prev_dig) — the latest successfully-fetched
+        # content digest per reopened URL, written by reopen(), probed as
+        # a broadcast left-join in the fetch projection. One row per due
+        # URL, never crawl-sized.
+        self.revdig_tbl = SnapshotTable(state_dir, "revisit_digests")
         self.state_dir = state_dir
         self.ckp = Checkpoint(state_dir)
         # bloom_hrw shard ids + seen-size estimate: concrete values are
@@ -647,6 +653,29 @@ class CrawlEngine:
             is_tr = st == F.lit("transient")
             spans_out = F.when(is_tr, F.lit(None)).otherwise(spans_out)
             title = F.when(is_tr, F.col("url")).otherwise(title)
+        if cfg.conditional_fetch:
+            # HTTP 304 model: a reopened URL whose content digest matches
+            # its stored validator (revisit_digests, written by reopen())
+            # logs not_modified with null spans — no body on the wire,
+            # no extraction (the extract stage gates on status='fetched').
+            # The compare runs AFTER the transient die (a revalidation
+            # that times out is transient like any fetch) and only
+            # upgrades successful fetches. First fetches never match: the
+            # broadcast map holds only reopened URLs.
+            rd = self.revdig_tbl.read(self.spark)
+            if rd is not None:
+                rd = F.broadcast(rd.select(
+                    F.col("url").alias("_rd_url"),
+                    F.col("prev_dig").alias("_prev_dig")))
+                joined = joined.join(
+                    rd, joined["url"] == F.col("_rd_url"), "left")
+                is_304 = (F.col("_prev_dig").isNotNull()
+                          & (self._content_digest(spans_out)
+                             == F.col("_prev_dig"))
+                          & (st == F.lit("fetched")))
+                st = F.when(is_304, F.lit("not_modified")).otherwise(st)
+                spans_out = F.when(is_304, F.lit(None)).otherwise(spans_out)
+                title = F.when(is_304, F.col("url")).otherwise(title)
         out = [
             "url", "url_hash", "host", "depth",
             rank.alias("rank"),
@@ -656,10 +685,14 @@ class CrawlEngine:
             spans_out.alias("spans"), "score", "parent_rank", "parent_offset", "path",
             attempt.alias("attempt"),
         ]
-        if cfg.content_dedup:
+        if cfg.content_dedup or cfg.conditional_fetch:
             # content-seen digest materialized at fetch time: the gate and
             # the digest-table append read it column-pruned from the round
-            # delta instead of rehashing every span array (twice) per round
+            # delta instead of rehashing every span array (twice) per
+            # round. conditional_fetch also materializes it so a later
+            # reopen() can snapshot per-URL validators column-pruned from
+            # the log (fetched rows only — a 304/transient row's digest
+            # is digest-of-null and is never read).
             out.append(self._content_digest(spans_out).alias("_dig"))
         return joined.select(*out)
 
@@ -974,7 +1007,8 @@ class CrawlEngine:
                               ("pages", self.pages_tbl), ("metrics", self.metrics_tbl),
                               ("blooms", self.bloom_tbl), ("redirects", self.redirects_tbl),
                               ("pending", self.pending_tbl), ("retries", self.retries_tbl),
-                              ("digests", self.digests_tbl)):
+                              ("digests", self.digests_tbl),
+                              ("revisit_digests", self.revdig_tbl)):
                 if name in ck["versions"]:
                     tbl.rollback(ck["versions"][name])
             round_no, fetched = ck["round"] + 1, ck["fetched"]
@@ -1379,6 +1413,7 @@ class CrawlEngine:
             "pending": self.pending_tbl.current_version(),
             "retries": self.retries_tbl.current_version(),
             "digests": self.digests_tbl.current_version(),
+            "revisit_digests": self.revdig_tbl.current_version(),
         }
 
     METRICS_FLUSH_ROUNDS = 8
@@ -1414,7 +1449,8 @@ class CrawlEngine:
                           ("pages", self.pages_tbl), ("metrics", self.metrics_tbl),
                           ("blooms", self.bloom_tbl), ("redirects", self.redirects_tbl),
                           ("pending", self.pending_tbl), ("retries", self.retries_tbl),
-                          ("digests", self.digests_tbl)):
+                          ("digests", self.digests_tbl),
+                          ("revisit_digests", self.revdig_tbl)):
             keep = ck["versions"].get(name)
             if keep:
                 out[name] = tbl.expire_snapshots(keep)
@@ -1492,6 +1528,32 @@ class CrawlEngine:
         n = rows.count()
         if n == 0:
             return 0
+        if self.cfg.conditional_fetch:
+            # Snapshot each reopened URL's latest successfully-fetched
+            # content digest — the validator the re-fetch revalidates
+            # against (HTTP If-None-Match model). Fetched rows only: a
+            # prior not_modified/transient generation carries no body, so
+            # the newest body-bearing row is the validator, and its
+            # digest still matching means 304 again. Column-pruned read
+            # of the pages log when the crawl materialized _dig;
+            # recomputed from spans for the due-sized slice otherwise.
+            # Overwrite keeps entries for urls NOT in this reopen (their
+            # retry chains may still be draining).
+            pg = self.pages_tbl.read(spark)
+            if pg is not None:
+                dig = (F.col("_dig") if "_dig" in pg.columns
+                       else self._content_digest())
+                prev = (pg.where(F.col("status") == "fetched")
+                        .join(F.broadcast(rows.select("url")),
+                              "url", "left_semi")
+                        .select("url", "rank", dig.alias("_d"))
+                        .groupBy("url")
+                        .agg(F.max_by("_d", F.col("rank")).alias("prev_dig")))
+                old = self.revdig_tbl.read(spark)
+                if old is not None:
+                    prev = prev.unionByName(
+                        old.join(prev.select("url"), "url", "left_anti"))
+                self.revdig_tbl.overwrite(prev)
         if self._sweep_mode():
             # sweep selection reads ONLY the latest delta: the new delta
             # must be (reopened ∪ still-undispatched old delta) or a
@@ -1592,6 +1654,12 @@ class CrawlEngine:
             self.retries_tbl.overwrite(
                 r2.observe(robs, F.count(F.lit(1)).alias("n")).coalesce(1))
             retries_est = int(robs.get["n"])
+        rv = self.revdig_tbl.read(spark)
+        if rv is not None:
+            # a forgotten URL re-discovered later is a FIRST fetch again —
+            # its stale revalidation entry must not 304 it
+            self.revdig_tbl.overwrite(
+                rv.join(F.broadcast(want), "url", "left_anti"))
         kind = self._sidecar_kind()
         if kind == "cuckoo":
             shards = self.bloom_tbl.read(spark)
