@@ -391,6 +391,52 @@ def host_budgets_from_errors(pages: DataFrame, base: DataFrame,
     )
 
 
+def host_budgets_from_304(pages: DataFrame, base: DataFrame,
+                          fresh_cap_pct: int = 80) -> DataFrame:
+    """Freshness-feedback twin of ``host_budgets_from_errors`` — the
+    revisit-economics control leg: a host whose conditional re-fetches
+    (``CrawlConfig(conditional_fetch=True)``) keep coming back
+    ``not_modified`` changes rarely, so spending next run's revisit
+    budget there buys no new bytes (Cho & Garcia-Molina's freshness
+    argument, applied as a budget decay; ``revisit_304`` is the
+    bandwidth-accounting query twin). budget = base * (100 -
+    min(fresh_pct, cap)) / 100 in pure integer arithmetic, floored at
+    1; hosts with no resolved revisits keep their base (no evidence ⇒
+    no decay), and every base host survives the left join.
+
+    Revisit detection needs no generation column: per host,
+    n_revisits = (resolved rows) − (distinct urls with a resolved row)
+    — every resolved row beyond a url's first is a revisit — and only
+    revisits can log not_modified at all, so fresh_pct =
+    100·n_304/n_revisits. One hash agg keyed by host + a broadcast
+    join against the base budgets, bounded by the host vocabulary."""
+    resolved = F.col("status") != "transient"
+    per_host = pages.groupBy("host").agg(
+        (F.sum(resolved.cast("long"))
+         - F.count_distinct(F.when(resolved, F.col("url"))))
+        .cast("long").alias("n_revisits"),
+        F.sum((F.col("status") == "not_modified").cast("long"))
+        .cast("long").alias("n_304"),
+    )
+    fresh_pct = F.expr("(CASE WHEN n_revisits = 0 THEN 0 "
+                       "ELSE (100 * n_304) div n_revisits END)")
+    decayed = F.expr(
+        f"greatest(1, (budget * (100 - least(_fresh_pct, "
+        f"{int(fresh_cap_pct)}))) div 100)")
+    return (
+        base.select("host", F.col("budget").cast("long"))
+        .join(F.broadcast(per_host), "host", "left")
+        .withColumn("n_revisits", F.coalesce("n_revisits", F.lit(0)).cast("long"))
+        .withColumn("n_304", F.coalesce("n_304", F.lit(0)).cast("long"))
+        .withColumn("_fresh_pct", fresh_pct)
+        .select(
+            "host", "n_revisits", "n_304",
+            F.col("_fresh_pct").cast("int").alias("fresh_pct"),
+            decayed.cast("int").alias("budget"),
+        )
+    )
+
+
 def host_budgets_from_novelty(pages: DataFrame, frontier: DataFrame,
                               base: DataFrame,
                               floor_pct: int = 20,
@@ -1501,11 +1547,14 @@ def plan_next_generation(pages: DataFrame, frontier: DataFrame, cfg=None, *,
     generation N+1's ``CrawlEngine`` inputs, composing every control
     leg this engine closes individually:
 
-    - ``host_budgets``: yield → errors → novelty chained (a host's
-      grant is its yield-proportional share, decayed by its transient
-      rate, decayed again by frontier saturation — each leg's output
-      is the next leg's base, so the composed budget is monotonically
-      ≤ the yield-only grant and ≥ 1).
+    - ``host_budgets``: yield → errors → novelty → 304 chained (a
+      host's grant is its yield-proportional share, decayed by its
+      transient rate, decayed again by frontier saturation, decayed
+      again by its revisit not_modified rate when conditional_fetch
+      revisits produced evidence — each leg's output is the next
+      leg's base, so the composed budget is monotonically ≤ the
+      yield-only grant and ≥ 1; the 304 leg is the identity on logs
+      with no resolved revisits).
     - ``url_scores``: the observed outlink graph (fetched pages' link
       spans) ranked by OPIC (Abiteboul WWW'03 — the importance measure
       built for crawling; ``rank="pagerank"`` swaps the estimator,
@@ -1540,9 +1589,14 @@ def plan_next_generation(pages: DataFrame, frontier: DataFrame, cfg=None, *,
         budget_min=budget_min, budget_max=budget_max)
     by_err = host_budgets_from_errors(
         pages, by_yield.select("host", "budget"), err_cap_pct=err_cap_pct)
-    budgets = host_budgets_from_novelty(
+    by_nov = host_budgets_from_novelty(
         pages, frontier, by_err.select("host", "budget"),
         floor_pct=novelty_floor_pct, cfg=cfg).select("host", "budget")
+    # revisit-economics leg: identity when the log carries no resolved
+    # revisits (fresh_pct = 0 for every host), so chaining it is free
+    # for first-generation crawls and active exactly when
+    # conditional_fetch revisits produced not_modified evidence
+    budgets = host_budgets_from_304(pages, by_nov).select("host", "budget")
 
     scores = None
     if rank is not None:
