@@ -723,3 +723,103 @@ def q_link_reciprocity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.lit(2.0) * F.least(ab, ba) / (ab + ba), 6).alias("recip_ratio"),
         (F.least(ab, ba) >= F.lit(RECIP_MIN_EACH)).alias("is_mutual"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# graph_bowtie — Broder et al. (WWW'00) bowtie decomposition of the link
+# graph relative to a deterministic pivot (the max-outdegree node, min
+# URL tiebreak): SCC = forward ∩ backward reachable, IN = backward-only,
+# OUT = forward-only, 'other' = neither (tendrils/tubes/disconnected
+# folded together — separating them needs the SCC of every node, not a
+# pivot decomposition). The two BFS closures run to FIXPOINT: Spark
+# iterates frontier joins with a driver-side convergence check and a
+# lineage cut per iteration (localCheckpoint — the dedup_minhash_cc
+# pattern); DuckDB's recursive CTE is fixpoint by construction, so the
+# two engines agree exactly, no iteration-count coupling. Scale shape:
+# each iteration is ONE shuffle join co-partitioned on url, bounded by
+# the graph diameter (~16-20 on the real web); the final class
+# assignment is two left joins on node-keyed sets. Output is one row
+# per component class — constant-size at any corpus scale.
+# --------------------------------------------------------------------------- #
+BOWTIE_MAX_ITERS = 40
+
+
+@query(
+    "graph_bowtie",
+    f"""
+    WITH RECURSIVE {_LINKS_SQL},
+    edges AS (SELECT DISTINCT src_url, dst_url FROM links),
+    deg AS (SELECT src_url, count(*) AS c FROM edges GROUP BY src_url),
+    piv AS (SELECT src_url AS p FROM deg ORDER BY c DESC, src_url LIMIT 1),
+    fwd(url) AS (
+        SELECT p FROM piv
+        UNION
+        SELECT e.dst_url FROM fwd f JOIN edges e ON e.src_url = f.url
+    ),
+    bwd(url) AS (
+        SELECT p FROM piv
+        UNION
+        SELECT e.src_url FROM bwd b JOIN edges e ON e.dst_url = b.url
+    ),
+    nodes AS (
+        -- DuckDB quirk: inside a WITH RECURSIVE block a plain UNION in a
+        -- NON-recursive CTE behaves as UNION ALL (repro'd on v1.0.0), so
+        -- dedup explicitly
+        SELECT DISTINCT url FROM (
+            SELECT src_url AS url FROM edges
+            UNION ALL
+            SELECT dst_url FROM edges
+        ) u
+    ),
+    cls AS (
+        SELECT n.url,
+               CASE WHEN f.url IS NOT NULL AND b.url IS NOT NULL THEN 'scc'
+                    WHEN b.url IS NOT NULL THEN 'in'
+                    WHEN f.url IS NOT NULL THEN 'out'
+                    ELSE 'other' END AS component
+        FROM nodes n
+        LEFT JOIN fwd f ON f.url = n.url
+        LEFT JOIN bwd b ON b.url = n.url
+    )
+    SELECT component, count(*)::BIGINT AS n_nodes, min(url) AS min_url
+    FROM cls GROUP BY component
+    """,
+)
+def q_graph_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = (_links(spark, sf_dir)
+             .select("src_url", "dst_url").distinct().cache())
+    pivot = (edges.groupBy("src_url").agg(F.count(F.lit(1)).alias("c"))
+             .orderBy(F.col("c").desc(), F.col("src_url").asc())
+             .first().src_url)
+
+    def _closure(src_col: str, dst_col: str) -> DataFrame:
+        reach = spark.createDataFrame([(pivot,)], ["url"]).localCheckpoint()
+        n = 1
+        for _ in range(BOWTIE_MAX_ITERS):
+            nxt = (reach.join(edges, reach["url"] == edges[src_col])
+                   .select(F.col(dst_col).alias("url"))
+                   .unionByName(reach).distinct().localCheckpoint())
+            m = nxt.count()
+            if m == n:
+                return nxt
+            reach, n = nxt, m
+        return reach
+
+    fwd = _closure("src_url", "dst_url").withColumnRenamed("url", "_f")
+    bwd = _closure("dst_url", "src_url").withColumnRenamed("url", "_b")
+    nodes = (edges.select(F.col("src_url").alias("url"))
+             .unionByName(edges.select(F.col("dst_url").alias("url")))
+             .distinct())
+    cls = (nodes
+           .join(fwd, nodes["url"] == fwd["_f"], "left")
+           .join(bwd, nodes["url"] == bwd["_b"], "left")
+           .select(
+               "url",
+               F.when(F.col("_f").isNotNull() & F.col("_b").isNotNull(),
+                      F.lit("scc"))
+               .when(F.col("_b").isNotNull(), F.lit("in"))
+               .when(F.col("_f").isNotNull(), F.lit("out"))
+               .otherwise(F.lit("other")).alias("component")))
+    return cls.groupBy("component").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.min("url").alias("min_url"))

@@ -539,3 +539,129 @@ def q_spell_correct(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("w").alias("suggestion"),
                     F.levenshtein("q", "w").cast("long").alias("dist"),
                     "freq", "rnk"))
+
+
+# --------------------------------------------------------------------------- #
+# index_merge — incremental index maintenance (the Lucene segment-merge
+# analog): the corpus is split into a BASE segment and a DELTA segment
+# (disjoint doc sets — doc_id % 10), each aggregated into per-term
+# (df, cf, head) independently, then MERGED segment-side — df/cf by
+# addition (doc-disjoint segments make the stats additive), the
+# doc-ordered postings head by re-cutting the union of the two 3-row
+# heads (a merge of sorted runs never needs rows beyond each run's
+# head). The output carries a ``matches`` column comparing the merge
+# against a from-scratch full rebuild — every row true IS the
+# mergeability proof, certified by the oracle. Scale shape: segment
+# aggs are map-side combined groupBys; the merge shuffles only the
+# per-term STATS rows (vocabulary-sized, never corpus-sized) and ≤6
+# head rows per term — exactly why web-scale index builds are
+# incremental. Heads sort numerically before rendering (lexicographic
+# would put 10 before 9).
+# --------------------------------------------------------------------------- #
+HEAD_K = 3
+
+
+@query(
+    "index_merge",
+    f"""
+    WITH occ AS (
+        SELECT d.doc_id::BIGINT AS doc_id, t.term,
+               (d.doc_id % 10 = 0) AS is_delta
+        FROM documents d,
+             unnest({tokens_sql("d.text")}) AS t(term)
+    ),
+    per_doc AS (
+        SELECT term, doc_id, is_delta, count(*)::BIGINT AS n
+        FROM occ GROUP BY term, doc_id, is_delta
+    ),
+    seg AS (
+        SELECT term, is_delta, count(*)::BIGINT AS df, sum(n)::BIGINT AS cf
+        FROM per_doc GROUP BY term, is_delta
+    ),
+    seg_head AS (
+        SELECT term, doc_id,
+               row_number() OVER (PARTITION BY term, is_delta
+                                  ORDER BY doc_id) AS rn
+        FROM per_doc
+    ),
+    merged AS (
+        SELECT term, sum(df)::BIGINT AS df, sum(cf)::BIGINT AS cf
+        FROM seg GROUP BY term
+    ),
+    merged_head AS (
+        SELECT term, string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS head
+        FROM (SELECT term, doc_id,
+                     row_number() OVER (PARTITION BY term
+                                        ORDER BY doc_id) AS rr
+              FROM seg_head WHERE rn <= {HEAD_K}) cut
+        WHERE rr <= {HEAD_K} GROUP BY term
+    ),
+    fstats AS (
+        SELECT term, count(*)::BIGINT AS df, sum(n)::BIGINT AS cf
+        FROM per_doc GROUP BY term
+    ),
+    fhead AS (
+        SELECT term, string_agg(doc_id::VARCHAR, ',' ORDER BY doc_id) AS head
+        FROM (SELECT term, doc_id,
+                     row_number() OVER (PARTITION BY term
+                                        ORDER BY doc_id) AS rn
+              FROM per_doc) cut
+        WHERE rn <= {HEAD_K} GROUP BY term
+    )
+    SELECT m.term, m.df, m.cf, mh.head,
+           (m.df = f.df AND m.cf = f.cf AND mh.head = fh.head) AS matches
+    FROM merged m
+    JOIN merged_head mh USING (term)
+    JOIN fstats f USING (term)
+    JOIN fhead fh USING (term)
+    """,
+)
+def q_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("long").alias("doc_id"), "text")
+    occ = d.select(
+        "doc_id", F.explode(tokens("text")).alias("term"),
+        (F.pmod(F.col("doc_id"), F.lit(10)) == 0).alias("is_delta"))
+    per_doc = occ.groupBy("term", "doc_id", "is_delta").agg(
+        F.count(F.lit(1)).alias("n")).cache()
+
+    # independent per-segment aggregates (the two "segment files")
+    seg = per_doc.groupBy("term", "is_delta").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("n").alias("cf"))
+    w_seg = Window.partitionBy("term", "is_delta").orderBy("doc_id")
+    seg_head = (per_doc.withColumn("rn", F.row_number().over(w_seg))
+                .where(F.col("rn") <= HEAD_K).select("term", "doc_id"))
+
+    def _head_str(rows: DataFrame) -> DataFrame:
+        return rows.groupBy("term").agg(
+            F.array_join(
+                F.transform(F.array_sort(F.collect_list("doc_id")),
+                            lambda x: x.cast("string")),
+                ",").alias("head"))
+
+    # segment-side merge: stats add, heads re-cut from the union of heads
+    merged = seg.groupBy("term").agg(
+        F.sum("df").alias("df"), F.sum("cf").alias("cf"))
+    w_term = Window.partitionBy("term").orderBy("doc_id")
+    merged_head = _head_str(
+        seg_head.withColumn("rr", F.row_number().over(w_term))
+        .where(F.col("rr") <= HEAD_K).select("term", "doc_id"))
+
+    # from-scratch rebuild (the thing the merge must equal)
+    fstats = per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df").alias("df"),
+        F.sum("n").alias("cf"))
+    fhead = _head_str(
+        per_doc.withColumn("rn", F.row_number().over(w_term))
+        .where(F.col("rn") <= HEAD_K).select("term", "doc_id"))
+
+    f2 = fstats.select(F.col("term"), F.col("df").alias("_fdf"),
+                       F.col("cf").alias("_fcf"))
+    fh2 = fhead.select(F.col("term"), F.col("head").alias("_fhead"))
+    return (merged.join(merged_head, "term")
+            .join(f2, "term").join(fh2, "term")
+            .select(
+                "term", "df", "cf", "head",
+                ((F.col("df") == F.col("_fdf"))
+                 & (F.col("cf") == F.col("_fcf"))
+                 & (F.col("head") == F.col("_fhead"))).alias("matches")))

@@ -173,6 +173,8 @@ _TAIL = [
     "index_snippets",
     "postings_compress",
     "spell_correct",
+    "graph_bowtie",
+    "index_merge",
 ]
 
 
