@@ -456,3 +456,66 @@ def trustrank(edges: DataFrame, seeds: DataFrame, iters: int = PR_ITERS,
     e.unpersist()
     nodes.unpersist()
     return out
+
+
+LPA_ITERS = 4
+
+
+def lpa_communities(edges: DataFrame, iters: int = LPA_ITERS,
+                    src: str = "src_url", dst: str = "dst_url") -> DataFrame:
+    """Deterministic synchronous label propagation (the Raghavan/Albert/
+    Kumara'07 community detector, made order-free): over the UNDIRECTED
+    adjacency (both edge directions) plus a self-vote per node,
+    label_0(u) = u and label_{k+1}(u) = the label carried by the most
+    neighbors of u at step k, ties broken by MIN label. The crawl-side
+    use is cluster-granularity curation: link-farm cliques, mirror
+    trees, and forum/wiki neighborhoods collapse into one community
+    whose members can be capped or demoted together (the graph twin of
+    ``domain_cap``; TrustRank demotes by distance-from-seeds, LPA by
+    internal link density).
+
+    Determinism: the update uses only integer neighbor counts and
+    lexicographic MIN tie-breaks — no floats anywhere — so any two
+    engines or cluster topologies walk the identical trajectory (the
+    classic LPA's random order/random ties are what make it
+    irreproducible at scale; synchronous + min-tie is reproducible by
+    construction). The self-vote damps the 2-cycle oscillation
+    synchronous LPA is known for on bipartite-ish regions.
+
+    Shape per iteration: one shuffle join (adjacency ⋈ labels on the
+    neighbor key) + one (node, label) hash count + one per-node
+    row_number window bounded by the node's distinct neighbor labels
+    (≤ degree + 1, never N); lineage cut per iteration. Labels are
+    node ids, so the widest shuffled row is two urls + a count.
+
+    Returns (url, community) — community is the label (a node url).
+    """
+    from pyspark.sql import Window
+
+    e, nodes = _edge_nodes(edges, src, dst)
+    und = (
+        e.select("src", "dst")
+        .unionByName(e.select(F.col("dst").alias("src"),
+                              F.col("src").alias("dst")))
+        .unionByName(nodes.select(F.col("url").alias("src"),
+                                  F.col("url").alias("dst")))
+        .distinct()
+        .persist()
+    )
+    labels = nodes.withColumn("label", F.col("url")).localCheckpoint()
+    w = Window.partitionBy("u").orderBy(F.desc("n"), F.asc("label"))
+    for _ in range(iters):
+        nl = und.join(labels, und["dst"] == labels["url"]).select(
+            und["src"].alias("u"), F.col("label"))
+        cnt = nl.groupBy("u", "label").agg(F.count(F.lit(1)).alias("n"))
+        labels = (
+            cnt.withColumn("_r", F.row_number().over(w))
+            .where(F.col("_r") == 1)
+            .select(F.col("u").alias("url"), "label")
+            .localCheckpoint()
+        )
+    out = labels.select("url", F.col("label").alias("community"))
+    e.unpersist()
+    nodes.unpersist()
+    und.unpersist()
+    return out

@@ -823,3 +823,76 @@ def q_graph_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cls.groupBy("component").agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.min("url").alias("min_url"))
+
+
+# --------------------------------------------------------------------------- #
+# graph_lpa — deterministic label-propagation communities over the link
+# graph (operators/linkgraph.lpa_communities). The oracle unrolls the
+# same synchronous iterations as CTEs: undirected adjacency + self-vote,
+# per-node argmax by (count DESC, label ASC). Integer counts + string
+# MIN ties only — no floats — so both engines walk the identical
+# trajectory and the rollup matches bit-for-bit.
+# --------------------------------------------------------------------------- #
+def _lpa_oracle() -> str:
+    from ..operators.linkgraph import LPA_ITERS
+    steps = []
+    for k in range(1, LPA_ITERS + 1):
+        steps.append(f"""
+    c{k} AS (
+        SELECT und.u, l.label, count(*)::BIGINT AS n
+        FROM und JOIN l{k - 1} l ON l.url = und.v
+        GROUP BY und.u, l.label
+    ),
+    l{k} AS (
+        SELECT u AS url, label FROM (
+            SELECT u, label,
+                   row_number() OVER (PARTITION BY u
+                                      ORDER BY n DESC, label ASC) AS r
+            FROM c{k}
+        ) t WHERE r = 1
+    )""")
+    return f"""
+    WITH {_LINKS_SQL},
+    edges AS (SELECT DISTINCT src_url, dst_url FROM links),
+    nodes AS (
+        SELECT src_url AS url FROM edges
+        UNION
+        SELECT dst_url FROM edges
+    ),
+    und AS (
+        SELECT DISTINCT u, v FROM (
+            SELECT src_url AS u, dst_url AS v FROM edges
+            UNION ALL
+            SELECT dst_url, src_url FROM edges
+            UNION ALL
+            SELECT url, url FROM nodes
+        ) t
+    ),
+    l0 AS (SELECT url, url AS label FROM nodes),
+    {','.join(steps)}
+    SELECT label AS community,
+           count(*)::BIGINT AS n_members,
+           min(url) AS min_url,
+           max(url) AS max_url
+    FROM l{LPA_ITERS} GROUP BY label
+    """
+
+
+@query("graph_lpa", _lpa_oracle())
+def q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the corpus outlink graph via
+    deterministic synchronous label propagation — the cluster-
+    granularity curation signal (link farms, mirror trees, and forum
+    neighborhoods fold into one community that domain_cap-style
+    policies can cap as a unit; reference has no graph tier at all).
+    Runs the real operator (linkgraph.lpa_communities: integer counts,
+    min-label ties, self-vote — reproducible on any topology, unlike
+    textbook random-order LPA) and rolls members up per community."""
+    from ..operators.linkgraph import lpa_communities
+
+    labels = lpa_communities(_links(spark, sf_dir))
+    return labels.groupBy("community").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.min("url").alias("min_url"),
+        F.max("url").alias("max_url"),
+    )

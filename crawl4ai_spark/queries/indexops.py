@@ -665,3 +665,242 @@ def q_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ((F.col("df") == F.col("_fdf"))
                  & (F.col("cf") == F.col("_fcf"))
                  & (F.col("head") == F.col("_fhead"))).alias("matches")))
+
+
+# --------------------------------------------------------------------------- #
+# index_anchor_rank — two-field retrieval (body + incoming anchor text),
+# the BM25F field-combination structure on the integer-exact scoring
+# spine: per (term, doc), wtf = W_BODY·tf_body + W_ANCHOR·tf_anchor
+# (field-weighted term frequency combined BEFORE the idf multiply —
+# Robertson/Zaragoza's BM25F argument: weighting per-field SCORES
+# double-counts idf), df counts docs matched in EITHER field, and
+# score = Σ wtf·(N − df) stays pure BIGINT so the oracle certifies it
+# bit-for-bit. This is the classic web-search trick the body-only index
+# misses: a page is about what OTHER pages' links call it (anchor text
+# reaches pages whose own text never says the term — navigational
+# queries, js-rendered pages, media targets).
+#
+# Scale shape: anchor tf reuses the link-graph lift (graphops._links —
+# span HOFs, no per-row Python); both tf tables filter to the query
+# terms IN THE SCAN, so only ~doc_freq rows survive the map side; the
+# field merge is a (term, doc)-keyed full outer join co-partitioned
+# with the groupBys around it; dfs and N broadcast; final top-k is
+# TakeOrderedAndProject with a declared 20-row FINAL_RANK window.
+# --------------------------------------------------------------------------- #
+W_BODY = 1
+W_ANCHOR = 3   # anchors are scarcer + higher-precision than body text
+
+
+def _anchor_rank_oracle() -> str:
+    from .graphops import _LINKS_SQL
+    return f"""
+    WITH {_LINKS_SQL},
+    atoks AS (
+        SELECT regexp_extract(l.dst_url, '/p/([0-9]+)$', 1)::BIGINT AS doc_id,
+               u.w AS term
+        FROM links l, unnest({tokens_sql('l.anchor')}) AS u(w)
+        WHERE regexp_matches(l.dst_url, '/p/[0-9]+$')
+          AND u.w IN ({_TERMS_SQL})
+    ),
+    btf AS (
+        SELECT t.term, t.doc_id, count(*)::BIGINT AS tf
+        FROM (SELECT d.doc_id::BIGINT AS doc_id, u.w AS term
+              FROM documents d, unnest({tokens_sql('d.text')}) AS u(w)) t
+        WHERE t.term IN ({_TERMS_SQL})
+        GROUP BY t.term, t.doc_id
+    ),
+    atf AS (
+        SELECT a.term, a.doc_id, count(*)::BIGINT AS tf
+        FROM atoks a JOIN documents d ON d.doc_id::BIGINT = a.doc_id
+        GROUP BY a.term, a.doc_id
+    ),
+    wtf AS (
+        SELECT coalesce(b.term, a.term) AS term,
+               coalesce(b.doc_id, a.doc_id) AS doc_id,
+               ({W_BODY} * coalesce(b.tf, 0)
+                + {W_ANCHOR} * coalesce(a.tf, 0))::BIGINT AS wtf,
+               coalesce(a.tf, 0)::BIGINT AS atf
+        FROM btf b FULL OUTER JOIN atf a
+          ON a.term = b.term AND a.doc_id = b.doc_id
+    ),
+    dfs AS (SELECT term, count(*)::BIGINT AS df FROM wtf GROUP BY term),
+    n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+    scored AS (
+        SELECT w.doc_id,
+               count(*)::BIGINT AS n_terms,
+               sum(CASE WHEN w.atf > 0 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_anchor_terms,
+               sum(w.wtf * (n.n_docs - d.df))::BIGINT AS score
+        FROM wtf w JOIN dfs d USING (term) CROSS JOIN n
+        GROUP BY w.doc_id
+    )
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+           doc_id, score, n_terms, n_anchor_terms
+    FROM scored
+    ORDER BY score DESC, doc_id ASC
+    LIMIT {TOP_K}
+    """
+
+
+@query("index_anchor_rank", _anchor_rank_oracle())
+def q_index_anchor_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .graphops import _links
+
+    links = _links(spark, sf_dir)
+    atoks = (
+        links.where(F.col("dst_url").rlike("/p/[0-9]+$"))
+        .select(
+            F.regexp_extract("dst_url", "/p/([0-9]+)$", 1)
+            .cast("long").alias("doc_id"),
+            F.explode(tokens("anchor")).alias("term"),
+        )
+        .where(F.col("term").isin(*SEARCH_TERMS))
+    )
+    docs = _t(spark, sf_dir, "documents")
+    doc_ids = docs.select(F.col("doc_id").cast("long").alias("doc_id"))
+    atf = (
+        atoks.join(doc_ids, "doc_id")
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("_atf"))
+    )
+    btf = (
+        _toks(spark, sf_dir)
+        .where(F.col("term").isin(*SEARCH_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("_btf"))
+    )
+    wtf = btf.join(atf, ["term", "doc_id"], "full_outer").select(
+        "term", "doc_id",
+        (F.lit(W_BODY) * F.coalesce("_btf", F.lit(0))
+         + F.lit(W_ANCHOR) * F.coalesce("_atf", F.lit(0)))
+        .cast("long").alias("wtf"),
+        F.coalesce("_atf", F.lit(0)).cast("long").alias("atf"),
+    )
+    dfs = wtf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        wtf.join(F.broadcast(dfs), "term")
+        .join(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum((F.col("atf") > 0).cast("long")).alias("n_anchor_terms"),
+            F.sum(F.col("wtf") * (F.col("n_docs") - F.col("df"))).alias("score"),
+        )
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(TOP_K)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "score", "n_terms", "n_anchor_terms"
+    )
+
+
+# --------------------------------------------------------------------------- #
+# index_topk_champion — impact-ordered early termination (champion lists
+# / top-docs, Manning IIR §7): disjunctive top-k retrieval that scores
+# ONLY the union of each query term's top-M postings by integer impact
+# tf·(N − df), instead of every document matching any term. This is the
+# index-side answer to the common-term problem at 100 TB: a stopword-ish
+# query term matches millions of docs, but its champion list is M rows,
+# so candidate generation is bounded by M·|Q| regardless of df. The
+# deterministic pruning (impact DESC, doc_id ASC) is mirrored exactly by
+# the oracle, so cross-engine equality certifies the candidate set, not
+# just the final ranks. Documented approximation: a doc scoring mid in
+# EVERY term's postings can miss all champion lists (the classic
+# champion-list caveat); n_candidates reports the pruning actually
+# achieved.
+#
+# Scale shape: per-term champion cut is a keyed window bounded at M rows
+# out; candidates join back to the query-term tf table on doc_id
+# (co-partitioned, candidate side ≤ M·|Q| rows — broadcastable at any
+# corpus scale); dfs + N broadcast; final top-k is
+# TakeOrderedAndProject + a declared 20-row FINAL_RANK window.
+# --------------------------------------------------------------------------- #
+CHAMPION_M = 32
+
+
+@query(
+    "index_topk_champion",
+    f"""
+    WITH toks AS (
+        SELECT d.doc_id::BIGINT AS doc_id, u.w AS term
+        FROM documents d, unnest({tokens_sql('d.text')}) AS u(w)
+    ),
+    tf AS (
+        SELECT term, doc_id, count(*)::BIGINT AS tf
+        FROM toks WHERE term IN ({_TERMS_SQL})
+        GROUP BY term, doc_id
+    ),
+    dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+    imp AS (
+        SELECT tf.term, tf.doc_id,
+               (tf.tf * (n.n_docs - d.df))::BIGINT AS impact
+        FROM tf JOIN dfs d USING (term) CROSS JOIN n
+    ),
+    champ AS (
+        SELECT doc_id FROM (
+            SELECT term, doc_id,
+                   row_number() OVER (PARTITION BY term
+                                      ORDER BY impact DESC, doc_id ASC) AS r
+            FROM imp
+        ) t WHERE r <= {CHAMPION_M}
+    ),
+    cand AS (SELECT DISTINCT doc_id FROM champ),
+    nc AS (SELECT count(*)::BIGINT AS n_candidates FROM cand),
+    scored AS (
+        SELECT i.doc_id,
+               count(*)::BIGINT AS n_terms,
+               sum(i.impact)::BIGINT AS score
+        FROM imp i JOIN cand c ON c.doc_id = i.doc_id
+        GROUP BY i.doc_id
+    )
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+           doc_id, score, n_terms,
+           (SELECT n_candidates FROM nc) AS n_candidates
+    FROM scored
+    ORDER BY score DESC, doc_id ASC
+    LIMIT {TOP_K}
+    """,
+)
+def q_index_topk_champion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tf = (
+        _toks(spark, sf_dir)
+        .where(F.col("term").isin(*SEARCH_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = _t(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("n_docs"))
+    imp = (
+        tf.join(F.broadcast(dfs), "term")
+        .join(F.broadcast(n))
+        .select(
+            "term", "doc_id",
+            (F.col("tf") * (F.col("n_docs") - F.col("df")))
+            .cast("long").alias("impact"),
+        )
+    )
+    wc = Window.partitionBy("term").orderBy(F.desc("impact"), F.asc("doc_id"))
+    cand = (
+        imp.withColumn("_r", F.row_number().over(wc))
+        .where(F.col("_r") <= CHAMPION_M)
+        .select("doc_id")
+        .distinct()
+    )
+    nc = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    scored = (
+        imp.join(F.broadcast(cand), "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms"),
+            F.sum("impact").alias("score"),
+        )
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(TOP_K)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(nc))
+        .select("rank", "doc_id", "score", "n_terms", "n_candidates")
+    )

