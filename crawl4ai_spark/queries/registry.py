@@ -180,6 +180,8 @@ _TAIL = [
     "index_topk_champion",
     "host_budget_bytes",
     "graph_lpa",
+    "index_champion_recall",
+    "host_payload_quantiles",
 ]
 
 

@@ -1805,3 +1805,79 @@ def q_host_budget_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
     return host_budgets_from_bytes(pages, base, BYTES_TARGET,
                                    nbytes_col="nbytes")
+
+
+# --------------------------------------------------------------------------- #
+# host_payload_quantiles — the tail audit for the bandwidth leg: the
+# bytes budget caps on AVG payload, but bandwidth incidents come from
+# the TAIL (one host serving p99 = 40× its median). Per host, exact
+# p50/p90/p99 payload bytes by explicit rank selection — rank r_q =
+# ceil(q·n) computed as (q·100·n + 99) // 100 in integers, the value
+# picked by row_number over the host's nbytes order — so both engines
+# select the identical element with NO engine quantile builtin (whose
+# interpolation conventions differ). avg_bytes ties the report to
+# host_budgets_from_bytes' cap; tail_ratio = p99/max(1,p50) flags the
+# skewed hosts whose cap should come from the tail, not the mean.
+#
+# Scale shape: one per-host window sort (spillable, bounded by the
+# host's page count) + one hash agg; payload synthesized as
+# strlen(text) from documents — the same Content-Length stand-in as
+# host_budget_bytes.
+# --------------------------------------------------------------------------- #
+@query(
+    "host_payload_quantiles",
+    """
+    WITH pages AS (
+        SELECT 'host' || (doc_id % 7)::VARCHAR || '.example.com' AS host,
+               strlen(coalesce(text, ''))::BIGINT AS nbytes
+        FROM documents
+    ),
+    ranked AS (
+        SELECT host, nbytes,
+               row_number() OVER (PARTITION BY host ORDER BY nbytes) AS rn,
+               count(*) OVER (PARTITION BY host) AS n
+        FROM pages
+    )
+    SELECT host,
+           max(n)::BIGINT AS n_pages,
+           (sum(nbytes) // max(n))::BIGINT AS avg_bytes,
+           max(CASE WHEN rn = (50 * n + 99) // 100 THEN nbytes END)::BIGINT AS p50,
+           max(CASE WHEN rn = (90 * n + 99) // 100 THEN nbytes END)::BIGINT AS p90,
+           max(CASE WHEN rn = (99 * n + 99) // 100 THEN nbytes END)::BIGINT AS p99,
+           round(max(CASE WHEN rn = (99 * n + 99) // 100 THEN nbytes END)::DOUBLE
+                 / greatest(1, max(CASE WHEN rn = (50 * n + 99) // 100
+                                        THEN nbytes END)), 6) AS tail_ratio
+    FROM ranked GROUP BY host
+    """,
+)
+def q_host_payload_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    pages = d.select(
+        F.concat(F.lit("host"), F.pmod(i, F.lit(7)).cast("string"),
+                 F.lit(".example.com")).alias("host"),
+        F.octet_length(F.coalesce(F.col("text"), F.lit("")))
+        .cast("long").alias("nbytes"),
+    )
+    wv = Window.partitionBy("host").orderBy("nbytes")
+    wn = Window.partitionBy("host")
+    ranked = pages.select(
+        "host", "nbytes",
+        F.row_number().over(wv).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    pick = lambda q: F.max(
+        F.when(F.col("rn") == F.expr(f"({q} * n + 99) div 100"),
+               F.col("nbytes"))).cast("long")
+    return ranked.groupBy("host").agg(
+        F.max("n").cast("long").alias("n_pages"),
+        F.expr("sum(nbytes) div max(n)").cast("long").alias("avg_bytes"),
+        pick(50).alias("p50"),
+        pick(90).alias("p90"),
+        pick(99).alias("p99"),
+        F.round(pick(99).cast("double")
+                / F.greatest(F.lit(1).cast("long"), pick(50)), 6)
+        .alias("tail_ratio"),
+    )

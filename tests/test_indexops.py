@@ -100,3 +100,56 @@ def test_index_anchor_rank_matches_brute_force(spark):
     # and it changes the ordering vs body-only: some anchor-boosted doc
     # outranks a doc with a strictly higher body-only score
     assert atf, "fixture corpus must produce query-term anchors"
+
+
+def test_index_champion_recall_matches_brute_force(spark):
+    docs = _docs(spark)
+    n_docs = len(docs)
+    tf = _body_tf(docs)
+    df = Counter(t for (t, _) in tf)
+    impact = {(t, d): n * (n_docs - df[t]) for (t, d), n in tf.items()}
+    full = Counter()
+    for (t, d), i in impact.items():
+        full[d] += i
+    full_top = {d for d, _ in sorted(
+        full.items(), key=lambda kv: (-kv[1], kv[0]))[: I.TOP_K]}
+    cand = set()
+    for t in I.SEARCH_TERMS:
+        posts = sorted(
+            ((i, d) for (tt, d), i in impact.items() if tt == t),
+            key=lambda x: (-x[0], x[1]))
+        cand.update(d for _, d in posts[: I.CHAMPION_M])
+    champ_top = {d for d, _ in sorted(
+        ((d, full[d]) for d in cand), key=lambda kv: (-kv[1], kv[0]))[: I.TOP_K]}
+
+    [r] = I.q_index_champion_recall(spark, SF).collect()
+    assert r.k == I.TOP_K and r.m == I.CHAMPION_M
+    assert r.n_candidates == len(cand)
+    assert r.n_overlap == len(full_top & champ_top)
+    assert 0.0 < r.recall <= 1.0
+    assert abs(r.recall - r.n_overlap / I.TOP_K) < 1e-9
+
+
+def test_host_payload_quantiles_matches_brute_force(spark):
+    import math
+
+    from crawl4ai_spark.queries import schedops as S
+
+    docs = _t(spark, SF, "documents").select("doc_id", "text").collect()
+    per_host: dict[str, list[int]] = {}
+    for r in docs:
+        per_host.setdefault(
+            f"host{int(r.doc_id) % 7}.example.com", []
+        ).append(len((r.text or "").encode()))
+    got = {r.host: r for r in
+           S.q_host_payload_quantiles(spark, SF).collect()}
+    assert set(got) == set(per_host)
+    for host, sizes in per_host.items():
+        sizes.sort()
+        n = len(sizes)
+        pick = lambda q: sizes[math.ceil(q * n / 100) - 1]
+        g = got[host]
+        assert (g.n_pages, g.p50, g.p90, g.p99) == (
+            n, pick(50), pick(90), pick(99))
+        assert g.avg_bytes == sum(sizes) // n
+        assert g.p50 <= g.p90 <= g.p99
