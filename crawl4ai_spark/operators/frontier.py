@@ -1788,3 +1788,82 @@ class CrawlEngine:
         """F12: observed redirect mappings — redirects(src_url, src_hash,
         dst_url, dst_hash, observed_round), seen-set keyed on dst."""
         return self.redirects_tbl.read(self.spark)
+
+    def fsck(self) -> DataFrame:
+        """State-table integrity audit — the operational check a 100 TB
+        crawl runs before trusting a resumed state dir (storage-level
+        Iceberg manifests guarantee files exist; THIS guarantees the
+        tables still satisfy the engine's cross-table invariants after
+        any mix of kills, resumes, reopens and compactions):
+
+        - ``pages_url_in_seen``      every fetched/attempted URL is in
+                                     the seen set (F10's contract — a
+                                     miss means double-fetch exposure)
+        - ``resolved_rank_unique``   crawl order is a total order: no
+                                     two resolved rows share a rank
+        - ``page_host_matches_url``  pages.host is derived state; a
+                                     mismatch breaks every politeness
+                                     and budget rollup keyed on it
+        - ``transient_unresolved``   ranks whose rows are transient-only
+                                     (expected 0 on a drained crawl;
+                                     > 0 flags the documented
+                                     max_pages/max_rounds truncation)
+        - ``frontier_hash_unique``   the append-only log never
+                                     re-discovers a URL within a round
+                                     generation
+        - ``frontier_hash_consistent`` stored url_hash equals the hash
+                                     recomputed from the stored
+                                     canonical URL (bit-rot / foreign-
+                                     writer detector)
+        - ``pending_subset_of_frontier`` the snapshot-mode pending
+                                     derivation only ever narrows the
+                                     log
+
+        Each check is one anti-join / distinct-count over a state
+        table — a handful of bounded jobs, no driver-side row data.
+        Returns (check, n_violations); a clean state dir is all zeros.
+        """
+        spark = self.spark
+        checks: list[tuple[str, int]] = []
+        pages = self.pages()
+        seen = self.url_seen()
+        fr = self.frontier_tbl.read(spark)
+        pend = self.pending_tbl.read(spark)
+        if pages is not None and seen is not None:
+            checks.append((
+                "pages_url_in_seen",
+                pages.select("url_hash").distinct()
+                .join(seen.select("url_hash").distinct(),
+                      "url_hash", "left_anti").count()))
+        if pages is not None:
+            res = pages.where(F.col("status") != "transient")
+            checks.append((
+                "resolved_rank_unique",
+                res.count() - res.select("rank").distinct().count()))
+            checks.append((
+                "page_host_matches_url",
+                res.where(url_host(F.col("url")) != F.col("host")).count()))
+            checks.append((
+                "transient_unresolved",
+                pages.groupBy("rank").agg(
+                    F.max((F.col("status") != "transient").cast("int"))
+                    .alias("_r")).where(F.col("_r") == 0).count()))
+        if fr is not None:
+            checks.append((
+                "frontier_hash_unique",
+                fr.count()
+                - fr.select("url_hash", "discovered_round")
+                    .distinct().count()))
+            strip = self.cfg.strip_params
+            checks.append((
+                "frontier_hash_consistent",
+                fr.where(url_hash(canonicalize(F.col("url"), strip))
+                         != F.col("url_hash")).count()))
+        if pend is not None and fr is not None:
+            checks.append((
+                "pending_subset_of_frontier",
+                pend.select("url_hash")
+                .join(fr.select("url_hash").distinct(),
+                      "url_hash", "left_anti").count()))
+        return spark.createDataFrame(
+            checks, "check string, n_violations long")
