@@ -439,7 +439,8 @@ def host_budgets_from_304(pages: DataFrame, base: DataFrame,
 
 def host_budgets_from_bytes(pages: DataFrame, base: DataFrame,
                             byte_target: int,
-                            nbytes_col: str | None = None) -> DataFrame:
+                            nbytes_col: str | None = None,
+                            pctl: int | None = None) -> DataFrame:
     """Bandwidth-ceiling leg — the SEVENTH control leg (yield,
     authority, errors, growth, language, revisit-economics, and now
     BYTES): politeness budgets count URLs, but the resource a crawl
@@ -461,11 +462,21 @@ def host_budgets_from_bytes(pages: DataFrame, base: DataFrame,
     — or zero observed bytes — keep their base (no evidence ⇒ no cap),
     and every base host survives the left join.
 
+    ``pctl`` swaps the mean for a per-host TAIL quantile (e.g. 90):
+    avg_bytes becomes the exact p{pctl} by explicit integer rank
+    selection — the ``host_payload_quantiles`` arithmetic — so hosts
+    whose payload distribution is skewed (one 2 MB page among 20 KB
+    pages) are capped on what a bad round can actually cost, not on a
+    mean the tail dwarfs. Costs one per-host window sort (spillable,
+    bounded by the host's page count) instead of the plain agg.
+
     One host-keyed hash agg (the span fold is a map-side array HOF —
     blobs never shuffle) + a broadcast join against the host-vocabulary
     base. ``host_budget_bytes`` is the oracle-certified query twin."""
     if byte_target <= 0:
         raise ValueError("byte_target must be a positive byte count")
+    if pctl is not None and not 1 <= int(pctl) <= 100:
+        raise ValueError("pctl must be in [1, 100]")
     if nbytes_col is None:
         nb = F.aggregate(
             F.coalesce(F.col("spans"), F.array()),
@@ -475,17 +486,32 @@ def host_budgets_from_bytes(pages: DataFrame, base: DataFrame,
         )
     else:
         nb = F.col(nbytes_col).cast("long")
-    per_host = (
-        pages.where(F.col("status") == "fetched")
-        .select("host", nb.alias("_nb"))
-        .groupBy("host")
-        .agg(
+    fetched = (pages.where(F.col("status") == "fetched")
+               .select("host", nb.alias("_nb")))
+    if pctl is None:
+        per_host = fetched.groupBy("host").agg(
             F.count("*").cast("long").alias("n_fetched"),
             F.sum("_nb").cast("long").alias("total_bytes"),
         )
-    )
-    avg_b = F.expr(
-        "(CASE WHEN n_fetched = 0 THEN 0 ELSE total_bytes div n_fetched END)")
+        avg_b = F.expr("(CASE WHEN n_fetched = 0 THEN 0 "
+                       "ELSE total_bytes div n_fetched END)")
+    else:
+        from pyspark.sql import Window
+        wv = Window.partitionBy("host").orderBy("_nb")
+        wn = Window.partitionBy("host")
+        ranked = fetched.select(
+            "host", "_nb",
+            F.row_number().over(wv).alias("_rn"),
+            F.count(F.lit(1)).over(wn).alias("_n"),
+        )
+        per_host = ranked.groupBy("host").agg(
+            F.max("_n").cast("long").alias("n_fetched"),
+            F.sum("_nb").cast("long").alias("total_bytes"),
+            F.max(F.when(
+                F.col("_rn") == F.expr(f"({int(pctl)} * _n + 99) div 100"),
+                F.col("_nb"))).cast("long").alias("_pv"),
+        )
+        avg_b = F.expr("coalesce(_pv, 0)")
     capped = F.expr(
         f"greatest(1, (CASE WHEN _avg = 0 THEN budget "
         f"ELSE least(budget, greatest(1, {int(byte_target)} div _avg)) END))")

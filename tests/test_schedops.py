@@ -703,3 +703,37 @@ def test_plan_next_generation_byte_target_chains(spark, corpus_dir, tmp_path):
     # the tiny byte target actually bites somewhere (fixture pages are
     # hundreds of bytes of span text each)
     assert any(b_cap[h] < b_free[h] for h in b_free)
+
+
+def test_host_budgets_from_bytes_tail_quantile(spark):
+    """pctl swaps the mean for the per-host tail: a host serving mostly
+    tiny pages plus one huge page gets a much tighter cap keyed on p90
+    than on the mean; the quantile is the exact rank-selected element
+    (host_payload_quantiles arithmetic)."""
+    import pytest
+
+    rows = [("skew.com", "fetched", [("text", "x" * n, None, 0)])
+            for n in (10, 10, 10, 1000)]
+    pages = spark.createDataFrame(
+        rows,
+        "host string, status string, "
+        "spans array<struct<kind string, text string, media_ref string, offset int>>",
+    )
+    base = spark.createDataFrame([("skew.com", 500)], "host string, budget int")
+    mean = {r.host: r for r in
+            S.host_budgets_from_bytes(pages, base, 10_000).collect()}
+    tail = {r.host: r for r in
+            S.host_budgets_from_bytes(pages, base, 10_000, pctl=90).collect()}
+    # mean: (10+10+10+1000)//4 = 257 -> cap 10000//257 = 38
+    assert mean["skew.com"].avg_bytes == 257
+    assert mean["skew.com"].budget == 38
+    # p90: rank ceil(0.9*4) = 4 -> 1000 -> cap 10
+    assert tail["skew.com"].avg_bytes == 1000
+    assert tail["skew.com"].budget == 10
+    # p50 of [10,10,10,1000] is the 2nd element = 10 -> cap bound by base
+    p50 = {r.host: r for r in
+           S.host_budgets_from_bytes(pages, base, 10_000, pctl=50).collect()}
+    assert p50["skew.com"].avg_bytes == 10
+    assert p50["skew.com"].budget == 500   # 1000-cap clamped by base
+    with pytest.raises(ValueError):
+        S.host_budgets_from_bytes(pages, base, 10_000, pctl=0)
