@@ -2457,3 +2457,99 @@ def q_sitemap_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("lastmod"),
     )
     return build_sitemaps(urls, lastmod_col="lastmod", max_per_file=SMG_CAP)
+
+
+# --------------------------------------------------------------------------- #
+# crawl_gap_report — frontier-gap attribution: of everything the crawl
+# DISCOVERED, what was actually fetched, and what did each gate cost?
+# The engine's pre-enqueue gates (robots, traps, depth) drop URLs
+# silently by design (dropped links are never state — that's what keeps
+# per-round writes O(delta)); this query recomputes the attribution
+# offline over the same arithmetic link graph the reachability oracle
+# uses, with deterministic gate dies (id%11==3 robots-blocked,
+# id%13==5 trap-dropped), by running the GATED BFS: blocked/trapped
+# nodes are discovered but never expanded, depth-D pages are fetched
+# but their children land at D+1 as depth_capped. The classes partition
+# the discovered set — the "dark matter" report a crawl operator reads
+# before raising max_depth or whitelisting a path.
+#
+# Scale shape: same per-round anti-join expansion as the engine (one
+# co-partitioned join per depth, seen-set dedup), classification and
+# rollup are one projection + one 4-row hash agg. Oracle = recursive
+# CTE with the identical expansion guard (fixpoint dedup, min-depth
+# group) — both engines walk the same gated frontier.
+# --------------------------------------------------------------------------- #
+GAP_ROBOTS = (11, 3)   # id % 11 == 3 → robots-blocked
+GAP_TRAP = (13, 5)     # id % 13 == 5 → trap-template drop
+
+
+@query(
+    "crawl_gap_report",
+    f"""
+    WITH RECURSIVE n AS (SELECT count(*)::BIGINT AS n FROM documents),
+    hop(id, depth) AS (
+        SELECT 0::BIGINT, 0
+        UNION
+        SELECT (h.id * 31 + j.j * 17 + 7) % (SELECT n FROM n), h.depth + 1
+        FROM hop h CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS j) j
+        WHERE h.depth <= {BFS_DEPTH}
+          AND h.id % {GAP_ROBOTS[0]} <> {GAP_ROBOTS[1]}
+          AND h.id % {GAP_TRAP[0]} <> {GAP_TRAP[1]}
+    ),
+    disc AS (SELECT id, min(depth)::INT AS depth FROM hop GROUP BY id),
+    cls AS (
+        SELECT id, depth,
+               CASE WHEN id % {GAP_ROBOTS[0]} = {GAP_ROBOTS[1]}
+                         THEN 'robots_blocked'
+                    WHEN id % {GAP_TRAP[0]} = {GAP_TRAP[1]}
+                         THEN 'trap_dropped'
+                    WHEN depth > {BFS_DEPTH} THEN 'depth_capped'
+                    ELSE 'fetched' END AS class
+        FROM disc
+    )
+    SELECT class,
+           count(*)::BIGINT AS n_urls,
+           min(depth)::INT AS min_depth,
+           max(depth)::INT AS max_depth
+    FROM cls GROUP BY class
+    """,
+)
+def q_crawl_gap_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.count()
+    rm, rv = GAP_ROBOTS
+    tm, tv = GAP_TRAP
+    allowed = (
+        (F.pmod(F.col("id"), F.lit(rm)) != rv)
+        & (F.pmod(F.col("id"), F.lit(tm)) != tv)
+        & (F.col("depth") <= BFS_DEPTH)
+    )
+    seen = spark.createDataFrame([(0, 0)], "id long, depth int")
+    frontier = seen
+    js = F.array(*[F.lit(j) for j in range(1, GRAPH_DEGREE + 1)])
+    for d in range(1, BFS_DEPTH + 2):
+        parents = frontier.where(allowed)
+        children = (
+            parents.select(F.explode(js).alias("j"), F.col("id").alias("pid"))
+            .select(
+                F.pmod(F.col("pid") * 31 + F.col("j") * 17 + 7,
+                       F.lit(n)).alias("id"),
+                F.lit(d).alias("depth"),
+            )
+            .dropDuplicates(["id"])
+        )
+        fresh = children.join(seen.select("id"), "id", "left_anti")
+        seen = seen.unionByName(fresh)
+        frontier = fresh
+    cls = seen.select(
+        "depth",
+        F.when(F.pmod(F.col("id"), F.lit(rm)) == rv, F.lit("robots_blocked"))
+        .when(F.pmod(F.col("id"), F.lit(tm)) == tv, F.lit("trap_dropped"))
+        .when(F.col("depth") > BFS_DEPTH, F.lit("depth_capped"))
+        .otherwise(F.lit("fetched")).alias("class"),
+    )
+    return cls.groupBy("class").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.min("depth").cast("int").alias("min_depth"),
+        F.max("depth").cast("int").alias("max_depth"),
+    )

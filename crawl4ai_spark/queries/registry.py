@@ -182,6 +182,7 @@ _TAIL = [
     "graph_lpa",
     "index_champion_recall",
     "host_payload_quantiles",
+    "crawl_gap_report",
 ]
 
 

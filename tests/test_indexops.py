@@ -153,3 +153,43 @@ def test_host_payload_quantiles_matches_brute_force(spark):
             n, pick(50), pick(90), pick(99))
         assert g.avg_bytes == sum(sizes) // n
         assert g.p50 <= g.p90 <= g.p99
+
+
+def test_crawl_gap_report_matches_python_gated_bfs(spark):
+    """Gap attribution equals a pure-python gated BFS on the arithmetic
+    graph: blocked/trapped nodes are discovered, never expanded;
+    children of depth-D pages land at D+1 as depth_capped; the classes
+    partition the discovered set."""
+    from crawl4ai_spark.queries import crawlops as C
+
+    n = _t(spark, SF, "documents").count()
+    rm, rv = C.GAP_ROBOTS
+    tm, tv = C.GAP_TRAP
+    D = C.BFS_DEPTH
+    depth = {0: 0}
+    frontier = [0]
+    for d in range(1, D + 2):
+        nxt = []
+        for p in frontier:
+            if p % rm == rv or p % tm == tv or depth[p] > D:
+                continue
+            for j in range(1, C.GRAPH_DEGREE + 1):
+                c = (p * 31 + j * 17 + 7) % n
+                if c not in depth:
+                    depth[c] = d
+                    nxt.append(c)
+        frontier = nxt
+    want: dict[str, list[int]] = {}
+    for i, d in depth.items():
+        cl = ("robots_blocked" if i % rm == rv
+              else "trap_dropped" if i % tm == tv
+              else "depth_capped" if d > D else "fetched")
+        want.setdefault(cl, []).append(d)
+    got = {r["class"]: r for r in C.q_crawl_gap_report(spark, SF).collect()}
+    assert set(got) == set(want)
+    for cl, ds in want.items():
+        assert (got[cl].n_urls, got[cl].min_depth, got[cl].max_depth) == (
+            len(ds), min(ds), max(ds)), cl
+    assert sum(r.n_urls for r in got.values()) == len(depth)
+    if "depth_capped" in got:
+        assert got["depth_capped"].min_depth == D + 1
