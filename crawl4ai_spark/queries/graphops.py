@@ -833,7 +833,9 @@ def q_graph_bowtie(spark: SparkSession, sf_dir: str) -> DataFrame:
 # MIN ties only — no floats — so both engines walk the identical
 # trajectory and the rollup matches bit-for-bit.
 # --------------------------------------------------------------------------- #
-def _lpa_oracle() -> str:
+def _lpa_cte_body() -> str:
+    """The WITH-body producing l{LPA_ITERS}(url, label) — shared by the
+    graph_lpa rollup oracle and the community_cap curation oracle."""
     from ..operators.linkgraph import LPA_ITERS
     steps = []
     for k in range(1, LPA_ITERS + 1):
@@ -851,8 +853,7 @@ def _lpa_oracle() -> str:
             FROM c{k}
         ) t WHERE r = 1
     )""")
-    return f"""
-    WITH {_LINKS_SQL},
+    return f"""{_LINKS_SQL},
     edges AS (SELECT DISTINCT src_url, dst_url FROM links),
     nodes AS (
         SELECT src_url AS url FROM edges
@@ -869,7 +870,13 @@ def _lpa_oracle() -> str:
         ) t
     ),
     l0 AS (SELECT url, url AS label FROM nodes),
-    {','.join(steps)}
+    {','.join(steps)}"""
+
+
+def _lpa_oracle() -> str:
+    from ..operators.linkgraph import LPA_ITERS
+    return f"""
+    WITH {_lpa_cte_body()}
     SELECT label AS community,
            count(*)::BIGINT AS n_members,
            min(url) AS min_url,
@@ -895,4 +902,83 @@ def q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_members"),
         F.min("url").alias("min_url"),
         F.max("url").alias("max_url"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# community_cap — per-community contribution cap: domain_cap's curation
+# guard lifted from the host key to the LPA community (link farms,
+# mirror trees and forum neighborhoods span many hosts — capping per
+# host lets a 50-host farm contribute 50 caps; capping per community
+# caps the STRUCTURE). Pages map into the graph by their page URL;
+# pages the graph never saw are their own singleton community (no link
+# evidence ⇒ no collective cap). Selection is the salted-hash priority
+# of domain_cap (deterministic, seedless, re-runnable).
+#
+# Scale shape: the LPA labels are the (url, community) table computed
+# once per generation (iteration cost amortized over every consumer);
+# the cap itself is one broadcast-able join (labels are slim) + one
+# keyed row_number window bounded per community — the domain_cap
+# two-level pre-cut applies verbatim if a community ever outgrows a
+# task, kept single-level here because the oracle is the single-window
+# form.
+# --------------------------------------------------------------------------- #
+CC_CAP = 12
+
+
+def _community_cap_oracle() -> str:
+    from ..functions import hashing as H
+    from ..operators.linkgraph import LPA_ITERS
+    h = H.h60_sql("'ccp:' || d.doc_id::VARCHAR")
+    return f"""
+    WITH {_lpa_cte_body()},
+    d AS (
+        SELECT doc_id::BIGINT AS doc_id,
+               'https://host' || (doc_id % 7)::VARCHAR || '.example.com/p/'
+                   || doc_id::VARCHAR AS url
+        FROM documents
+    ),
+    j AS (
+        SELECT d.doc_id, coalesce(l.label, d.url) AS community, {h} AS h
+        FROM d LEFT JOIN l{LPA_ITERS} l ON l.url = d.url
+    ),
+    r AS (
+        SELECT doc_id, community,
+               row_number() OVER (PARTITION BY community
+                                  ORDER BY h, doc_id) AS rk
+        FROM j
+    )
+    SELECT doc_id, community, rk::BIGINT AS rk
+    FROM r WHERE rk <= {CC_CAP}
+    """
+
+
+@query("community_cap", _community_cap_oracle())
+def q_community_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..functions import hashing as H
+    from ..operators.linkgraph import lpa_communities
+
+    labels = lpa_communities(_links(spark, sf_dir))
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    docs = d.select(
+        i.alias("doc_id"),
+        F.concat(F.lit("https://host"),
+                 F.pmod(i, F.lit(7)).cast("string"),
+                 F.lit(".example.com/p/"),
+                 i.cast("string")).alias("url"),
+        H.h60(F.concat(F.lit("ccp:"), i.cast("string"))).alias("h"),
+    )
+    j = docs.join(F.broadcast(labels), "url", "left").select(
+        "doc_id",
+        F.coalesce("community", "url").alias("community"),
+        "h",
+    )
+    w = Window.partitionBy("community").orderBy("h", "doc_id")
+    return (
+        j.withColumn("rk", F.row_number().over(w).cast("long"))
+        .where(F.col("rk") <= CC_CAP)
+        .select("doc_id", "community", "rk")
     )

@@ -183,6 +183,7 @@ _TAIL = [
     "index_champion_recall",
     "host_payload_quantiles",
     "crawl_gap_report",
+    "community_cap",
 ]
 
 

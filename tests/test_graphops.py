@@ -595,3 +595,45 @@ def test_graph_lpa_rollup_accounts_every_node(spark):
     assert all(r.n_members >= 1 for r in rows)
     assert all(r.community in nodes for r in rows)
     assert 1 < len(rows) < len(nodes)  # neither all-singletons nor one blob
+
+
+def test_community_cap_semantics(spark):
+    """Per-community cap: no community contributes more than CC_CAP
+    docs, kept docs are unique, graph-known pages inherit their LPA
+    label, and graph-unknown pages are their own singleton community
+    (rk = 1, always kept)."""
+    from crawl4ai_spark.operators.linkgraph import lpa_communities
+    from crawl4ai_spark.queries.registry import table as _t
+
+    rows = G.q_community_cap(spark, SF).collect()
+    per = {}
+    for r in rows:
+        per[r.community] = per.get(r.community, 0) + 1
+    assert per and max(per.values()) <= G.CC_CAP
+    assert len({r.doc_id for r in rows}) == len(rows)
+    assert all(1 <= r.rk <= G.CC_CAP for r in rows)
+
+    labels = {r.url: r.community
+              for r in lpa_communities(G._links(spark, SF)).collect()}
+    docs = _t(spark, SF, "documents").select("doc_id").collect()
+    urls = {int(r.doc_id):
+            f"https://host{int(r.doc_id) % 7}.example.com/p/{int(r.doc_id)}"
+            for r in docs}
+    kept = {r.doc_id: r for r in rows}
+    # kept count equals sum over communities of min(CAP, size), with
+    # membership derived independently from the labels + url scheme
+    sizes: dict[str, int] = {}
+    for did, u in urls.items():
+        c = labels.get(u, u)
+        sizes[c] = sizes.get(c, 0) + 1
+    assert len(rows) == sum(min(G.CC_CAP, n) for n in sizes.values())
+    assert any(n > 1 for n in sizes.values())   # communities are real
+    for did, r in kept.items():
+        u = urls[did]
+        if u in labels:
+            assert r.community == labels[u]
+        else:
+            assert r.community == u and r.rk == 1
+    # singleton (graph-unknown) docs are never dropped
+    singles = {d for d, u in urls.items() if u not in labels}
+    assert singles <= set(kept)
