@@ -184,6 +184,7 @@ _TAIL = [
     "host_payload_quantiles",
     "crawl_gap_report",
     "community_cap",
+    "stream_bytes_meter",
 ]
 
 

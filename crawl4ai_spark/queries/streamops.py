@@ -305,3 +305,46 @@ def q_stream_cardinality_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, variants.select(canonicalize("url_raw").alias("url")),
         regs_dir, ckp)
     return hll_estimate(read_hll_registers(spark, regs_dir))
+
+
+_BYTES_METER_ORACLE = """
+    SELECT 'host' || (doc_id % 7)::VARCHAR || '.example.com' AS host,
+           count(*)::BIGINT AS n_pages,
+           sum(strlen(coalesce(text, '')))::BIGINT AS total_bytes,
+           (sum(strlen(coalesce(text, ''))) // count(*))::BIGINT AS avg_bytes
+    FROM documents GROUP BY 1
+"""
+
+
+@query("stream_bytes_meter", _BYTES_METER_ORACLE)
+def q_stream_bytes_meter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous per-host bandwidth metering: the documents stream's
+    (host, payload-bytes) pairs fold per micro-batch into partial
+    (n_pages, total_bytes) rows appended to a durable meter store; the
+    current meter is the sum-merge of the store. Integer sums are
+    order-free, so the fully-drained availableNow run equals the batch
+    aggregation the DuckDB oracle computes — batch-boundary invariant
+    by construction (same zero-streaming-state posture as the HLL
+    meter). The merged rows are exactly the byte evidence
+    ``schedops.host_budgets_from_bytes`` consumes, making the
+    bandwidth-ceiling leg derivable mid-generation without re-scanning
+    the fetch log."""
+    from ..streaming.ingest import read_host_bytes, stream_host_bytes
+
+    name = f"stream_bytes_{uuid.uuid4().hex[:8]}"
+    ckp = os.path.join(tempfile.gettempdir(), f"ckp_{name}")
+    meter_dir = os.path.join(tempfile.gettempdir(), f"meter_{name}")
+    docs = read_documents_stream(spark, f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id").cast("long")
+    pages = docs.select(
+        F.concat(F.lit("host"), F.pmod(i, F.lit(7)).cast("string"),
+                 F.lit(".example.com")).alias("host"),
+        F.octet_length(F.coalesce(F.col("text"), F.lit("")))
+        .cast("long").alias("nbytes"),
+    )
+    stream_host_bytes(spark, pages, meter_dir, ckp)
+    m = read_host_bytes(spark, meter_dir)
+    return m.select(
+        "host", "n_pages", "total_bytes",
+        F.expr("total_bytes div n_pages").cast("long").alias("avg_bytes"),
+    )

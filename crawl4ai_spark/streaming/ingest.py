@@ -116,3 +116,60 @@ def read_hll_registers(spark: SparkSession, regs_dir: str) -> DataFrame:
         spark.read.parquet(regs_dir)
         .groupBy("idx").agg(F.max("m").alias("m"))
     )
+
+
+def stream_host_bytes(
+    spark: SparkSession,
+    pages_stream: DataFrame,
+    meter_dir: str,
+    checkpoint_dir: str,
+    host_col: str = "host",
+    nbytes_col: str = "nbytes",
+) -> None:
+    """Continuous per-host bandwidth metering: per micro-batch, fold the
+    batch to (host, n_pages, total_bytes) partials (one tiny hash agg)
+    and APPEND them to the durable meter store; the current meter is
+    always ``read_host_bytes`` (sum-merge). Integer sums are
+    commutative + associative, so the merged meter is batch-boundary
+    invariant BY CONSTRUCTION — however the source splits, the folded
+    store equals the batch aggregation over all data. Streaming-engine
+    state is ZERO (durability lives in the store, same posture as
+    stream_hll_registers); the store grows ≤ |hosts| rows per batch and
+    a periodic compaction (read → sum → overwrite) folds history
+    without changing any total.
+
+    This is the continuous evidence feed for the bandwidth budget leg:
+    ``read_host_bytes(...)`` rows carry exactly the (host, n_fetched,
+    total_bytes) shape ``schedops.host_budgets_from_bytes`` derives
+    from a finished generation's pages — a long-running crawl can
+    re-derive byte-ceiling budgets mid-generation without re-scanning
+    its fetch log."""
+
+    def fold(batch_df: DataFrame, batch_id: int) -> None:
+        part = batch_df.groupBy(host_col).agg(
+            F.count(F.lit(1)).cast("long").alias("n_pages"),
+            F.sum(F.col(nbytes_col).cast("long")).cast("long")
+            .alias("total_bytes"),
+        )
+        part.write.mode("append").parquet(meter_dir)
+
+    q = (
+        pages_stream.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
+def read_host_bytes(spark: SparkSession, meter_dir: str) -> DataFrame:
+    """Sum-merge the append-only meter store to the current per-host
+    totals: (host, n_pages, total_bytes)."""
+    return (
+        spark.read.parquet(meter_dir)
+        .groupBy("host")
+        .agg(
+            F.sum("n_pages").cast("long").alias("n_pages"),
+            F.sum("total_bytes").cast("long").alias("total_bytes"),
+        )
+    )

@@ -295,3 +295,63 @@ def test_stream_hll_registers_boundary_invariant(spark, tmp_path):
     est = hll_estimate(read_hll_registers(spark, regs_dir)).collect()[0].est
     exact = urls(d).distinct().count()
     assert abs(est - exact) / exact <= 0.5
+
+
+def test_stream_host_bytes_boundary_invariant(spark, tmp_path):
+    """The streaming bandwidth meter, drained one file per trigger,
+    sum-merges to EXACTLY the batch per-host totals — integer sums are
+    commutative/associative, so the meter cannot depend on how the
+    source split. The merged rows drive host_budgets_from_bytes
+    identically to batch-derived evidence."""
+    import os
+
+    from crawl4ai_spark.queries.schedops import host_budgets_from_bytes
+    from crawl4ai_spark.streaming.ingest import (read_host_bytes,
+                                                 stream_host_bytes)
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    src = str(tmp_path / "src")
+    d.repartition(4).write.parquet(src)
+
+    def pages(df):
+        i = F.col("doc_id").cast("long")
+        return df.select(
+            F.concat(F.lit("host"), F.pmod(i, F.lit(7)).cast("string"),
+                     F.lit(".example.com")).alias("host"),
+            F.octet_length(F.coalesce(F.col("text"), F.lit("")))
+            .cast("long").alias("nbytes"),
+        )
+
+    stream = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    meter_dir = str(tmp_path / "meter")
+    stream_host_bytes(spark, pages(stream), meter_dir, str(tmp_path / "ckp"))
+
+    batches = [f for f in os.listdir(str(tmp_path / "ckp") + "/commits")
+               if f.isdigit()]
+    assert len(batches) > 1, f"expected multiple micro-batches, got {batches}"
+    want = {(r.host, r.n, r.t) for r in
+            pages(d).groupBy("host").agg(
+                F.count(F.lit(1)).cast("long").alias("n"),
+                F.sum("nbytes").cast("long").alias("t")).collect()}
+    got = {(r.host, r.n_pages, r.total_bytes) for r in
+           read_host_bytes(spark, meter_dir).collect()}
+    assert got == want
+
+    # streamed evidence drives the bytes leg exactly like batch evidence
+    per_page = pages(d).select("host", F.lit("fetched").alias("status"),
+                               "nbytes")
+    base = (per_page.select("host").distinct()
+            .withColumn("budget", F.lit(1000)))
+    want_b = {r.host: r.budget for r in host_budgets_from_bytes(
+        per_page, base, 50_000, nbytes_col="nbytes").collect()}
+    # derive the same budgets straight from the merged meter's
+    # (n_fetched, total_bytes) evidence: avg = total div n
+    got_rows = read_host_bytes(spark, meter_dir).collect()
+    for r in got_rows:
+        avg = r.total_bytes // r.n_pages
+        cap = 1000 if avg == 0 else min(1000, max(1, 50_000 // avg))
+        assert want_b[r.host] == max(1, cap)
