@@ -89,3 +89,24 @@ def test_fsck_reports_documented_retry_truncation(spark, corpus_dir,
     assert got["pages_url_in_seen"] == 0
     assert got["resolved_rank_unique"] == 0
     assert got["frontier_hash_consistent"] == 0
+
+
+def test_fsck_survives_compaction_and_reopen(spark, corpus_dir, tmp_path):
+    """Compacting every state table and running a reopen() revisit
+    generation must keep the audit all-zeros — fsck is the check an
+    operator runs exactly after these maintenance events."""
+    eng = _run(spark, corpus_dir, tmp_path, "maint")
+    for tbl in (eng.frontier_tbl, eng.pages_tbl, eng.seen_tbl,
+                eng.metrics_tbl):
+        tbl.compact(spark, target_bytes=1 << 20, min_files=2)
+    got = {r.check: r.n_violations for r in eng.fsck().collect()}
+    assert got and all(v == 0 for v in got.values()), got
+
+    # reopen a slice of fetched URLs; the revisit generation appends
+    # re-dispatch + resolution rows and the invariants must hold
+    due = eng.pages(resolved=True).select("url").limit(5)
+    n = eng.reopen(due)
+    assert n > 0
+    eng.run(resume=True)
+    got2 = {r.check: r.n_violations for r in eng.fsck().collect()}
+    assert got2 and all(v == 0 for v in got2.values()), got2
