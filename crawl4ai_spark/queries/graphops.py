@@ -917,7 +917,9 @@ def q_graph_lpa(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Scale shape: the LPA labels are the (url, community) table computed
 # once per generation (iteration cost amortized over every consumer);
-# the cap itself is one broadcast-able join (labels are slim) + one
+# the cap itself is one url-keyed shuffle join (labels are one row per
+# GRAPH NODE — corpus-scale, slim in columns but never broadcastable;
+# docs and labels co-partition on url) + one
 # keyed row_number window bounded per community — the domain_cap
 # two-level pre-cut applies verbatim if a community ever outgrows a
 # task, kept single-level here because the oracle is the single-window
@@ -971,7 +973,7 @@ def q_community_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
                  i.cast("string")).alias("url"),
         H.h60(F.concat(F.lit("ccp:"), i.cast("string"))).alias("h"),
     )
-    j = docs.join(F.broadcast(labels), "url", "left").select(
+    j = docs.join(labels, "url", "left").select(
         "doc_id",
         F.coalesce("community", "url").alias("community"),
         "h",
