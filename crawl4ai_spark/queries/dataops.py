@@ -1243,3 +1243,122 @@ def q_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(grk >= cjk, F.lit("greek"))
         .otherwise(F.lit("cjk")).alias("script"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# dedup_lsh_recall — measure, don't guess (dedup tier): the banded
+# MinHash pipeline's candidate RECALL against the exact all-pairs
+# baseline, on the same corpus at the same τ. Because the LSH pipeline
+# verifies candidates with exact Jaccard, its misses are exactly the
+# true pairs whose signatures never collided in any band — the
+# (1 - (1 - s^r)^b) curve made empirical. One summary row: true pairs,
+# candidates generated, pairs caught, recall, and verify precision
+# (caught/candidates — the wasted-verify burden). This is the offline
+# gate you run when tuning (bands × rows) against a real shingle
+# distribution, the dedup twin of index_champion_recall.
+#
+# The all-pairs side is the VERIFICATION BASELINE (quarantined to
+# measurement runs, never the production dedup path) — and it must NOT
+# inherit dedup_ngram_jaccard's lang-blocking: blocking is a candidate
+# OPTIMIZATION, and ground truth built from an optimization undercounts
+# (this corpus has cross-lang pairs above τ that the blocked baseline
+# misses but LSH catches — measured recall would exceed 1 against the
+# blocked "truth"). The LSH side is the flagship's exact shape
+# (hash-once, slim band self-join).
+# --------------------------------------------------------------------------- #
+@query(
+    "dedup_lsh_recall",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    sh AS MATERIALIZED (
+        SELECT id, lang,
+               list_distinct({H.shingles_sql(T.tokens_sql('text'), SHINGLE_K)}) AS s
+        FROM corpus
+    ),
+    tp AS MATERIALIZED (
+        SELECT a.id AS a_id, b.id AS b_id
+        FROM sh a JOIN sh b ON a.id < b.id
+        WHERE len(a.s) > 0 AND len(b.s) > 0
+          AND len(list_intersect(a.s, b.s))::DOUBLE
+              / (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)))
+              >= {JACCARD_T}
+    ),
+    sig AS (
+        SELECT id, {H.minhash_sig_sql('s', N_PERM)} AS sig FROM sh
+    ),
+    bands AS MATERIALIZED (
+        SELECT id, b.band,
+               ({H.band_keys_sql('sig', N_BANDS, ROWS_PER_BAND)})[b.band + 1] AS key
+        FROM sig CROSS JOIN (SELECT unnest(generate_series(0, {N_BANDS - 1})) AS band) b
+    ),
+    cand AS MATERIALIZED (
+        SELECT DISTINCT a.id AS a_id, b.id AS b_id
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.key = b.key AND a.id < b.id
+    ),
+    caught AS (
+        SELECT c.a_id FROM cand c JOIN tp t
+          ON t.a_id = c.a_id AND t.b_id = c.b_id
+    ),
+    k AS (
+        SELECT (SELECT count(*) FROM tp)::BIGINT AS n_true,
+               (SELECT count(*) FROM cand)::BIGINT AS n_candidates,
+               (SELECT count(*) FROM caught)::BIGINT AS n_caught
+    )
+    SELECT n_true, n_candidates, n_caught,
+           round(n_caught::DOUBLE / greatest(1, n_true), 6) AS recall,
+           round(n_caught::DOUBLE / greatest(1, n_candidates), 6)
+               AS verify_precision
+    FROM k
+    """,
+)
+def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _wide(_corpus(spark, sf_dir))
+    sh = (
+        c.select(
+            "id", "lang",
+            F.array_distinct(H.shingles(T.tokens("text"), SHINGLE_K)).alias("s"),
+        )
+        .repartition(F.col("id"))   # shingles once; reused by all consumers
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = _jaccard(F.col("a.s"), F.col("b.s"))
+    tp = (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .where((F.size("a.s") > 0) & (F.size("b.s") > 0) & (jac >= JACCARD_T))
+        .select(F.col("a.id").alias("a_id"), F.col("b.id").alias("b_id"))
+    )
+    hs = sh.select("id", H.shingle_hashes(F.col("s")).alias("hs")).repartition(
+        F.col("id"))
+    bands = hs.select(
+        "id",
+        F.posexplode_outer(
+            H.band_keys(
+                H.minhash_sig_from_hashes(F.col("hs"), N_PERM),
+                N_BANDS, ROWS_PER_BAND)
+        ).alias("band", "key"),
+    )
+    ba, bb = bands.alias("ba"), bands.alias("bb")
+    cand = (
+        ba.join(bb, (F.col("ba.band") == F.col("bb.band"))
+                & (F.col("ba.key") == F.col("bb.key"))
+                & (F.col("ba.id") < F.col("bb.id")))
+        .select(F.col("ba.id").alias("a_id"), F.col("bb.id").alias("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    n_true = tp.agg(F.count(F.lit(1)).alias("n_true"))
+    n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
+    n_caught = (tp.join(cand, ["a_id", "b_id"])
+                .agg(F.count(F.lit(1)).alias("n_caught")))
+    one = F.lit(1).cast("long")
+    return (
+        n_true.crossJoin(F.broadcast(n_cand)).crossJoin(F.broadcast(n_caught))
+        .select(
+            "n_true", "n_candidates", "n_caught",
+            F.round(F.col("n_caught").cast("double")
+                    / F.greatest(one, F.col("n_true")), 6).alias("recall"),
+            F.round(F.col("n_caught").cast("double")
+                    / F.greatest(one, F.col("n_candidates")), 6)
+            .alias("verify_precision"),
+        )
+    )

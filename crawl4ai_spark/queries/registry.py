@@ -185,6 +185,7 @@ _TAIL = [
     "crawl_gap_report",
     "community_cap",
     "stream_bytes_meter",
+    "dedup_lsh_recall",
 ]
 
 

@@ -10,6 +10,8 @@ from __future__ import annotations
 
 from collections import Counter
 
+from pyspark.sql import functions as F
+
 from crawl4ai_spark.queries import graphops as G
 from crawl4ai_spark.queries import indexops as I
 from crawl4ai_spark.queries.registry import table as _t
@@ -193,3 +195,28 @@ def test_crawl_gap_report_matches_python_gated_bfs(spark):
     assert sum(r.n_urls for r in got.values()) == len(depth)
     if "depth_capped" in got:
         assert got["depth_capped"].min_depth == D + 1
+
+
+def test_dedup_lsh_recall_consistent_with_both_pipelines(spark):
+    """The recall row's counts are exactly the two existing pipelines'
+    outputs: n_caught == |dedup_minhash_lsh results| (LSH's exact
+    verify at τ makes caught = candidates ∩ true), and n_true ==
+    |exact all-pairs results at τ| (the dedup_ngram_jaccard baseline
+    re-thresholded to the LSH τ)."""
+    from crawl4ai_spark.queries import dataops as D
+
+    [r] = D.q_dedup_lsh_recall(spark, SF).collect()
+    n_lsh = D.q_dedup_minhash_lsh(spark, SF).count()
+    n_blocked = (D.q_dedup_ngram_jaccard(spark, SF)
+                 .where(F.col("jaccard") >= D.JACCARD_T).count())
+    assert r.n_caught == n_lsh
+    # ground truth must not inherit the baseline's lang-blocking: the
+    # unblocked truth is at least the blocked baseline's pair count
+    # (strictly more whenever cross-lang pairs clear τ)
+    assert r.n_true >= n_blocked
+    assert r.n_caught <= r.n_true and r.n_caught <= r.n_candidates
+    assert 0.0 <= r.recall <= 1.0 and 0.0 <= r.verify_precision <= 1.0
+    # recall is round(·, 6) in the query
+    assert abs(r.recall - r.n_caught / max(1, r.n_true)) < 5e-7
+    # the synthetic near-dup corpus slice guarantees true pairs exist
+    assert r.n_true > 0 and r.recall > 0.5
