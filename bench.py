@@ -69,6 +69,10 @@ HEADLINE_QUERIES = [
     "seen_cardinality_hll",
     "url_overlap_kmv",
     "template_heavy_hitters",
+    # round-4 session-13 tier: index field/pruning + graph communities
+    "index_anchor_rank",
+    "index_topk_champion",
+    "graph_lpa",
 ]
 
 
