@@ -1362,3 +1362,99 @@ def q_dedup_lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("verify_precision"),
         )
     )
+
+
+# --------------------------------------------------------------------------- #
+# shard_pack — balanced output shards for corpus export: assign every
+# document to one of SP_SHARDS shards so per-shard token totals are
+# near-equal (the file layout you want when the next stage is a
+# fixed-worker training job reading one shard per reader). Deterministic
+# LPT ("longest processing time") approximation: order docs by
+# (n_tokens DESC, doc_id ASC) and deal them out SERPENTINE
+# (boustrophedon) — pass 0 fills shards 0..S-1, pass 1 fills S-1..0 —
+# which bounds the imbalance by one document per pass instead of plain
+# round-robin's systematic bias toward low shards. Complements seq_pack
+# (which packs docs INTO fixed-budget sequences; this balances docs
+# ACROSS a fixed shard count).
+#
+# Scale shape: the global rank the deal needs is built TWO-LEVEL (the
+# pack_prefix / build_sitemaps trick): in-bucket row_number windows
+# partitioned by a RANGE bucket of the sort key (bucket = n_tokens div
+# SP_BLOCK, so bucket order == key order), plus bucket offsets from the
+# per-bucket count table — joined via a tiny broadcast non-equi join
+# (the count table is <= max_tokens/SP_BLOCK rows by construction)
+# rather than a single-partition window, so no stage ever serializes.
+# The final rollup is one S-row hash agg.
+# --------------------------------------------------------------------------- #
+SP_SHARDS = 8   # export shard count
+SP_BLOCK = 8    # token-count range width per ranking bucket
+
+_SP_SHARD_SQL = (
+    f"CASE WHEN (r0 // {SP_SHARDS}) % 2 = 0 THEN r0 % {SP_SHARDS} "
+    f"ELSE {SP_SHARDS - 1} - (r0 % {SP_SHARDS}) END"
+)
+
+
+@query(
+    "shard_pack",
+    f"""
+    WITH t AS (
+        SELECT doc_id::BIGINT AS doc_id,
+               {T.token_count_ws_sql('text')}::BIGINT AS n_tokens
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, n_tokens,
+               row_number() OVER (ORDER BY n_tokens DESC, doc_id ASC) - 1
+                   AS r0
+        FROM t
+    ),
+    a AS (SELECT n_tokens, ({_SP_SHARD_SQL})::BIGINT AS shard FROM r)
+    SELECT shard, count(*)::BIGINT AS n_docs,
+           sum(n_tokens)::BIGINT AS sum_tokens,
+           min(n_tokens)::BIGINT AS min_tokens,
+           max(n_tokens)::BIGINT AS max_tokens
+    FROM a GROUP BY shard ORDER BY shard
+    """,
+)
+def q_shard_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        T.token_count_ws("text").cast("long").alias("n_tokens"),
+    )
+    base = base.withColumn(
+        "_blk", F.floor(F.col("n_tokens") / F.lit(SP_BLOCK)).cast("long"))
+    # bucket offsets: docs in strictly HIGHER buckets rank first (sort is
+    # n_tokens DESC); the count table is tiny, so a broadcast non-equi
+    # self-join replaces a single-partition window
+    counts = base.groupBy("_blk").agg(F.count(F.lit(1)).alias("_n"))
+    offs = (
+        counts.alias("a")
+        .join(F.broadcast(counts.alias("b")),
+              F.col("b._blk") > F.col("a._blk"), "left")
+        .groupBy(F.col("a._blk").alias("_blk"))
+        .agg(F.coalesce(F.sum("b._n"), F.lit(0)).alias("_off"))
+    )
+    w_in = Window.partitionBy("_blk").orderBy(
+        F.desc("n_tokens"), F.asc("doc_id"))
+    ranked = (
+        base.withColumn("_ir", F.row_number().over(w_in))
+        .join(F.broadcast(offs), "_blk")
+        .withColumn("r0", (F.col("_off") + F.col("_ir") - 1).cast("long"))
+    )
+    pos = F.pmod(F.col("r0"), F.lit(SP_SHARDS))
+    shard = F.when(
+        F.pmod(F.floor(F.col("r0") / SP_SHARDS), F.lit(2)) == 0, pos
+    ).otherwise(F.lit(SP_SHARDS - 1) - pos)
+    return (
+        ranked.select(shard.cast("long").alias("shard"), "n_tokens")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("sum_tokens"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+        )
+        .orderBy("shard")
+    )

@@ -1019,3 +1019,155 @@ def q_index_champion_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall"),
         )
     )
+
+
+# --------------------------------------------------------------------------- #
+# index_maxscore — EXACT disjunctive top-k with MaxScore safe pruning
+# (Turtle & Flood 1995): the complement of the champion-list query
+# above. Champion lists are lossy (recall measured by
+# index_champion_recall); MaxScore is LOSSLESS — it prunes terms, not
+# documents, using a provable bound, so the result is bit-identical to
+# exhaustive scoring. The oracle here IS the exhaustive disjunctive
+# top-k: cross-engine hash equality certifies that the pruned plan
+# returns exactly what no-pruning returns.
+#
+# Batch formulation (two passes):
+#   1. theta_lb: fully score the union of each term's top-MS_SEED
+#      postings by impact; the k-th best full score among them is a
+#      LOWER bound on the true k-th best (any subset's k-th best is).
+#   2. Prune: sort terms by their max impact (UB) ascending; the
+#      longest prefix with a STRICT cumulative bound sum < theta_lb is
+#      non-essential. A doc containing only non-essential terms scores
+#      <= sum(UB_prefix) < theta_lb <= true k-th best, so it can never
+#      enter the top-k even on tie-break — every true top-k doc has at
+#      least one essential term. Candidates = docs with >= 1 essential
+#      term, scored fully.
+#
+# Scale shape: term UBs are |Q| rows and theta is one number — both a
+# documented bounded driver collect (the IVF-centroid precedent,
+# dataops.py q_ann_ivf_probe). The seed cut is a per-term window
+# bounded at MS_SEED rows; candidates join back on doc_id; the win at
+# 100 TB is that a stopword-ish query term (df = millions) whose UB
+# cannot lift a doc past theta never generates candidates at all —
+# its postings are only ever probed for docs that some essential term
+# already surfaced. Fewer than TOP_K seed docs => theta unknown =>
+# no pruning (correct, just not faster): the tiny-corpus path.
+# --------------------------------------------------------------------------- #
+MAXSCORE_TERMS = ("dup", "key", "vector", "scan", "batch", "hash")
+_MS_TERMS_SQL = ", ".join(f"'{t}'" for t in MAXSCORE_TERMS)
+MS_SEED = TOP_K  # per-term seed postings sizing the theta lower bound
+
+
+def maxscore_essential(ubs: dict[str, int], theta: int | None) -> list[str]:
+    """Split query terms into the essential suffix under MaxScore's
+    bound: walk terms by (UB asc, term asc), absorbing into the
+    non-essential prefix while the STRICT cumulative sum stays below
+    ``theta``. ``theta=None`` (unknown lower bound) prunes nothing.
+    Pure driver-side arithmetic over |Q| entries — unit-testable."""
+    if theta is None:
+        return sorted(ubs)
+    non_essential: set[str] = set()
+    cum = 0
+    for t in sorted(ubs, key=lambda t: (ubs[t], t)):
+        if cum + ubs[t] < theta:
+            non_essential.add(t)
+            cum += ubs[t]
+        else:
+            break
+    essential = sorted(t for t in ubs if t not in non_essential)
+    # Unreachable when theta comes from real seed scores (theta <=
+    # max doc score <= sum of UBs, so the strict walk always stops),
+    # but pruning EVERY term is never sound — guard defensively.
+    return essential if essential else sorted(ubs)
+
+
+def _ms_imp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(term, doc_id, impact) for the MaxScore term set — integer
+    impact tf*(N-df), staged once for its three consumers (UBs, seed
+    scoring, final scoring)."""
+    tf = (
+        _toks(spark, sf_dir)
+        .where(F.col("term").isin(*MAXSCORE_TERMS))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfs = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = _t(spark, sf_dir, "documents").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        tf.join(F.broadcast(dfs), "term")
+        .join(F.broadcast(n))
+        .select(
+            "term", "doc_id",
+            (F.col("tf") * (F.col("n_docs") - F.col("df")))
+            .cast("long").alias("impact"),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+
+@query(
+    "index_maxscore",
+    f"""
+    WITH toks AS (
+        SELECT d.doc_id::BIGINT AS doc_id, u.w AS term
+        FROM documents d, unnest({tokens_sql('d.text')}) AS u(w)
+    ),
+    tf AS (
+        SELECT term, doc_id, count(*)::BIGINT AS tf
+        FROM toks WHERE term IN ({_MS_TERMS_SQL})
+        GROUP BY term, doc_id
+    ),
+    dfs AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*)::BIGINT AS n_docs FROM documents),
+    imp AS (
+        SELECT tf.term, tf.doc_id,
+               (tf.tf * (n.n_docs - d.df))::BIGINT AS impact
+        FROM tf JOIN dfs d USING (term) CROSS JOIN n
+    ),
+    scored AS (
+        SELECT doc_id, count(*)::BIGINT AS n_terms,
+               sum(impact)::BIGINT AS score
+        FROM imp GROUP BY doc_id
+    )
+    SELECT row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rank,
+           doc_id, score, n_terms
+    FROM scored
+    ORDER BY score DESC, doc_id ASC
+    LIMIT {TOP_K}
+    """,
+)
+def q_index_maxscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    imp = _ms_imp(spark, sf_dir)
+    # bounded driver collects: |Q| term bounds + one theta scalar
+    ubs = {
+        r["term"]: r["ub"]
+        for r in imp.groupBy("term").agg(F.max("impact").alias("ub")).collect()
+    }
+    wc = Window.partitionBy("term").orderBy(F.desc("impact"), F.asc("doc_id"))
+    seed = (
+        imp.withColumn("_r", F.row_number().over(wc))
+        .where(F.col("_r") <= MS_SEED)
+        .select("doc_id").distinct()
+    )
+    seed_top = (
+        imp.join(F.broadcast(seed), "doc_id")
+        .groupBy("doc_id").agg(F.sum("impact").alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id")).limit(TOP_K)
+        .collect()
+    )
+    theta = int(seed_top[-1]["score"]) if len(seed_top) == TOP_K else None
+    essential = maxscore_essential(ubs, theta)
+    cand = (
+        imp.where(F.col("term").isin(essential))
+        .select("doc_id").distinct()
+    )
+    scored = (
+        imp.join(F.broadcast(cand), "doc_id")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_terms"), F.sum("impact").alias("score"))
+    )
+    top = scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(TOP_K)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    return top.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "doc_id", "score", "n_terms"
+    )

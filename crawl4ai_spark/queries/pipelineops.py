@@ -1703,3 +1703,62 @@ def q_license_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(False))
     )
     return det.select("doc_id", lic.alias("license"), ok.alias("train_ok"))
+
+
+# --------------------------------------------------------------------------- #
+# badwords_gate — C4's token-level blocklist filter ("List of Dirty,
+# Naughty, Obscene..." in the T5 paper; RefinedWeb/FineWeb run the same
+# shape). Distinct from quality_c4 (SUBSTRING heuristics: 'lorem
+# ipsum', '{') and url_blocklist (URL/domain rules): this one matches
+# WHOLE TOKENS against a word list, so 'scrape' never trips a rule for
+# 'rape' — the word-boundary property the C4 paper calls out. The
+# operator takes the list as a parameter (a production run broadcasts
+# the real LDNOOBW dump, ~1.7k terms); the query pins a deterministic
+# stand-in drawn from the synthetic vocabulary ('dup' hits ~5% of
+# docs, 'forbidden' never occurs — both match paths exercised).
+#
+# Scale shape: the list folds into an In-predicate inside an array HOF
+# — one projection in whole-stage codegen at the scan, no explode, no
+# shuffle, no UDF. A 1.7k-term production list compiles the same way
+# (Catalyst turns large In into a hash set); beyond ~10k terms you'd
+# switch to a broadcast join against exploded tokens, same output.
+# --------------------------------------------------------------------------- #
+BADWORDS = ("dup", "forbidden")
+_BADWORDS_SQL = ", ".join(f"'{w}'" for w in BADWORDS)
+
+
+def badwords_gate(docs: DataFrame, words: tuple[str, ...] = BADWORDS,
+                  text_col: str = "text") -> DataFrame:
+    """Per-doc blocklist audit over ``docs(doc_id, text)``: token count,
+    blocklisted-token count, density, and C4's any-hit keep verdict."""
+    toks = T.tokens(text_col)
+    n_bad = F.size(F.filter(toks, lambda w: w.isin(*words)))
+    n_tok = F.size(toks)
+    return docs.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        n_tok.cast("long").alias("n_tokens"),
+        n_bad.cast("long").alias("n_bad"),
+        F.round(n_bad.cast("double") / F.greatest(F.lit(1), n_tok), 6)
+        .alias("bad_frac"),
+        (n_bad == 0).alias("keep"),
+    )
+
+
+@query(
+    "badwords_gate",
+    f"""
+    WITH t AS (
+        SELECT doc_id::BIGINT AS doc_id, {T.tokens_sql('text')} AS w
+        FROM documents
+    )
+    SELECT doc_id,
+           len(w)::BIGINT AS n_tokens,
+           len(list_filter(w, x -> x IN ({_BADWORDS_SQL})))::BIGINT AS n_bad,
+           round(len(list_filter(w, x -> x IN ({_BADWORDS_SQL})))::DOUBLE
+                 / greatest(1, len(w)), 6) AS bad_frac,
+           (len(list_filter(w, x -> x IN ({_BADWORDS_SQL}))) = 0) AS keep
+    FROM t
+    """,
+)
+def q_badwords_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return badwords_gate(_t(spark, sf_dir, "documents"))

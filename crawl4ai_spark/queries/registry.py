@@ -186,6 +186,10 @@ _TAIL = [
     "community_cap",
     "stream_bytes_meter",
     "dedup_lsh_recall",
+    # round-4 session-14 additions, local-tier
+    "index_maxscore",
+    "badwords_gate",
+    "shard_pack",
 ]
 
 

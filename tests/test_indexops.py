@@ -220,3 +220,64 @@ def test_dedup_lsh_recall_consistent_with_both_pipelines(spark):
     assert abs(r.recall - r.n_caught / max(1, r.n_true)) < 5e-7
     # the synthetic near-dup corpus slice guarantees true pairs exist
     assert r.n_true > 0 and r.recall > 0.5
+
+
+def test_maxscore_essential_unit():
+    # strict walk: a(10) absorbed (10 < 25); b stops (10+20 !< 25)
+    assert I.maxscore_essential({"a": 10, "b": 20, "c": 30}, 25) == ["b", "c"]
+    # unknown theta prunes nothing
+    assert I.maxscore_essential({"a": 10, "b": 20}, None) == ["a", "b"]
+    # boundary is strict: cum + ub == theta is NOT absorbed
+    assert I.maxscore_essential({"a": 10, "b": 20}, 10) == ["a", "b"]
+    assert I.maxscore_essential({"a": 10, "b": 20}, 11) == ["b"]
+    # defensive: pruning everything is never sound
+    assert I.maxscore_essential({"a": 1, "b": 1}, 1000) == ["a", "b"]
+
+
+def test_index_maxscore_matches_brute_force_and_prunes(spark):
+    docs = {
+        int(r.doc_id): (r.text or "")
+        for r in _t(spark, SF, "documents").select("doc_id", "text").collect()
+    }
+    n_docs = len(docs)
+    tf: dict[tuple[str, int], int] = {}
+    for did, text in docs.items():
+        c = Counter(w for w in text.split() if w in I.MAXSCORE_TERMS)
+        for t, n in c.items():
+            tf[(t, did)] = n
+    df = Counter(t for (t, _) in tf)
+    score: dict[int, int] = {}
+    nterms: dict[int, int] = {}
+    for (t, d), n in tf.items():
+        score[d] = score.get(d, 0) + n * (n_docs - df[t])
+        nterms[d] = nterms.get(d, 0) + 1
+    want = sorted(score.items(), key=lambda kv: (-kv[1], kv[0]))[: I.TOP_K]
+
+    got = I.q_index_maxscore(spark, SF).orderBy("rank").collect()
+    assert [(r.doc_id, r.score, r.n_terms) for r in got] == [
+        (d, s, nterms[d]) for d, s in want
+    ]
+    assert [r.rank for r in got] == list(range(1, len(want) + 1))
+
+    # the pruning is REAL on this corpus: recompute the bound inputs the
+    # query derives internally and check a strict term subset survives
+    imp = {(t, d): n * (n_docs - df[t]) for (t, d), n in tf.items()}
+    ubs: dict[str, int] = {}
+    for (t, _), v in imp.items():
+        ubs[t] = max(ubs.get(t, 0), v)
+    seed_docs = set()
+    for t in ubs:
+        post = sorted(
+            ((v, d) for (tt, d), v in imp.items() if tt == t),
+            key=lambda x: (-x[0], x[1]),
+        )[: I.MS_SEED]
+        seed_docs.update(d for _, d in post)
+    seed_scores = sorted((score[d] for d in seed_docs), reverse=True)
+    theta = seed_scores[I.TOP_K - 1] if len(seed_scores) >= I.TOP_K else None
+    essential = I.maxscore_essential(ubs, theta)
+    assert 1 <= len(essential) < len(I.MAXSCORE_TERMS)
+    # safety of the bound: every brute-force top-k doc carries an
+    # essential term
+    ess = set(essential)
+    for d, _ in want:
+        assert any((t, d) in tf for t in ess)

@@ -616,3 +616,58 @@ def test_license_detect_classes(spark):
     for r in rows:
         assert r.license == want[r.doc_id % 9]
         assert r.train_ok == (r.license in ok)
+
+
+def test_badwords_gate_matches_word_boundaries(spark):
+    rows = spark.createDataFrame(
+        [
+            (0, "dup here and dup again"),     # two whole-token hits
+            (1, "duplicate words only"),       # substring must NOT match
+            (2, "clean text entirely"),
+            (3, ""),                           # empty doc: 0 tokens, keep
+            (4, "forbidden"),                  # the never-in-corpus word
+        ],
+        "doc_id long, text string",
+    )
+    got = {r.doc_id: r for r in P.badwords_gate(rows).collect()}
+    assert (got[0].n_bad, got[0].keep) == (2, False)
+    assert (got[1].n_bad, got[1].keep) == (0, True)
+    assert (got[2].n_bad, got[2].keep) == (0, True)
+    assert (got[3].n_tokens, got[3].n_bad, got[3].keep) == (0, 0, True)
+    assert got[3].bad_frac == 0.0
+    assert (got[4].n_bad, got[4].keep) == (1, False)
+    assert got[0].bad_frac == pytest.approx(2 / 5)
+    # the corpus query exercises both list paths: 'dup' hits, and no
+    # doc is flagged for anything else
+    corpus = P.q_badwords_gate(spark, SF).collect()
+    flagged = [r for r in corpus if not r.keep]
+    assert flagged and all(r.n_bad > 0 for r in flagged)
+    assert any(r.keep for r in corpus)
+
+
+def test_shard_pack_balance_and_rank_equivalence(spark):
+    from crawl4ai_spark.queries.dataops import SP_SHARDS, q_shard_pack
+    from crawl4ai_spark.queries.registry import table as _t
+
+    rows = q_shard_pack(spark, SF).collect()
+    assert [r.shard for r in rows] == list(range(SP_SHARDS))
+    docs = _t(spark, SF, "documents").select("doc_id", "text").collect()
+    sizes = sorted(
+        (len([w for w in (r.text or "").split() if w]), int(r.doc_id))
+        for r in docs
+    )
+    sizes = [(n, d) for n, d in sizes]
+    # brute-force serpentine LPT over the single-window global rank
+    order = sorted(sizes, key=lambda x: (-x[0], x[1]))
+    totals = [0] * SP_SHARDS
+    counts = [0] * SP_SHARDS
+    for r0, (n, _) in enumerate(order):
+        pos = r0 % SP_SHARDS
+        shard = pos if (r0 // SP_SHARDS) % 2 == 0 else SP_SHARDS - 1 - pos
+        totals[shard] += n
+        counts[shard] += 1
+    assert [r.sum_tokens for r in rows] == totals
+    assert [r.n_docs for r in rows] == counts
+    # the balance property the serpentine deal exists for: per-shard
+    # totals within one max-document of each other
+    assert max(totals) - min(totals) <= max(n for n, _ in sizes)
