@@ -190,6 +190,8 @@ _TAIL = [
     "index_maxscore",
     "badwords_gate",
     "shard_pack",
+    "ann_pq_adc",
+    "ann_pq_recall",
 ]
 
 
