@@ -1768,3 +1768,148 @@ def q_ann_pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_rerank"),
         )
     )
+
+
+# --------------------------------------------------------------------------- #
+# zorder_scan_pruning — file-layout economics, MEASURED: at 100 TB the
+# scan you avoid is the cheapest scan, and what a reader can skip is
+# decided when the WRITER orders rows into files (parquet/Iceberg keep
+# per-file column min/max; a file whose [min,max] excludes the
+# predicate is never opened). This query lays the events table out two
+# ways — lexicographic (time bucket, then user bucket) and Z-ORDER
+# (Morton bit-interleave of the two bucket keys, the Iceberg/Delta
+# OPTIMIZE ZORDER strategy) — then probes every point value of EACH
+# dimension against the per-file min/max ranges and reports how many
+# file-opens each layout costs. Lex is optimal for the leading dim and
+# worthless for the trailing one; Z-order pays a bounded factor on the
+# leading dim to make BOTH dims prunable — the measured tradeoff, not
+# the folklore.
+#
+# Scale shape: bucket + interleave are pure integer projections at the
+# scan; file stats are one groupBy(layout, file); the probe sweep is a
+# broadcast cross join against the 2*N_ZFILES-row stats table. No
+# window, no collect, integer-exact in both engines. Production would
+# hand `zcode` straight to a write's sortWithinPartitions/ORDER BY —
+# this query is the decision gate for WHICH layout to write.
+# --------------------------------------------------------------------------- #
+Z_BITS = 4                 # bucket resolution per dimension (16 levels)
+N_ZFILES = 8               # files per layout = top-3 bits of the code
+
+
+def _z_interleave_sql(a: str, b: str) -> str:
+    """8-bit Morton code: a's bits at odd positions, b's at even."""
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(f"((({a}) // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"((({b}) // {1 << i}) % 2) * {1 << (2 * i)}")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _z_interleave(a: F.Column, b: F.Column) -> F.Column:
+    code = F.lit(0)
+    for i in range(Z_BITS):
+        code = code + F.pmod(F.floor(a / (1 << i)), F.lit(2)) * (1 << (2 * i + 1))
+        code = code + F.pmod(F.floor(b / (1 << i)), F.lit(2)) * (1 << (2 * i))
+    return code
+
+
+_Z_LEVELS = 1 << Z_BITS
+_Z_SHIFT = (2 * Z_BITS) - (N_ZFILES.bit_length() - 1)   # top-3 code bits
+
+
+@query(
+    "zorder_scan_pruning",
+    f"""
+    WITH tb AS (
+        SELECT min(epoch(ts)::BIGINT) AS mn, max(epoch(ts)::BIGINT) AS mx FROM events
+    ),
+    k AS (
+        SELECT least({_Z_LEVELS - 1},
+                     ((epoch(ts)::BIGINT - mn) * {_Z_LEVELS}) // (mx - mn + 1)
+               )::BIGINT AS a,
+               (user_id % {_Z_LEVELS})::BIGINT AS b
+        FROM events, tb
+    ),
+    laid AS (
+        SELECT 'lex' AS layout, a, b,
+               ((a * {_Z_LEVELS} + b) // {1 << _Z_SHIFT})::BIGINT AS file_id
+        FROM k
+        UNION ALL
+        SELECT 'zorder' AS layout, a, b,
+               ({_z_interleave_sql('a', 'b')} // {1 << _Z_SHIFT})::BIGINT
+        FROM k
+    ),
+    stats AS (
+        SELECT layout, file_id, count(*)::BIGINT AS n_rows,
+               min(a) AS min_a, max(a) AS max_a,
+               min(b) AS min_b, max(b) AS max_b
+        FROM laid GROUP BY layout, file_id
+    )
+    SELECT layout,
+           count(DISTINCT file_id)::BIGINT AS n_files,
+           min(n_rows)::BIGINT AS rows_min,
+           max(n_rows)::BIGINT AS rows_max,
+           (SELECT count(*) FROM stats s, generate_series(0, {_Z_LEVELS - 1}) p(v)
+             WHERE s.layout = stats_outer.layout
+               AND p.v BETWEEN s.min_a AND s.max_a)::BIGINT AS scanned_a,
+           (SELECT count(*) FROM stats s, generate_series(0, {_Z_LEVELS - 1}) p(v)
+             WHERE s.layout = stats_outer.layout
+               AND p.v BETWEEN s.min_b AND s.max_b)::BIGINT AS scanned_b
+    FROM stats stats_outer
+    GROUP BY layout
+    """,
+)
+def q_zorder_scan_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    tb = ev.agg(
+        F.min(F.unix_timestamp("ts")).alias("mn"),
+        F.max(F.unix_timestamp("ts")).alias("mx"),
+    )
+    k = ev.crossJoin(F.broadcast(tb)).select(
+        F.least(
+            F.lit(_Z_LEVELS - 1),
+            F.floor(((F.unix_timestamp("ts") - F.col("mn")) * _Z_LEVELS)
+                    / (F.col("mx") - F.col("mn") + 1)),
+        ).cast("long").alias("a"),
+        F.pmod(F.col("user_id"), F.lit(_Z_LEVELS)).cast("long").alias("b"),
+    )
+    lex = k.select(
+        F.lit("lex").alias("layout"), "a", "b",
+        F.floor((F.col("a") * _Z_LEVELS + F.col("b")) / (1 << _Z_SHIFT))
+        .cast("long").alias("file_id"),
+    )
+    zed = k.select(
+        F.lit("zorder").alias("layout"), "a", "b",
+        F.floor(_z_interleave(F.col("a"), F.col("b")) / (1 << _Z_SHIFT))
+        .cast("long").alias("file_id"),
+    )
+    stats = (
+        lex.unionByName(zed)
+        .groupBy("layout", "file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("a").alias("min_a"), F.max("a").alias("max_a"),
+            F.min("b").alias("min_b"), F.max("b").alias("max_b"),
+        )
+        .localCheckpoint(eager=False)  # rollup + probe-sweep consumers
+    )
+    probes = spark.range(_Z_LEVELS).select(F.col("id").alias("v"))
+    sweep = (
+        stats.crossJoin(F.broadcast(probes))
+        .groupBy("layout")
+        .agg(
+            F.sum(F.col("v").between(F.col("min_a"), F.col("max_a"))
+                  .cast("long")).alias("scanned_a"),
+            F.sum(F.col("v").between(F.col("min_b"), F.col("max_b"))
+                  .cast("long")).alias("scanned_b"),
+        )
+    )
+    roll = stats.groupBy("layout").agg(
+        F.countDistinct("file_id").cast("long").alias("n_files"),
+        F.min("n_rows").cast("long").alias("rows_min"),
+        F.max("n_rows").cast("long").alias("rows_max"),
+    )
+    return roll.join(sweep, "layout").select(
+        "layout", "n_files", "rows_min", "rows_max",
+        F.col("scanned_a").cast("long"), F.col("scanned_b").cast("long"),
+    )

@@ -192,6 +192,7 @@ _TAIL = [
     "shard_pack",
     "ann_pq_adc",
     "ann_pq_recall",
+    "zorder_scan_pruning",
 ]
 
 

@@ -671,3 +671,24 @@ def test_shard_pack_balance_and_rank_equivalence(spark):
     # the balance property the serpentine deal exists for: per-shard
     # totals within one max-document of each other
     assert max(totals) - min(totals) <= max(n for n, _ in sizes)
+
+
+def test_zorder_scan_pruning_tradeoff(spark):
+    from crawl4ai_spark.queries.dataops import (
+        N_ZFILES, q_zorder_scan_pruning)
+
+    rows = {r.layout: r for r in q_zorder_scan_pruning(spark, SF).collect()}
+    assert set(rows) == {"lex", "zorder"}
+    for r in rows.values():
+        assert r.n_files == N_ZFILES
+        assert r.rows_min >= 1
+    lex, z = rows["lex"], rows["zorder"]
+    # lex is optimal on its leading dim and worthless on the trailing
+    # one (every file spans the full b range); z-order pays a bounded
+    # factor on a to make b prunable — strictly better in aggregate
+    # near-worthless: >= 90% of all possible file-opens (sparse sf0.001
+    # buckets can miss a b value in a file, so not exactly 16 * N files)
+    assert lex.scanned_b >= int(0.9 * 16 * N_ZFILES)
+    assert z.scanned_b < lex.scanned_b
+    assert z.scanned_a <= 2 * lex.scanned_a
+    assert z.scanned_a + z.scanned_b < lex.scanned_a + lex.scanned_b
