@@ -1762,3 +1762,134 @@ def badwords_gate(docs: DataFrame, words: tuple[str, ...] = BADWORDS,
 )
 def q_badwords_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return badwords_gate(_t(spark, sf_dir, "documents"))
+
+
+# --------------------------------------------------------------------------- #
+# winnow_fingerprints — winnowing (Schleimer/Wilkerson/Aiken, SIGMOD
+# 2003; the MOSS algorithm): LOCAL document fingerprinting with a
+# guarantee the k-gram samplers above don't have. Hash every WIN_K-gram,
+# slide a window of WIN_W consecutive gram hashes, keep the minimum of
+# each window (ties -> rightmost; the paper's robust variant also
+# prefers the previous window's pick — documented simplification), and
+# dedupe the picks. Two provable properties: (a) any match of
+# WIN_W + WIN_K - 1 tokens or longer between two documents shares at
+# least one selected fingerprint — detection is GUARANTEED above that
+# length, unlike MinHash's probabilistic recall; (b) expected density
+# of the selection is 2/(WIN_W+1) — storage is a tuned fraction of the
+# full gram set. dedup_substring keeps EVERY window hash; winnowing is
+# what you store when 100 TB of every-window hashes is the bottleneck.
+#
+# Scale shape: each gram row fans out to the <= WIN_W windows covering
+# it (slim (id, pos, hash) rows, map-side), one groupBy(id, window)
+# min-struct picks the fingerprint, one distinct folds overlapping
+# windows' repeated picks. Hashes are md5 hex strings (the
+# dedup_substring convention) so "min" is plain lexicographic order in
+# both engines. Only (id, hash) pairs ever shuffle.
+# --------------------------------------------------------------------------- #
+WIN_K = 4   # tokens per gram
+WIN_W = 4   # gram hashes per winnowing window
+
+
+@query(
+    "winnow_fingerprints",
+    f"""
+    WITH corpus AS ({_CORPUS_SQL}),
+    tok AS (SELECT id, {T.tokens_sql('text')} AS t FROM corpus),
+    grams AS (
+        SELECT id, u.i AS pos,
+               md5(array_to_string(t[(u.i + 1):(u.i + {WIN_K})], ' ')) AS h,
+               len(t) - {WIN_K} AS max_pos
+        FROM tok, unnest(generate_series(0, len(t) - {WIN_K})) AS u(i)
+        WHERE len(t) >= {WIN_K}
+    ),
+    fan AS (
+        SELECT id, pos, h, w.w0
+        FROM grams, unnest(generate_series(
+            greatest(0, pos - {WIN_W - 1}),
+            least(pos, max_pos - {WIN_W - 1}))) AS w(w0)
+        WHERE max_pos >= {WIN_W - 1}
+    ),
+    picks AS (
+        SELECT id, w0, pos, h FROM (
+            SELECT id, w0, pos, h,
+                   row_number() OVER (PARTITION BY id, w0
+                                      ORDER BY h ASC, pos DESC) AS rn
+            FROM fan) t WHERE rn = 1
+    ),
+    sel AS (SELECT DISTINCT id, pos, h FROM picks),
+    shared AS (SELECT h FROM sel GROUP BY h HAVING count(DISTINCT id) > 1)
+    SELECT g.id,
+           count(DISTINCT g.pos)::BIGINT AS n_grams,
+           count(DISTINCT s.pos)::BIGINT AS n_selected,
+           round(count(DISTINCT s.pos)::DOUBLE
+                 / greatest(1, count(DISTINCT g.pos)), 6) AS density,
+           count(DISTINCT CASE WHEN s.h IN (SELECT h FROM shared)
+                               THEN s.pos END)::BIGINT AS n_shared
+    FROM grams g
+    LEFT JOIN sel s ON s.id = g.id AND s.pos = g.pos
+    GROUP BY g.id
+    """,
+)
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .dataops import _corpus
+
+    c = _corpus(spark, sf_dir)
+    t = T.tokens("text")
+    grams_arr = F.when(
+        F.size(t) >= WIN_K,
+        F.transform(
+            F.sequence(F.lit(0), F.size(t) - WIN_K),
+            lambda i: F.struct(
+                i.alias("pos"),
+                F.md5(F.array_join(F.slice(t, i + 1, WIN_K), " ")).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<pos:int,h:string>>"))
+    grams = (
+        c.select(F.col("id"), F.explode(grams_arr).alias("g"),
+                 (F.size(t) - WIN_K).alias("max_pos"))
+        .select("id", F.col("g.pos").alias("pos"), F.col("g.h").alias("h"),
+                "max_pos")
+    )
+    fan = (
+        grams.where(F.col("max_pos") >= WIN_W - 1)
+        .select(
+            "id", "pos", "h",
+            F.explode(F.sequence(
+                F.greatest(F.lit(0), F.col("pos") - (WIN_W - 1)),
+                F.least(F.col("pos"), F.col("max_pos") - (WIN_W - 1)),
+            )).alias("w0"),
+        )
+    )
+    # min (h asc, pos desc) per window: min-struct with bit-flipped pos
+    picks = (
+        fan.groupBy("id", "w0")
+        .agg(F.min(F.struct(F.col("h"), (-F.col("pos")).alias("np"))).alias("m"))
+        .select("id", (-F.col("m.np")).alias("pos"), F.col("m.h").alias("h"))
+    )
+    sel = picks.select("id", "pos", "h").distinct().localCheckpoint(eager=False)
+    shared = (
+        sel.groupBy("h")
+        .agg(F.countDistinct("id").alias("nd"))
+        .where(F.col("nd") > 1)
+        .select("h", F.lit(True).alias("is_shared"))
+    )
+    selj = sel.join(F.broadcast(shared), "h", "left").select(
+        "id", "pos", F.coalesce("is_shared", F.lit(False)).alias("is_shared"))
+    per_sel = selj.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_selected"),
+        F.sum(F.col("is_shared").cast("long")).alias("n_shared"),
+    )
+    per_gram = grams.groupBy("id").agg(F.count(F.lit(1)).alias("n_grams"))
+    return (
+        per_gram.join(per_sel, "id", "left")
+        .select(
+            "id",
+            F.col("n_grams").cast("long"),
+            F.coalesce("n_selected", F.lit(0)).cast("long").alias("n_selected"),
+            F.round(F.coalesce("n_selected", F.lit(0)).cast("double")
+                    / F.greatest(F.lit(1), F.col("n_grams")), 6)
+            .alias("density"),
+            F.coalesce("n_shared", F.lit(0)).cast("long").alias("n_shared"),
+        )
+    )

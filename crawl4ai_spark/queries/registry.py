@@ -193,6 +193,7 @@ _TAIL = [
     "ann_pq_adc",
     "ann_pq_recall",
     "zorder_scan_pruning",
+    "winnow_fingerprints",
 ]
 
 

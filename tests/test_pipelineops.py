@@ -692,3 +692,55 @@ def test_zorder_scan_pruning_tradeoff(spark):
     assert z.scanned_b < lex.scanned_b
     assert z.scanned_a <= 2 * lex.scanned_a
     assert z.scanned_a + z.scanned_b < lex.scanned_a + lex.scanned_b
+
+
+def test_winnow_fingerprints_matches_python_twin(spark):
+    import hashlib
+
+    from crawl4ai_spark.queries.dataops import _corpus
+    from crawl4ai_spark.queries.pipelineops import (
+        WIN_K, WIN_W, q_winnow_fingerprints)
+
+    docs = {int(r.id): (r.text or "") for r in _corpus(spark, SF).collect()}
+
+    def winnow(text):
+        t = [w for w in text.split() if w]
+        if len(t) < WIN_K:
+            return None, set(), set()
+        grams = [
+            hashlib.md5(" ".join(t[i:i + WIN_K]).encode()).hexdigest()
+            for i in range(len(t) - WIN_K + 1)
+        ]
+        sel = set()
+        for w0 in range(len(grams) - WIN_W + 1):
+            win = grams[w0:w0 + WIN_W]
+            h = min(win)
+            # ties -> rightmost
+            pos = w0 + max(i for i, g in enumerate(win) if g == h)
+            sel.add((pos, grams[pos]))
+        return len(grams), sel, {h for _, h in sel}
+
+    twins = {d: winnow(text) for d, text in docs.items()}
+    got = {r.id: r for r in q_winnow_fingerprints(spark, SF).collect()}
+    from collections import Counter
+    owners = Counter()
+    for d, (_, _, hs) in twins.items():
+        for h in hs:
+            owners[h] += 1
+    for d, (n_grams, sel, hs) in twins.items():
+        if n_grams is None:
+            assert d not in got
+            continue
+        r = got[d]
+        assert (r.n_grams, r.n_selected) == (n_grams, len(sel))
+        assert r.n_shared == sum(1 for p, h in sel if owners[h] > 1)
+        # expected density ~ 2/(w+1); selection never exceeds one pick
+        # per window start
+        assert r.n_selected <= max(0, n_grams - WIN_W + 1)
+    # the winnowing GUARANTEE on the planted exact copies (id + 2000000
+    # duplicates id): identical docs share every fingerprint
+    for d, (n_grams, sel, hs) in twins.items():
+        if d >= 2000000 and n_grams:
+            src = twins[d - 2000000]
+            assert hs and hs == src[2]
+            assert got[d].n_shared == got[d].n_selected
