@@ -73,6 +73,11 @@ HEADLINE_QUERIES = [
     "index_anchor_rank",
     "index_topk_champion",
     "graph_lpa",
+    # round-4 session-14 tier: lossless retrieval pruning, PQ ANN,
+    # layout economics
+    "index_maxscore",
+    "ann_pq_adc",
+    "zorder_scan_pruning",
 ]
 
 

@@ -1515,7 +1515,7 @@ def _l2_sql(a: str, b: str) -> str:
 
 
 # shared CTE block: codes for every vector + per-query ADC tables
-_PQ_SQL = f"""
+_PQ_CODES_SQL = f"""
     e AS (SELECT vec_id::BIGINT AS id,
                  list_transform(embedding, x -> x::DOUBLE) AS v
           FROM embeddings),
@@ -1539,13 +1539,18 @@ _PQ_SQL = f"""
             SELECT id AS q_id, s, list(d ORDER BY k) AS dk
             FROM dists WHERE id < {PQ_NQ} GROUP BY id, s) t
         GROUP BY q_id
-    ),
+    )
+"""
+
+_PQ_ADIST_SQL = (
+    f"list_reduce(list_prepend(0.0::DOUBLE, "
+    f"list_transform(generate_series(1, {M_SUB}), "
+    f"s -> (t.qd)[s][(c.code)[s]])), (acc, x) -> acc + x)"
+)
+
+_PQ_SQL = f"""{_PQ_CODES_SQL},
     adc AS (
-        SELECT t.q_id, c.id AS n_id,
-               list_reduce(list_prepend(0.0::DOUBLE,
-                   list_transform(generate_series(1, {M_SUB}),
-                                  s -> (t.qd)[s][(c.code)[s]])),
-                   (acc, x) -> acc + x) AS adist
+        SELECT t.q_id, c.id AS n_id, {_PQ_ADIST_SQL} AS adist
         FROM qtabs t JOIN codes c ON c.id <> t.q_id
     )
 """
@@ -1912,4 +1917,110 @@ def q_zorder_scan_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roll.join(sweep, "layout").select(
         "layout", "n_files", "rows_min", "rows_max",
         F.col("scanned_a").cast("long"), F.col("scanned_b").cast("long"),
+    )
+
+
+# --------------------------------------------------------------------------- #
+# ann_ivfpq_probe — the composition the two tiers above exist for:
+# IVF cells bound the CANDIDATE set (~n*probe/cells per query, the
+# ann_ivf_probe coarse quantizer), PQ codes bound the BYTES touched per
+# candidate (ADC lookups, never raw floats) — together the standard
+# billion-vector serving layout (Jégou's IVFADC). Each query probes its
+# N_PROBE nearest cells and ADC-scores only those cells' members.
+# Scale shape: centroids broadcast (N_CELLS literals), candidate join
+# keys on cell, the corpus side contributes (id, cell, code) — 8 bytes
+# of payload per vector; nothing else shuffles.
+# --------------------------------------------------------------------------- #
+@query(
+    "ann_ivfpq_probe",
+    f"""
+    WITH {_PQ_CODES_SQL},
+    cents AS (
+        SELECT list(list_transform(embedding, x -> x::DOUBLE) ORDER BY vec_id) AS cent
+        FROM embeddings WHERE vec_id < {N_CELLS}
+    ),
+    assigned AS (
+        SELECT e.vec_id, {_IVF_SIMS_SQL} AS sims
+        FROM embeddings e, cents c
+    ),
+    cells AS (
+        SELECT vec_id, (list_position(sims, list_max(sims)) - 1)::INT AS cell
+        FROM assigned
+    ),
+    qprobe AS (
+        SELECT vec_id AS q_id, unnest([
+            (list_position(sims, list_max(sims)) - 1)::INT,
+            (list_position({_IVF_MASKED_SQL}, list_max({_IVF_MASKED_SQL})) - 1)::INT
+        ]) AS cell
+        FROM assigned WHERE vec_id < {PQ_NQ}
+    ),
+    scored AS (
+        SELECT t.q_id, c.id AS n_id, {_PQ_ADIST_SQL} AS adist
+        FROM qprobe qp
+        JOIN cells m ON m.cell = qp.cell AND m.vec_id <> qp.q_id
+        JOIN codes c ON c.id = m.vec_id
+        JOIN qtabs t ON t.q_id = qp.q_id
+    )
+    SELECT q_id::BIGINT AS q_id, n_id::BIGINT AS n_id,
+           row_number() OVER (PARTITION BY q_id
+                              ORDER BY adist ASC, n_id ASC)::INT AS rank,
+           round(adist, 6) AS adist
+    FROM scored QUALIFY rank <= 3
+    """,
+)
+def q_ann_ivfpq_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "embeddings")
+    cents = [
+        r.embedding
+        for r in e.where(F.col("vec_id") < N_CELLS).orderBy("vec_id").collect()
+    ]
+    sims = F.array(*[
+        _cos(F.array(*[F.lit(float(x)) for x in cv]), F.col("embedding"))
+        for cv in cents
+    ])
+    assigned = e.select(F.col("vec_id").cast("long").alias("vec_id"),
+                        sims.alias("sims"))
+    best = F.array_position(F.col("sims"), F.array_max("sims")) - 1
+    masked = F.transform(
+        F.sequence(F.lit(1), F.lit(N_CELLS)),
+        lambda i: F.when(
+            i == F.array_position(F.col("sims"), F.array_max("sims")),
+            F.lit(-2.0),
+        ).otherwise(F.element_at("sims", i.cast("int"))),
+    )
+    second = F.array_position(masked, F.array_max(masked)) - 1
+    cells = assigned.select("vec_id", best.cast("int").alias("cell"))
+    qprobe = (
+        assigned.where(F.col("vec_id") < PQ_NQ)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.explode(F.array(best.cast("int"), second.cast("int")))
+            .alias("cell"),
+        )
+    )
+    codes, queries = _pq_frames(spark, sf_dir)
+    cand = (
+        cells.join(F.broadcast(qprobe), "cell")
+        .where(F.col("vec_id") != F.col("q_id"))
+        .select("q_id", F.col("vec_id").alias("n_id"))
+    )
+    pair = (
+        cand.join(codes.withColumnRenamed("id", "n_id"), "n_id")
+        .join(F.broadcast(queries), "q_id")
+    )
+    adist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(M_SUB - 1)),
+        F.lit(0.0),
+        lambda acc, s: acc + F.get(F.get(F.col("qd"), s),
+                                   F.get(F.col("code"), s) - 1),
+    )
+    scored = pair.select("q_id", "n_id", adist.alias("adist"))
+    w = Window.partitionBy("q_id").orderBy(F.asc("adist"), F.asc("n_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= 3)
+        .select(
+            F.col("q_id").cast("long"), F.col("n_id").cast("long"),
+            "rank", F.round("adist", 6).alias("adist"),
+        )
     )

@@ -194,6 +194,7 @@ _TAIL = [
     "ann_pq_recall",
     "zorder_scan_pruning",
     "winnow_fingerprints",
+    "ann_ivfpq_probe",
 ]
 
 
