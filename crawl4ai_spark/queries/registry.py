@@ -195,6 +195,7 @@ _TAIL = [
     "zorder_scan_pruning",
     "winnow_fingerprints",
     "ann_ivfpq_probe",
+    "stream_robots_gate",
 ]
 
 

@@ -348,3 +348,64 @@ def q_stream_bytes_meter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "host", "n_pages", "total_bytes",
         F.expr("total_bytes div n_pages").cast("long").alias("avg_bytes"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# streaming robots gate: the stream-static join pattern — per
+# micro-batch, discovered URLs join the broadcast ruleset and only
+# RFC 9309-allowed rows land in the feed (streaming/ingest.
+# stream_robots_gate, which runs the engine's generic rep_best_match
+# evaluator). Stateless, so batch-boundary invariant by construction;
+# the oracle is the one-shot batch gate over the same synthetic
+# frontier and ruleset (the robots_eval scenario: disallow '/login',
+# allow '/login/p/1' carve-out on h % 5 == 0 hosts).
+# --------------------------------------------------------------------------- #
+_GATE_ORACLE = """
+    WITH urls AS (
+        SELECT doc_id::BIGINT AS doc_id,
+               (doc_id % 7)::INT AS h,
+               '/' || (CASE WHEN doc_id % 13 = 0 THEN 'login/p' ELSE 'p' END)
+                   || '/' || doc_id::VARCHAR AS path
+        FROM documents
+    ),
+    scored AS (
+        SELECT doc_id, h, path,
+               (CASE WHEN h % 5 = 0 AND starts_with(path, '/login')
+                     THEN 6 ELSE 0 END) AS best_dis,
+               (CASE WHEN h % 5 = 0 AND starts_with(path, '/login/p/1')
+                     THEN 10 ELSE 0 END) AS best_allow
+        FROM urls
+    )
+    SELECT doc_id,
+           'https://host' || h::VARCHAR || '.example.com' || path AS url
+    FROM scored WHERE best_dis <= best_allow
+"""
+
+
+@query("stream_robots_gate", _GATE_ORACLE)
+def q_stream_robots_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.ingest import stream_robots_gate
+
+    run = f"gate_{uuid.uuid4().hex[:8]}"
+    base = os.path.join(tempfile.gettempdir(), run)
+    out_dir = os.path.join(base, "out")
+
+    rules = spark.createDataFrame(
+        [(f"host{h}.example.com", ["/login"], ["/login/p/1"])
+         for h in range(7) if h % 5 == 0],
+        "host string, dis array<string>, alw array<string>",
+    )
+    docs = read_documents_stream(spark, f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id").cast("long")
+    path = F.concat(
+        F.lit("/"),
+        F.when(F.pmod(i, F.lit(13)) == 0, F.lit("login/p")).otherwise(F.lit("p")),
+        F.lit("/"), i.cast("string"),
+    )
+    cand = docs.select(
+        i.alias("doc_id"),
+        F.concat(F.lit("https://host"), F.pmod(i, F.lit(7)).cast("string"),
+                 F.lit(".example.com"), path).alias("url"),
+    )
+    stream_robots_gate(spark, cand, rules, out_dir, os.path.join(base, "ckp"))
+    return spark.read.parquet(out_dir).select("doc_id", "url")

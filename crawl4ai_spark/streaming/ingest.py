@@ -173,3 +173,44 @@ def read_host_bytes(spark: SparkSession, meter_dir: str) -> DataFrame:
             F.sum("total_bytes").cast("long").alias("total_bytes"),
         )
     )
+
+
+def stream_robots_gate(
+    spark: SparkSession,
+    urls_stream: DataFrame,
+    rules: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """Continuous REP gate — the stream-static join pattern: each
+    micro-batch of discovered URLs joins the (small, broadcast) robots
+    ruleset ``rules(host, dis: array<string>, alw: array<string>)`` and
+    only RFC 9309-allowed rows append to ``out_dir``. The gate runs the
+    engine's actual generic evaluator (functions.urls.rep_best_match —
+    the same exprs frontier broadcasts), so stream and batch crawls
+    enforce identical robots semantics. Stateless: no store, no
+    watermark, nothing in the streaming engine — batch-boundary
+    invariance is by construction (a row's verdict depends only on the
+    row and the static side). A production deployment swaps ``rules``
+    for the parsed robots snapshot table and re-starts the query to
+    pick up refreshed rules (robots_stale decides when).
+    """
+    from ..functions.urls import rep_best_match, url_host, url_path
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        b = batch_df.withColumn("host", url_host(F.col("url"))).withColumn(
+            "path", url_path(F.col("url")))
+        j = b.join(F.broadcast(rules), "host", "left")
+        allowed = j.where(
+            rep_best_match(F.col("path"), F.col("dis"))
+            <= rep_best_match(F.col("path"), F.col("alw"))
+        ).drop("host", "path", "dis", "alw")
+        allowed.write.mode("append").parquet(out_dir)
+
+    q = (
+        urls_stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

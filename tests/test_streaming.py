@@ -355,3 +355,71 @@ def test_stream_host_bytes_boundary_invariant(spark, tmp_path):
         avg = r.total_bytes // r.n_pages
         cap = 1000 if avg == 0 else min(1000, max(1, 50_000 // avg))
         assert want_b[r.host] == max(1, cap)
+
+
+def test_stream_robots_gate_boundary_invariant(spark, tmp_path):
+    """The stream-static REP gate is stateless, so splitting the source
+    into 4 one-file micro-batches must yield exactly the one-shot batch
+    gate's allowed set — and blocked rows must actually exist (the
+    /login paths on ruled hosts outside the carve-out)."""
+    import os
+
+    from crawl4ai_spark.functions.urls import (rep_best_match, url_host,
+                                               url_path)
+    from crawl4ai_spark.streaming.ingest import stream_robots_gate
+
+    d = spark.read.parquet(f"{SF}/documents.parquet")
+    src = str(tmp_path / "src")
+    d.repartition(4).write.parquet(src)
+
+    rules = spark.createDataFrame(
+        [(f"host{h}.example.com", ["/login"], ["/login/p/1"])
+         for h in range(7) if h % 5 == 0],
+        "host string, dis array<string>, alw array<string>",
+    )
+
+    def to_urls(df):
+        i = F.col("doc_id").cast("long")
+        path = F.concat(
+            F.lit("/"),
+            F.when(F.pmod(i, F.lit(13)) == 0, F.lit("login/p"))
+            .otherwise(F.lit("p")),
+            F.lit("/"), i.cast("string"),
+        )
+        return df.select(
+            i.alias("doc_id"),
+            F.concat(F.lit("https://host"), F.pmod(i, F.lit(7)).cast("string"),
+                     F.lit(".example.com"), path).alias("url"),
+        )
+
+    docs = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    out_dir = str(tmp_path / "out")
+    stream_robots_gate(spark, to_urls(docs), rules, out_dir,
+                       str(tmp_path / "ckp"))
+
+    batches = [f for f in os.listdir(str(tmp_path / "ckp") + "/commits")
+               if f.isdigit()]
+    assert len(batches) > 1, f"expected multiple micro-batches, got {batches}"
+
+    got = {(r.doc_id, r.url)
+           for r in spark.read.parquet(out_dir).collect()}
+    b = (
+        to_urls(d)
+        .withColumn("host", url_host(F.col("url")))
+        .withColumn("path", url_path(F.col("url")))
+        .join(F.broadcast(rules), "host", "left")
+    )
+    want = {
+        (r.doc_id, r.url)
+        for r in b.where(
+            rep_best_match(F.col("path"), F.col("dis"))
+            <= rep_best_match(F.col("path"), F.col("alw"))
+        ).collect()
+    }
+    assert got == want
+    n_all = d.count()
+    assert len(got) < n_all, "gate must block some /login rows"
