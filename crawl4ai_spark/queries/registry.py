@@ -196,6 +196,7 @@ _TAIL = [
     "winnow_fingerprints",
     "ann_ivfpq_probe",
     "stream_robots_gate",
+    "host_cocitation",
 ]
 
 

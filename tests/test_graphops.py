@@ -637,3 +637,38 @@ def test_community_cap_semantics(spark):
     # singleton (graph-unknown) docs are never dropped
     singles = {d for d, u in urls.items() if u not in labels}
     assert singles <= set(kept)
+
+
+def test_host_cocitation_matches_python_twin(spark):
+    from collections import defaultdict
+
+    from crawl4ai_spark.queries.graphops import (RA_DEG_CAP, RA_SCALE,
+                                                 _links, q_host_cocitation)
+
+    edges = {
+        (r.src_url, r.dst_url.split("/")[2])
+        for r in _links(spark, SF).collect()
+    }
+    hosts_by_src = defaultdict(set)
+    for s, h in edges:
+        hosts_by_src[s].add(h)
+    want = defaultdict(lambda: [0, 0])
+    for s, hs in hosts_by_src.items():
+        nh = len(hs)
+        if nh > RA_DEG_CAP:
+            continue
+        for a in hs:
+            for b in hs:
+                if a < b:
+                    want[(a, b)][0] += 1
+                    want[(a, b)][1] += RA_SCALE // nh
+    got = {
+        (r.a_host, r.b_host): (r.n_sources, r.ra_score)
+        for r in q_host_cocitation(spark, SF).collect()
+    }
+    assert got == {k: tuple(v) for k, v in want.items()}
+    assert got, "affinity pairs must exist on the fixture corpus"
+    # host locality must surface: the strongest pair beats the weakest
+    # by a real margin (adjacent-host link structure)
+    scores = sorted(v[1] for v in got.values())
+    assert scores[-1] > 2 * scores[0]
