@@ -197,6 +197,7 @@ _TAIL = [
     "ann_ivfpq_probe",
     "stream_robots_gate",
     "host_cocitation",
+    "drain_forecast",
 ]
 
 

@@ -1907,3 +1907,83 @@ def q_host_payload_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.greatest(F.lit(1).cast("long"), pick(50)), 6)
         .alias("tail_ratio"),
     )
+
+
+# --------------------------------------------------------------------------- #
+# drain_forecast — "when does this generation finish": given each
+# host's pending queue and its politeness budget (the yield-
+# proportional alloc above), the rounds-to-drain per host is a pure
+# ceiling division, the generation's makespan is the max over hosts,
+# and the hosts ON that max are the bottleneck — the queue a scheduler
+# either re-budgets (raise the clamp), re-shards (salt queues), or
+# consciously accepts before launching. The spare column quantifies
+# capacity wasted waiting on the bottleneck: budget x makespan -
+# pending fetch-slots that go unused per host. All integer arithmetic
+# (ceil-div as (p + b - 1) div b), one host agg + a 1-row broadcast
+# max — the per-host table is bounded by the host vocabulary at any
+# corpus scale.
+# --------------------------------------------------------------------------- #
+@query(
+    "drain_forecast",
+    f"""
+    WITH per_host AS (
+        SELECT 'host' || (doc_id % 7)::VARCHAR || '.example.com' AS host,
+               count(*)::BIGINT AS pending,
+               sum(CASE WHEN n_chars >= {YIELD_MIN_CHARS} THEN 1 ELSE 0 END)::BIGINT AS yield_docs
+        FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT greatest(1, sum(yield_docs)) AS total_yield FROM per_host),
+    alloc AS (
+        SELECT host, pending,
+               greatest({BUDGET_MIN}, least({BUDGET_MAX},
+                   ({TOTAL_BUDGET} * yield_docs) // total_yield))::BIGINT AS budget
+        FROM per_host, tot
+    ),
+    rounds AS (
+        SELECT host, pending, budget,
+               ((pending + budget - 1) // budget)::BIGINT AS rounds_to_drain
+        FROM alloc
+    ),
+    mk AS (SELECT max(rounds_to_drain)::BIGINT AS makespan FROM rounds)
+    SELECT r.host, r.pending, r.budget, r.rounds_to_drain, m.makespan,
+           (r.rounds_to_drain = m.makespan) AS is_bottleneck,
+           (r.budget * m.makespan - r.pending)::BIGINT AS spare
+    FROM rounds r, mk m
+    """,
+)
+def q_drain_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    i = F.col("doc_id").cast("long")
+    per_host = d.groupBy(
+        F.concat(F.lit("host"), F.pmod(i, F.lit(7)).cast("string"),
+                 F.lit(".example.com")).alias("host")
+    ).agg(
+        F.count("*").cast("long").alias("pending"),
+        F.sum(F.when(F.col("n_chars") >= YIELD_MIN_CHARS, 1).otherwise(0))
+        .cast("long").alias("yield_docs"),
+    )
+    tot = per_host.agg(
+        F.greatest(F.lit(1), F.sum("yield_docs")).alias("total_yield"))
+    alloc = per_host.crossJoin(F.broadcast(tot)).select(
+        "host", "pending",
+        F.greatest(
+            F.lit(BUDGET_MIN),
+            F.least(
+                F.lit(BUDGET_MAX),
+                F.floor((F.lit(TOTAL_BUDGET) * F.col("yield_docs"))
+                        / F.col("total_yield")),
+            ),
+        ).cast("long").alias("budget"),
+    )
+    rounds = alloc.select(
+        "host", "pending", "budget",
+        F.floor((F.col("pending") + F.col("budget") - 1) / F.col("budget"))
+        .cast("long").alias("rounds_to_drain"),
+    )
+    mk = rounds.agg(F.max("rounds_to_drain").cast("long").alias("makespan"))
+    return rounds.crossJoin(F.broadcast(mk)).select(
+        "host", "pending", "budget", "rounds_to_drain", "makespan",
+        (F.col("rounds_to_drain") == F.col("makespan")).alias("is_bottleneck"),
+        (F.col("budget") * F.col("makespan") - F.col("pending"))
+        .cast("long").alias("spare"),
+    )

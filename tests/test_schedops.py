@@ -737,3 +737,22 @@ def test_host_budgets_from_bytes_tail_quantile(spark):
     assert p50["skew.com"].budget == 500   # 1000-cap clamped by base
     with pytest.raises(ValueError):
         S.host_budgets_from_bytes(pages, base, 10_000, pctl=0)
+
+
+def test_drain_forecast_semantics(spark):
+    import math
+
+    from crawl4ai_spark.queries.schedops import q_drain_forecast
+
+    rows = q_drain_forecast(spark, SF).collect()
+    assert len(rows) == 7
+    makespan = max(r.rounds_to_drain for r in rows)
+    for r in rows:
+        assert r.rounds_to_drain == math.ceil(r.pending / r.budget)
+        assert r.makespan == makespan
+        assert r.is_bottleneck == (r.rounds_to_drain == makespan)
+        assert r.spare == r.budget * makespan - r.pending
+        # a bottleneck host's spare is bounded by one round's budget
+        if r.is_bottleneck:
+            assert 0 <= r.spare < r.budget
+    assert any(r.is_bottleneck for r in rows)
