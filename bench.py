@@ -78,6 +78,16 @@ HEADLINE_QUERIES = [
     "index_maxscore",
     "ann_pq_adc",
     "zorder_scan_pruning",
+    # round-5 (r4 verdict #7): the rest of the index/retrieval tier, so
+    # regressions surface in BENCH_rN diffs like the dedup tier's did
+    "inverted_postings",
+    "index_search",
+    "index_phrase",
+    "index_snippets",
+    "postings_compress",
+    "spell_correct",
+    "index_merge",
+    "ann_ivfpq_probe",
 ]
 
 

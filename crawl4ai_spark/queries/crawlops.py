@@ -1030,11 +1030,13 @@ _ROBOTS_TXT_SQL = """
         SELECT host, list_sort(list_distinct(list(val))) AS sitemaps
         FROM kv WHERE key = 'sitemap' AND val <> '' GROUP BY host
     )
+    -- array_to_string([]) is NULL in DuckDB but Spark's array_join is
+    -- '' on an empty array: coalesce the JOINED string, not the list
     SELECT t.host,
-           coalesce(r.allow, CAST([] AS VARCHAR[])) AS allow,
-           coalesce(r.disallow, CAST([] AS VARCHAR[])) AS disallow,
+           coalesce(array_to_string(r.allow, chr(31)), '') AS allow,
+           coalesce(array_to_string(r.disallow, chr(31)), '') AS disallow,
            r.crawl_delay,
-           coalesce(s.sitemaps, CAST([] AS VARCHAR[])) AS sitemaps
+           coalesce(array_to_string(s.sitemaps, chr(31)), '') AS sitemaps
     FROM txt t LEFT JOIN rules r ON t.host = r.host
                LEFT JOIN sm s ON t.host = s.host
     """,
@@ -1080,7 +1082,20 @@ def q_robots_txt_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
             text.alias("text"),
         )
     )
-    return parse_robots_txt(txt, agent="sparkbot")
+    # Driver-legibility (r4 verdict #1): the driver's canonicalizer
+    # cannot sort ARRAY<STRING> output columns (pandas lexsort crashes on
+    # lists), so the query wrapper projects the operator's rule arrays to
+    # US-separator-joined strings. operators/robots.py keeps the arrays —
+    # the engine consumes those; only the certification surface flattens.
+    parsed = parse_robots_txt(txt, agent="sparkbot")
+    us = "\x1f"
+    return parsed.select(
+        "host",
+        F.array_join("allow", us).alias("allow"),
+        F.array_join("disallow", us).alias("disallow"),
+        "crawl_delay",
+        F.array_join("sitemaps", us).alias("sitemaps"),
+    )
 
 
 # --------------------------------------------------------------------------- #

@@ -17,9 +17,41 @@ _QUERIES: dict[str, QueryFn] = {}
 _ORACLES: dict[str, str] = {}
 
 
+def _check_driver_legible(name: str, df: DataFrame) -> DataFrame:
+    """Reject output schemas the driver's canonicalizer cannot sort.
+
+    The r4 driver run crashed on ``robots_txt_parse``'s ARRAY<STRING>
+    output columns (pandas lexsort → ``unhashable type: 'list'``), so
+    every registered query must project to scalar top-level columns —
+    array/map/struct payloads belong to operators, and query wrappers
+    flatten them (e.g. ``F.array_join``) before returning. Enforced at
+    build time so tools/check_oracle.py, tests, and tools/schema_lint.py
+    all trip it long before a driver rotation can."""
+    from pyspark.sql import types as T
+
+    bad = [
+        f"{f.name}: {f.dataType.simpleString()}"
+        for f in df.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    if bad:
+        raise TypeError(
+            f"query {name!r} returns non-scalar output columns the driver "
+            f"cannot canonicalize: {bad}. Flatten them in the query wrapper "
+            "(array_join/to_json) and mirror the flattening in the oracle SQL."
+        )
+    return df
+
+
 def query(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
-        _QUERIES[name] = fn
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            return _check_driver_legible(name, fn(spark, sf_dir))
+
+        wrapped.__name__ = fn.__name__
+        wrapped.__doc__ = fn.__doc__
+        wrapped.__wrapped__ = fn
+        _QUERIES[name] = wrapped
         if oracle is not None:
             _ORACLES[name] = oracle
         return fn
@@ -29,91 +61,26 @@ def query(name: str, oracle: str | None = None):
 
 # Explicit driver ordering: the driver's CORRECTNESS compare has a
 # 50-entry budget (it records the first 50 of queries() in iteration
-# order). Entries in _TAIL sort last and land in the LOCAL-oracle tier
-# (tools/check_oracle.py verifies all of them every round — the judge
+# order). _HEAD lists exactly those 50, in order; every other
+# registered query lands in the LOCAL-oracle tier, which
+# tools/check_oracle.py verifies in full every round (the judge
 # re-runs it).
 #
-# ROTATION (r3 verdict item 9): the head is rotated per round so every
-# query eventually gets a driver-green CORRECTNESS row. Round-4 head =
-# the pinned engine-semantics core + the 26 queries that sat past the
-# budget in r03 (all r03 local-green) + this round's additions + a fill
-# of scale-path ops; the r03-driver-certified remainder rotates into
-# the tail (their r03 rows stand).
-_TAIL = [
-    # r03-driver-certified (CORRECTNESS_r03 green) — rotated out this round
-    "meaningful_content",
-    "word_count_filter",
-    "token_counts",
-    "lang_id",
-    "quality_score",
-    "doc_fingerprint",
-    "media_ext_filter",
-    "events_tumbling",
-    "events_sliding",
-    "text_normalize",
-    "repetition_score",
-    "keywords_topn",
-    "chunk_sliding",
-    "chunk_regex",
-    "chunk_overlapping",
-    "chunk_sentence",
-    "chunk_semantic",
-    "spans_markdown",
-    "spans_fit_filter",
-    "spans_inventory",
-    "spans_stat_arrays",
-    "pages_concat",
-    "spans_markdown_citations",
-    "stream_tumbling",
-    "stream_sliding",
-    "stream_sessionize",
-    "media_frames",
-    "media_features_hist",
-    # rotated to make budget room for the round-4 additions
-    # (domain_cap, quality_linear, quality_c4) — all three rotated
-    # entries are r03-certified and pytest-covered
-    "chunk_fixed",
-    "events_sessionize",
-    "bm25_rank",
-    # rotated for robots_eval_wildcard (r03-certified, pytest-covered)
-    "keyword_score",
-    # rotated for url_blocklist + perplexity_bucket (both r03-certified)
-    "dedup_exact",
-    "media_meta",
-    # rotated for link_hits (r03-certified, posexplode_outer pytest)
-    "iframe_merge",
-    # rotated for host_graph + host_pagerank (both r03-certified)
-    "spans_bm25_fit",
-    "dedup_embedding",
-    # rotated for snapshot_diff + host_change_rates (both r03-certified)
-    "link_score",
-    "stats_rollup",
-    # rotated for mirror_detect (r03-certified; ann_ivf_probe stays)
-    "ann_lsh_bucket",
-    # rotated for sitemap_ingest (r03-certified)
-    "stream_dedup_urls",
-    # rotated for robots_txt_parse (r03-certified; the stronger
-    # robots_eval_wildcard variant stays in the head)
-    "robots_eval",
-    # rotated for surt_key, which composes and so re-certifies the same
-    # canonicalization in the driver (url_seen_fold also keeps covering it)
-    "url_canonicalize",
-    # rotated for warc_export (r03-certified; the dedup flagships stay)
-    "ann_ivf_probe",
-    # rotated for sitemap_stale (r03-certified; engine politeness keeps
-    # pytest + the host-budget queries in the head)
-    "politeness_select",
-    # rotated for semdedup (r03-certified; engine redirects keep the
-    # resume-exact pytest coverage and the crawl suite)
-    "redirects_resolve",
-    # new this round, deliberately local-tier (the driver head keeps the
-    # engine core; tools/check_oracle.py certifies it every round)
+# ROTATION (r3 verdict item 9 / r4 verdict item 3): the head rotates
+# per round so every query eventually gets a driver-green CORRECTNESS
+# row. Round-5 head = the two pinned engine-semantics flagships
+# (crawl_bfs_reachable, url_seen_fold), the repaired robots_txt_parse
+# (red in r04 via a harness array-sort crash — now flattened to scalar
+# columns, see crawlops.q_robots_txt_parse), and the first 47 queries
+# never driver-certified in r01–r04 (in registration order). The 29
+# remaining never-certified entries (wat_export … drain_forecast, plus
+# the index/ANN tier) are queued for the r6 head; every r01–r04-green
+# query keeps its standing row and rotates to the local tier.
+_HEAD = [
+    "crawl_bfs_reachable",
+    "url_seen_fold",
+    "robots_txt_parse",
     "cdx_index",
-    # rotated for warc_parse (r03-certified; its banded twin
-    # dedup_minhash_lsh stays in the head)
-    "dedup_simhash",
-    # new this round, deliberately local-tier (driver head stays at the
-    # 50-entry budget; tools/check_oracle.py certifies these every round)
     "boilerplate_strip",
     "registrable_domain",
     "warc_revisit",
@@ -138,72 +105,34 @@ _TAIL = [
     "url_alias_groups",
     "link_reciprocity",
     "robots_stale",
-    # round-4 session-5 additions, deliberately local-tier
     "revisit_value",
     "ip_politeness",
     "harvest_rate",
     "cloaking_detect",
     "refresh_policy_compare",
     "frontier_novelty",
-    # round-4 session-7 additions (mergeable-sketch tier), local-tier
     "seen_cardinality_hll",
     "url_overlap_kmv",
     "template_heavy_hitters",
     "shard_rebalance",
     "stream_cardinality_hll",
-    # round-4 session-9 additions (index-build tier), local-tier
     "inverted_postings",
     "index_search",
     "bpe_pair_counts",
-    # round-4 session-10 additions (feed front door + focused crawl),
-    # local-tier
     "feed_ingest",
     "feed_fresh",
     "nb_term_stats",
-    # round-4 session-11 additions, local-tier
     "wet_export",
     "kn_bigram_lm",
     "vocab_coverage",
     "license_detect",
     "host_lang_profile",
-    "wat_export",
-    "sitemap_generate",
-    # round-4 session-12 additions (positional-index tier), local-tier
-    "index_phrase",
-    "index_snippets",
-    "postings_compress",
-    "spell_correct",
-    "graph_bowtie",
-    "index_merge",
-    # round-4 session-13 additions, local-tier
-    "index_anchor_rank",
-    "index_topk_champion",
-    "host_budget_bytes",
-    "graph_lpa",
-    "index_champion_recall",
-    "host_payload_quantiles",
-    "crawl_gap_report",
-    "community_cap",
-    "stream_bytes_meter",
-    "dedup_lsh_recall",
-    # round-4 session-14 additions, local-tier
-    "index_maxscore",
-    "badwords_gate",
-    "shard_pack",
-    "ann_pq_adc",
-    "ann_pq_recall",
-    "zorder_scan_pruning",
-    "winnow_fingerprints",
-    "ann_ivfpq_probe",
-    "stream_robots_gate",
-    "host_cocitation",
-    "drain_forecast",
 ]
 
 
 def _ordered(d: dict) -> dict:
-    head = {k: v for k, v in d.items() if k not in _TAIL}
-    tail = {k: d[k] for k in _TAIL if k in d}
+    head = {k: d[k] for k in _HEAD if k in d}
+    tail = {k: v for k, v in d.items() if k not in head}
     return {**head, **tail}
 
 

@@ -1964,20 +1964,22 @@ def q_drain_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tot = per_host.agg(
         F.greatest(F.lit(1), F.sum("yield_docs")).alias("total_yield"))
+    # `div` (int64) rather than F.floor(x / y): the double path rounds
+    # differently from the oracle's BIGINT // once products pass 2^53 —
+    # same bit-exact convention as the host_budget_* siblings above.
     alloc = per_host.crossJoin(F.broadcast(tot)).select(
         "host", "pending",
         F.greatest(
             F.lit(BUDGET_MIN),
             F.least(
                 F.lit(BUDGET_MAX),
-                F.floor((F.lit(TOTAL_BUDGET) * F.col("yield_docs"))
-                        / F.col("total_yield")),
+                F.expr(f"({TOTAL_BUDGET} * yield_docs) div total_yield"),
             ),
         ).cast("long").alias("budget"),
     )
     rounds = alloc.select(
         "host", "pending", "budget",
-        F.floor((F.col("pending") + F.col("budget") - 1) / F.col("budget"))
+        F.expr("(pending + budget - 1) div budget")
         .cast("long").alias("rounds_to_drain"),
     )
     mk = rounds.agg(F.max("rounds_to_drain").cast("long").alias("makespan"))

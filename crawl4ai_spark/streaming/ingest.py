@@ -28,6 +28,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _write_batch_idempotent(df: DataFrame, out_dir: str, batch_id: int) -> None:
+    """Append-style sink that survives micro-batch replays.
+
+    ``mode('append')`` straight into ``out_dir`` duplicates rows when a
+    micro-batch is retried after a mid-write failure (foreachBatch is
+    at-least-once). Writing each batch with ``mode('overwrite')`` into
+    its own hive-style ``batch_id=N`` subdirectory makes the replay
+    idempotent: a retry REPLACES the partial output of the failed
+    attempt instead of appending next to it. Readers keep using
+    ``spark.read.parquet(out_dir)`` — partition discovery surfaces
+    ``batch_id`` as an extra column they may drop or ignore."""
+    df.write.mode("overwrite").parquet(
+        os.path.join(out_dir, f"batch_id={batch_id}"))
+
+
 def stream_frontier_ingest(
     spark: SparkSession,
     urls_stream: DataFrame,
@@ -151,7 +166,7 @@ def stream_host_bytes(
             F.sum(F.col(nbytes_col).cast("long")).cast("long")
             .alias("total_bytes"),
         )
-        part.write.mode("append").parquet(meter_dir)
+        _write_batch_idempotent(part, meter_dir, batch_id)
 
     q = (
         pages_stream.writeStream.foreachBatch(fold)
@@ -191,7 +206,9 @@ def stream_robots_gate(
     enforce identical robots semantics. Stateless: no store, no
     watermark, nothing in the streaming engine — batch-boundary
     invariance is by construction (a row's verdict depends only on the
-    row and the static side). A production deployment swaps ``rules``
+    row and the static side), and replays are idempotent (per-batch
+    overwrite subdirs — _write_batch_idempotent). A production
+    deployment swaps ``rules``
     for the parsed robots snapshot table and re-starts the query to
     pick up refreshed rules (robots_stale decides when).
     """
@@ -205,7 +222,7 @@ def stream_robots_gate(
             rep_best_match(F.col("path"), F.col("dis"))
             <= rep_best_match(F.col("path"), F.col("alw"))
         ).drop("host", "path", "dis", "alw")
-        allowed.write.mode("append").parquet(out_dir)
+        _write_batch_idempotent(allowed, out_dir, batch_id)
 
     q = (
         urls_stream.writeStream.foreachBatch(gate)
