@@ -114,6 +114,28 @@ class CrawlConfig:
     # still proceeds, as the reference's arun does). Ignored for
     # DataFrame corpora. See fixtures.spans_for_index(steps=...).
     multi_step_actions: int = 0
+    # U5 wait_for channels (crawl_agent.py:127 — "CSS selector or JS
+    # expression to wait for (prefix with 'css:' or 'js:')"): the fetch-
+    # sim models the two prefixes as DISTINCT deterministic channels
+    # instead of one per-step die. "css:<sel>" waits on page STRUCTURE —
+    # the page either has the selector's target or it never will, so the
+    # die is per-DOC (a doc whose structure satisfies the selector
+    # reveals at every step; one that lacks it times out every step).
+    # "js:<expr>" waits on page BEHAVIOR — scripts race per interaction,
+    # so the die is per-(doc, step, expr). "" keeps the legacy
+    # per-(doc, step) die. See fixtures.spans_for_index(wait_for=...).
+    multi_step_wait_for: str = ""
+    # U5 JS hook program (crawl_agent.py:136-138,699-728): the reference
+    # composes auth_hook_js / pre_request_hook_js / js_code /
+    # post_request_hook_js (+ a lazy-loading script) into ONE js_code
+    # string with ";\n" joins, in a specific order — pre PREPENDS, post
+    # APPENDS, auth PREPENDS LAST (so it ends up outermost-first), lazy
+    # appends after everything. compose_js_hooks() reproduces that
+    # byte-exactly; the conformance test pins the order.
+    js_code: str = ""
+    auth_hook_js: str = ""
+    pre_request_hook_js: str = ""
+    post_request_hook_js: str = ""
     # Anti-starvation aging for best_first: a pending URL's effective
     # priority grows by age_boost per round it waits (score + age_boost ×
     # (round − discovered_round)), so a page a static scorer ranks low is
@@ -223,6 +245,40 @@ class CrawlConfig:
                 "sidecar_grow_at requires seen_sidecar='bloom_hrw' — "
                 "modulo-addressed sidecars cannot grow without a full "
                 "rebuild (growth moves keys between surviving shards)")
+        w = self.multi_step_wait_for
+        if w and not (w.startswith("css:") or w.startswith("js:")):
+            # the reference treats an unprefixed wait_for as a raw value
+            # passed to the browser layer; here the two channels have
+            # DIFFERENT deterministic semantics, so an unprefixed value
+            # would silently pick one — fail loudly instead
+            raise ValueError(
+                "multi_step_wait_for must be '' or start with 'css:' or "
+                f"'js:' (crawl_agent.py:127), got {w!r}")
+
+
+def compose_js_hooks(cfg: CrawlConfig, lazy_load_js: str = "") -> str:
+    """The effective js_code string, composed EXACTLY as the reference
+    does (crawl_agent.py:699-728): each configured hook wraps the
+    running string with ``";\\n"`` joins —
+
+        1. pre_request_hook_js  PREPENDS:  pre ;\\n base
+        2. post_request_hook_js APPENDS:   ... ;\\n post
+        3. auth_hook_js         PREPENDS:  auth ;\\n ...   (outermost-first)
+        4. lazy-loading script  APPENDS:   ... ;\\n lazy
+
+    The order is observable (auth runs before pre even though pre is
+    applied first) and joins fire even around empty strings, exactly as
+    the reference's ``existing_js or ""`` concatenations do."""
+    js = cfg.js_code or ""
+    if cfg.pre_request_hook_js:
+        js = cfg.pre_request_hook_js + ";\n" + js
+    if cfg.post_request_hook_js:
+        js = js + ";\n" + cfg.post_request_hook_js
+    if cfg.auth_hook_js:
+        js = cfg.auth_hook_js + ";\n" + js
+    if cfg.enable_lazy_loading and lazy_load_js:
+        js = js + ";\n" + lazy_load_js
+    return js
 
 
 def resolve_strategy(cfg: CrawlConfig) -> str:

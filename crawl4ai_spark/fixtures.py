@@ -172,7 +172,8 @@ def _link_href(i: Column, j: Column, n_docs: int, n_hosts: int) -> Column:
 
 def spans_for_index(i: Column, n_docs: int, n_hosts: int = 20,
                     min_spans: int = 6, extra_spans: int = 14,
-                    lazy: bool = False, steps: int = 0) -> Column:
+                    lazy: bool = False, steps: int = 0,
+                    wait_for: str = "") -> Column:
     """Span array of doc i as a pure column expression — the corpus is a
     deterministic function of the index, so a fetch can SYNTHESIZE the
     document from its URL (VirtualCorpus) instead of joining a stored
@@ -196,15 +197,37 @@ def spans_for_index(i: Column, n_docs: int, n_hosts: int = 20,
     current state and the session proceeds to the next step). Each step
     count's array is a strict prefix-extension of the previous one, so
     the k-step crawl's discovered-outlink set monotonically grows with
-    k — exactly the reference's 30→60→90-items "More" loop shape."""
+    k — exactly the reference's 30→60→90-items "More" loop shape.
+
+    ``wait_for`` selects the step-wait CHANNEL (the reference's
+    ``wait_for`` "css:" / "js:" prefixes, crawl_agent.py:127), each a
+    distinct deterministic die:
+
+    * ``""`` — the legacy per-(doc, step) die above;
+    * ``"css:<sel>"`` — structural wait: the page either contains the
+      selector's target or never will, so the die is per-DOC, keyed on
+      the selector text (_h("css"+sel, i), 3/4 succeed): a satisfying
+      doc reveals at EVERY step, a non-satisfying one times out at
+      every step;
+    * ``"js:<expr>"`` — behavioral wait: scripts race per interaction,
+      so the die is per-(doc, step), keyed on the expression text
+      (different expressions give independent schedules).
+
+    All channels preserve the strict prefix-extension property."""
     n_spans = F.lit(min_spans) + F.pmod(_h("ns", i), F.lit(extra_spans))
     if lazy:
         n_spans = n_spans + F.when(
             F.pmod(_h("lz", i), F.lit(4)) == 0, F.lit(1) + F.pmod(_h("lzn", i), F.lit(3))
         ).otherwise(F.lit(0))
     for s in range(1, max(0, steps) + 1):
+        if wait_for.startswith("css:"):
+            resolved = F.pmod(_h("css" + wait_for[4:], i), F.lit(4)) != 0
+        elif wait_for.startswith("js:"):
+            resolved = F.pmod(_h(f"js{wait_for[3:]}#{s}", i), F.lit(3)) != 0
+        else:
+            resolved = F.pmod(_h(f"ms{s}", i), F.lit(3)) != 0
         n_spans = n_spans + F.when(
-            F.pmod(_h(f"ms{s}", i), F.lit(3)) != 0,
+            resolved,
             F.lit(1) + F.pmod(_h(f"msn{s}", i), F.lit(3)),
         ).otherwise(F.lit(0))
 
@@ -294,7 +317,7 @@ class VirtualCorpus:
         # that was pure driver overhead. Column objects are unresolved
         # expressions, reusable across DataFrames, so build once per
         # (url column, lazy) and reattach every round.
-        self._expr_cache: dict[tuple[str, bool, int], tuple[Column, Column, Column]] = {}
+        self._expr_cache: dict[tuple[str, bool, int, str], tuple[Column, Column, Column]] = {}
 
     def seed_urls(self, host: int, n: int) -> list[str]:
         """First n doc URLs on a host block (driver-side arithmetic)."""
@@ -318,7 +341,7 @@ class VirtualCorpus:
 
     def fetch(self, selected: DataFrame, url_col: str = "url",
               with_title: bool = False, lazy: bool = False,
-              steps: int = 0) -> DataFrame:
+              steps: int = 0, wait_for: str = "") -> DataFrame:
         """Append ``spans`` + ``_st`` (fetched/missing) columns — plus
         ``_title`` when asked — by synthesizing the document for valid doc
         URLs. One ``select`` so the cached trees resolve in a single
@@ -329,18 +352,18 @@ class VirtualCorpus:
         arithmetically: span 0 is ALWAYS a heading by construction
         (spans_for_index), so the first-heading lookup reduces to
         ``_words(i, 0)`` — no second evaluation of the spans tree."""
-        spans_c, st_c, title_c = self.fetch_cols(url_col, lazy, steps)
+        spans_c, st_c, title_c = self.fetch_cols(url_col, lazy, steps, wait_for)
         cols = [spans_c.alias("spans"), st_c.alias("_st")] + (
             [title_c.alias("_title")] if with_title else [])
         return selected.select("*", *cols)
 
     def fetch_cols(self, url_col: str = "url", lazy: bool = False,
-                   steps: int = 0):
+                   steps: int = 0, wait_for: str = ""):
         """The cached UNALIASED (spans, status, title) synthesis columns —
         callers that already pay a projection (e.g. the crawl fetch stage)
         splice these into their OWN single select, so the ~5k-node tree is
         analyzed once per round instead of once per chained DataFrame op."""
-        key = (url_col, lazy, steps)
+        key = (url_col, lazy, steps, wait_for)
         if key not in self._expr_cache:
             u = F.col(url_col)
             idx = F.regexp_extract(u, "/([0-9]+)$", 1)
@@ -371,7 +394,8 @@ class VirtualCorpus:
                 _valid(i),
                 _with_content_i(i, lambda ci: spans_for_index(
                     ci, self.n_docs, self.n_hosts, self.min_spans,
-                    self.extra_spans, lazy=lazy, steps=steps)),
+                    self.extra_spans, lazy=lazy, steps=steps,
+                    wait_for=wait_for)),
             ).otherwise(F.lit(None)))
             st_c = _let(i_raw, lambda i: F.when(
                 _valid(i), F.lit("fetched")).otherwise(F.lit(None)))

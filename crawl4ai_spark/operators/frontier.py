@@ -300,7 +300,10 @@ class CrawlEngine:
         broadcast when the map is small). No-op (null column) when no
         redirects table is configured."""
         if self.redirects is None:
-            return df.withColumn("redirect_src", F.lit(None).cast("string"))
+            # no column at all (not even a null constant): redirect_src
+            # would otherwise ride the dedup groupBy and seen anti-join
+            # exchanges of every round; downstream drop()s are lenient
+            return df
         r = self.redirects.select(
             F.col("src_url").alias(url_col), F.col("dst_url").alias("_dst")
         )
@@ -616,7 +619,8 @@ class CrawlEngine:
             # ~5k-node synthesis tree twice per round — pure driver cost.
             spans_c, st_c, title_c = self.corpus.fetch_cols(
                 lazy=self.cfg.enable_lazy_loading,
-                steps=self.cfg.multi_step_actions)
+                steps=self.cfg.multi_step_actions,
+                wait_for=self.cfg.multi_step_wait_for)
             joined, status, heading, spans_out = selected, st_c, title_c, spans_c
         else:
             docs = self.corpus.select(
@@ -769,31 +773,59 @@ class CrawlEngine:
         at any corpus size."""
         slim = parents.select("url", "rank", "depth", "_dig").persist()
         self._slim_handle = slim
+        # One tiny per-digest batch aggregate drives BOTH cheapenings
+        # (r4 verdict #4): its max depth probes the history table in one
+        # streamed pass, and its count pre-filters the running-min window
+        # to digests that actually repeat in-batch. Rows are (long, int,
+        # long) — broadcasting this instead of the full slim batch (url
+        # strings) cuts the driver round-trip ~6x.
+        bd = slim.groupBy(F.col("_dig").alias("dig")).agg(
+            F.max("depth").alias("_dmax"),
+            F.count(F.lit(1)).alias("_n"))
         hist = self.digests_tbl.read(self.spark)
         self._hist_for_round = hist
         if hist is not None:
-            # history-suppressed urls: hist streams, slim broadcasts
-            hits = (hist.join(
-                        F.broadcast(slim),
-                        (hist["dig"] == slim["_dig"])
-                        & (hist["min_depth"] <= slim["depth"]), "inner")
-                    .select(slim["url"].alias("_hu")).distinct())
-            marked = (slim.join(F.broadcast(hits),
-                                slim["url"] == hits["_hu"], "left")
-                      .withColumn("_hsup", F.col("_hu").isNotNull())
-                      .drop("_hu"))
+            # per-digest history floor, restricted to digests in this
+            # batch that CAN be suppressed (hist min_depth <= batch max
+            # depth): hist STREAMS map-side against the broadcast digest
+            # aggregate — the history table is never shuffled, and this
+            # is the round's ONLY pass over it (the digest-append's
+            # blocker check below reuses the same floor).
+            probe = (hist.join(F.broadcast(bd),
+                               (hist["dig"] == bd["dig"])
+                               & (hist["min_depth"] <= bd["_dmax"]), "inner")
+                     .groupBy(hist["dig"].alias("_pdig"))
+                     .agg(F.min("min_depth").alias("_hmin")))
+            self._probe_cache = probe = probe.persist()
+            self._probe_for_round = probe = F.broadcast(probe)
+            marked = (slim.join(probe, slim["_dig"] == F.col("_pdig"), "left")
+                      .withColumn("_hsup", F.coalesce(
+                          F.col("_hmin") <= F.col("depth"), F.lit(False)))
+                      .drop("_pdig", "_hmin"))
         else:
+            self._probe_for_round = None
             marked = slim.withColumn("_hsup", F.lit(False))
         # in-batch running min over history-SURVIVING earlier rows only
         # (a history-suppressed copy was never extracted this round; its
-        # digest's historical extraction already gated everyone above)
+        # digest's historical extraction already gated everyone above).
+        # The window runs ONLY over digests with in-batch count > 1 — a
+        # unique digest's preceding-rows min is null by construction, so
+        # restricting the sort/partition to the duplicate fraction
+        # (mirror-group sized) is exact.
+        dups = F.broadcast(bd.where(F.col("_n") > 1).select("dig"))
+        dup_rows = marked.join(dups, marked["_dig"] == dups["dig"],
+                               "left_semi")
+        uni_rows = marked.join(dups, marked["_dig"] == dups["dig"],
+                               "left_anti")
         w = (Window.partitionBy("_dig")
              .orderBy(F.col("rank").asc(), F.col("url").asc())
              .rowsBetween(Window.unboundedPreceding, -1))
         bmin = F.min(F.when(~F.col("_hsup"), F.col("depth"))).over(w)
-        marked = marked.withColumn(
+        dup_rows = dup_rows.withColumn(
             "_sup", F.col("_hsup") | F.coalesce(
                 bmin <= F.col("depth"), F.lit(False)))
+        marked = uni_rows.withColumn("_sup", F.col("_hsup")).unionByName(
+            dup_rows)
         # marked feeds TWO actions this round (the broadcast anti-join
         # inside the frontier append, then the digest-table append) —
         # persist so the history probe + window run once, not twice
@@ -868,6 +900,15 @@ class CrawlEngine:
                 "left_anti").drop("_tpl")
         links = links.where(F.col("p_depth") < cfg.max_depth)
 
+        # Slim the dedup-exchange row (r4 verdict #2): u_path is consumed
+        # only by the robots split (post anti-join) and redirect_src only
+        # by _record_redirects — when those features are off, neither
+        # string rides the groupBy min_by exchange or the seen anti-join.
+        extras = []
+        if cfg.respect_robots and self.robots is not None:
+            extras.append("u_path")
+        if self.redirects is not None:
+            extras.append("redirect_src")
         scored = links.select(
             "url",
             xc["url_hash"],
@@ -879,7 +920,7 @@ class CrawlEngine:
             F.col("offset").alias("parent_offset"),
             xc["path"],
             F.lit(round_no).alias("discovered_round"),
-            "u_path", "redirect_src",
+            *extras,
         )
         if cfg.score_threshold is not None and self.url_scores is None:
             # reference score-threshold semantics: below-threshold links
@@ -1218,20 +1259,22 @@ class CrawlEngine:
                 bmin = (self._gated_slim
                         .groupBy(F.col("_dig").alias("dig"))
                         .agg(F.min("depth").alias("min_depth")))
-                dhist = self._hist_for_round
-                if dhist is not None:
+                probe = self._probe_for_round
+                if probe is not None:
                     # strict improvements only (keeps the table ~one row
                     # per digest): a batch min is blocked by any existing
-                    # row at ≤ its depth. hist STREAMS map-side against
-                    # the broadcast batch aggregate — never shuffled.
-                    blockers = (dhist.join(
-                                    F.broadcast(bmin),
-                                    (dhist["dig"] == bmin["dig"])
-                                    & (dhist["min_depth"]
-                                       <= bmin["min_depth"]), "inner")
-                                .select(dhist["dig"]).distinct())
-                    bmin = bmin.join(blockers, "dig", "left_anti")
+                    # row at ≤ its depth ⟺ the per-digest history floor
+                    # (_hmin, already materialized by the gate's single
+                    # history pass this round) is ≤ the batch min —
+                    # a broadcast anti-join, no second history scan.
+                    bmin = bmin.join(
+                        probe,
+                        (bmin["dig"] == F.col("_pdig"))
+                        & (F.col("_hmin") <= bmin["min_depth"]),
+                        "left_anti")
                 self.digests_tbl.append(bmin)
+                if probe is not None:
+                    self._probe_cache.unpersist()
                 self._marked_handle.unpersist()
                 self._slim_handle.unpersist()
                 self._prof_mark(round_no, "content_digests", td)

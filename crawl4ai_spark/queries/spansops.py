@@ -646,10 +646,17 @@ def q_seq_pack_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
 # The batch model: a session over a page is a monotone sequence of span-
 # prefix reveals — step 0 is the initial render, each of the doc's
 # K = 1 + doc_id%3 JS actions reveals 1-4 more spans unless its wait_for
-# condition times out (die on (doc_id*13 + t) % 3 == 0, in which case the
-# session proceeds with nothing new, as the reference's arun does). All
-# arithmetic is integer → exact cross-engine; the Spark side slices the
-# REAL derived span arrays, the oracle mirrors over a kind list.
+# condition times out. The wait CHANNEL (crawl_agent.py:127 "css:" /
+# "js:" prefixes) is assigned per doc (doc_id%3) and picks the die, the
+# same three channels the engine fetch-sim models
+# (fixtures.spans_for_index(wait_for=...)):
+#   ''    → per-(doc, step) die   (doc_id*13 + t) % 3 == 0 times out
+#   css:  → per-DOC structural die (doc_id*11) % 4 == 0 — a doc lacking
+#           the selector's target times out at EVERY step
+#   js:   → per-(doc, step) behavioral die (doc_id*17 + t*3) % 3 == 0,
+#           an independent schedule from ''
+# All arithmetic is integer → exact cross-engine; the Spark side slices
+# the REAL derived span arrays, the oracle mirrors over a kind list.
 # --------------------------------------------------------------------------- #
 @query(
     "session_steps_spans",
@@ -661,25 +668,36 @@ def q_seq_pack_interleaved(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sess AS MATERIALIZED (
         SELECT doc_id, n, ks, (1 + doc_id % 3)::INT AS k,
+               CASE WHEN doc_id % 3 = 1 THEN 'css:.more-item'
+                    WHEN doc_id % 3 = 2 THEN 'js:window.__loaded'
+                    ELSE '' END AS channel,
                list_prepend(0, list_transform(generate_series(1, (1 + doc_id % 3)::INT), t ->
-                   CASE WHEN (doc_id*13 + t) % 3 <> 0
-                        THEN 1 + (doc_id*7 + t*5) % 4 ELSE 0 END)) AS rv
+                   CASE WHEN doc_id % 3 = 1 THEN
+                            CASE WHEN (doc_id*11) % 4 <> 0
+                                 THEN 1 + (doc_id*7 + t*5) % 4 ELSE 0 END
+                        WHEN doc_id % 3 = 2 THEN
+                            CASE WHEN (doc_id*17 + t*3) % 3 <> 0
+                                 THEN 1 + (doc_id*7 + t*5) % 4 ELSE 0 END
+                        ELSE
+                            CASE WHEN (doc_id*13 + t) % 3 <> 0
+                                 THEN 1 + (doc_id*7 + t*5) % 4 ELSE 0 END
+                   END)) AS rv
         FROM kinds
     ),
     stepped AS (
-        SELECT doc_id, n, ks, k, rv, u.s AS step,
+        SELECT doc_id, n, ks, k, channel, rv, u.s AS step,
                greatest(n - list_reduce(rv, (a, b) -> a + b), least(n, 1)) AS v0
         FROM sess, unnest(generate_series(0, k)) AS u(s)
     ),
     vis AS (
-        SELECT doc_id, k, n, ks, step,
+        SELECT doc_id, k, n, ks, channel, step,
                least(n, v0 + list_reduce(list_slice(rv, 1, step + 1), (a, b) -> a + b)) AS v,
                CASE WHEN step = 0 THEN 0
                     ELSE least(n, v0 + list_reduce(list_slice(rv, 1, step), (a, b) -> a + b))
                END AS vprev
         FROM stepped
     )
-    SELECT doc_id, step::INT AS step, k::INT AS n_steps,
+    SELECT doc_id, step::INT AS step, k::INT AS n_steps, channel,
            v::BIGINT AS n_visible, (v - vprev)::BIGINT AS n_new,
            len(list_filter(ks[1:v::INT], x -> x = 'link'))::BIGINT AS n_links_visible,
            (v = n) AS sess_done
@@ -691,12 +709,18 @@ def q_session_steps_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     i = F.col("doc_id")
     n = F.size("spans").cast("long")
     k = (F.lit(1) + F.pmod(i, F.lit(3))).cast("int")
+    ci = F.pmod(i, F.lit(3))
+    channel = (F.when(ci == 1, F.lit("css:.more-item"))
+               .when(ci == 2, F.lit("js:window.__loaded"))
+               .otherwise(F.lit("")))
 
     def reveal(t):
-        return F.when(
-            F.pmod(i * 13 + t, F.lit(3)) != 0,
-            F.lit(1) + F.pmod(i * 7 + t * 5, F.lit(4)),
-        ).otherwise(F.lit(0)).cast("long")
+        amount = F.lit(1) + F.pmod(i * 7 + t * 5, F.lit(4))
+        resolved = (
+            F.when(ci == 1, F.pmod(i * 11, F.lit(4)) != 0)       # css: per-doc
+            .when(ci == 2, F.pmod(i * 17 + t * 3, F.lit(3)) != 0)  # js: per-step
+            .otherwise(F.pmod(i * 13 + t, F.lit(3)) != 0))       # legacy die
+        return F.when(resolved, amount).otherwise(F.lit(0)).cast("long")
 
     def psum(s):
         # sum of reveals 1..s; s may be 0 (Spark sequence(1,0) would
@@ -707,7 +731,8 @@ def q_session_steps_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     v0 = F.greatest(n - psum(k), F.least(n, F.lit(1).cast("long")))
     base = sd.select(
-        "doc_id", F.col("spans"), n.alias("n"), k.alias("k"), v0.alias("v0"),
+        "doc_id", F.col("spans"), n.alias("n"), k.alias("k"),
+        channel.alias("channel"), v0.alias("v0"),
         F.explode(F.sequence(F.lit(0), k)).alias("step"),
     )
     s = F.col("step")
@@ -716,6 +741,7 @@ def q_session_steps_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.col("n"), F.col("v0") + psum(s - 1)))
     return base.select(
         "doc_id", s.cast("int").alias("step"), F.col("k").alias("n_steps"),
+        "channel",
         v.alias("n_visible"), (v - vprev).alias("n_new"),
         F.size(F.filter(F.slice("spans", F.lit(1), v.cast("int")),
                         lambda sp: sp["kind"] == "link")).cast("long")

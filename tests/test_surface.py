@@ -532,3 +532,85 @@ def test_cloaking_detect_semantics(spark):
             assert not r.is_cloaked and r.jaccard >= 0.75
         else:
             assert not r.is_cloaked and r.jaccard == 1.0
+
+
+# --------------------------------------------------------------------------- #
+# U5 residue (r4 verdict #6): JS hook composition order + wait_for channels
+# --------------------------------------------------------------------------- #
+def test_js_hook_composition_order():
+    """crawl_agent.py:699-728 composes hooks in a specific, observable
+    order: pre PREPENDS, post APPENDS, auth PREPENDS LAST (outermost-
+    first), lazy-loading appends after everything — so the final program
+    is auth ; pre ; base ; post ; lazy. compose_js_hooks must reproduce
+    the concatenation byte-exactly, including joins around empties."""
+    from crawl4ai_spark.config import CrawlConfig, compose_js_hooks
+
+    cfg = CrawlConfig(
+        seeds=["https://h/"], js_code="base()",
+        auth_hook_js="auth()", pre_request_hook_js="pre()",
+        post_request_hook_js="post()")
+    assert compose_js_hooks(cfg) == "auth();\npre();\nbase();\npost()"
+    # lazy script appends last, gated on enable_lazy_loading
+    cfg2 = CrawlConfig(
+        seeds=["https://h/"], js_code="base()", auth_hook_js="auth()",
+        enable_lazy_loading=True)
+    assert compose_js_hooks(cfg2, lazy_load_js="lazy()") == "auth();\nbase();\nlazy()"
+    assert compose_js_hooks(cfg2) == "auth();\nbase()"  # no lazy script given
+    # the reference joins even around an empty base (existing_js or "")
+    cfg3 = CrawlConfig(seeds=["https://h/"], pre_request_hook_js="pre()")
+    assert compose_js_hooks(cfg3) == "pre();\n"
+    # order sensitivity: auth-before-pre differs from pre-before-auth —
+    # i.e. the composition is NOT a sorted merge, it is the reference's
+    # exact wrap order
+    cfg4 = CrawlConfig(
+        seeds=["https://h/"], js_code="b()",
+        auth_hook_js="A()", pre_request_hook_js="P()")
+    assert compose_js_hooks(cfg4) == "A();\nP();\nb()"
+
+
+def test_wait_for_prefix_validated():
+    from crawl4ai_spark.config import CrawlConfig
+
+    with pytest.raises(ValueError, match="css:"):
+        CrawlConfig(seeds=["https://h/"], multi_step_wait_for=".more-item")
+    CrawlConfig(seeds=["https://h/"], multi_step_wait_for="css:.x")
+    CrawlConfig(seeds=["https://h/"], multi_step_wait_for="js:window.y")
+
+
+def test_wait_for_channels_distinct_and_deterministic(spark):
+    """The css: channel is a per-DOC structural die — a doc either
+    reveals at EVERY step or at none — while js: and the legacy ''
+    channel roll per step; different channels give different (but each
+    deterministic) reveal schedules over the same corpus."""
+    from crawl4ai_spark.fixtures import VirtualCorpus, doc_url
+
+    vc = VirtualCorpus(n_docs=400, n_hosts=8)
+    base = spark.range(300).select(
+        doc_url(F.col("id") + 90, 400, 8).alias("url"))
+
+    def sizes(steps, wait_for):
+        df = vc.fetch(base, steps=steps, wait_for=wait_for)
+        return {r.url: r.n for r in
+                df.select("url", F.size("spans").alias("n")).collect()}
+
+    s0 = sizes(0, "")
+    for ch in ("", "css:.more-item", "js:window.__loaded"):
+        a = sizes(2, ch)
+        b = sizes(2, ch)
+        assert a == b, ch                       # deterministic per channel
+        assert all(a[u] >= s0[u] for u in s0)   # prefix-extension holds
+    css1 = sizes(1, "css:.more-item")
+    css2 = sizes(2, "css:.more-item")
+    js2 = sizes(2, "js:window.__loaded")
+    legacy2 = sizes(2, "")
+    # distinct channels -> distinct schedules on this corpus
+    assert css2 != js2 and js2 != legacy2
+    # structural semantics: a doc that timed out at step 1 under css:
+    # lacks the selector target and times out at EVERY later step too
+    for u in s0:
+        if css1[u] == s0[u]:
+            assert css2[u] == s0[u], u
+        else:
+            assert css2[u] > css1[u], u  # satisfying docs reveal each step
+    # different css selectors roll different per-doc dies
+    assert sizes(2, "css:.other") != css2
