@@ -466,30 +466,82 @@ class CrawlEngine:
             cand = cand.withColumn("rank_in_round", F.lit(0))
         return cand
 
+    # Above this estimated candidate count the final top-k rank switches
+    # from the single-partition window to the range-partitioned two-level
+    # rank (two small extra jobs, no serial sort) — see _global_rank_topk.
+    RANK_RANGE_THRESHOLD = 2_000_000
+
     def _global_rank_topk(self, cand: DataFrame, pri: list, limit: int) -> DataFrame:
         """Distributed exact top-k + rank. The classic two-level cut,
         done SHUFFLE-FREE: sort each partition in place, then
         ``monotonically_increasing_id`` (partition id in the high bits,
         row position in the low 33 bits) gives the within-partition rank
         without any exchange — each partition keeps its local
-        top-``limit``, so the single-partition global window only ever
-        sees ≤ P×limit survivors: bounded by the round budget, NEVER by
-        frontier size. The global top-k is a subset of the union of
-        per-partition top-k's, so the result is exact, and the final
-        total-order window makes ranks deterministic whatever the
-        physical partition assignment was."""
+        top-``limit``, so the FINAL rank only ever sees ≤ P×limit
+        survivors: bounded by the round budget, NEVER by frontier size.
+        The global top-k is a subset of the union of per-partition
+        top-k's, so the result is exact.
+
+        The final rank is size-adaptive. Small candidate sets (the test/
+        bench regime — per-round job floors dominate there) rank through
+        one total-order window: a single-task sort of ≤ P×limit rows,
+        zero extra jobs. Past RANK_RANGE_THRESHOLD the serial sort's
+        bytes become the round's critical path, so the rank goes
+        two-level instead: range-exchange the survivors on the priority
+        (sampled boundaries), sort within partitions, and add broadcast
+        per-partition offsets from an O(P)-row count collect — every
+        sort is parallel and the only serial state is P counts. Both
+        paths produce IDENTICAL ranks: every priority list ends with the
+        unique ``url`` tiebreak (a total order), so ranks are exact and
+        deterministic whatever partition boundaries the range sampler
+        picked (pytest pins window == range equality)."""
+        mask = F.lit((1 << 33) - 1)
         cut = (
             cand.sortWithinPartitions(*pri)
             .withColumn(
-                "_lrk", F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
+                "_lrk", F.monotonically_increasing_id().bitwiseAND(mask)
             )
             .where(F.col("_lrk") < limit)
         )
-        wg = Window.orderBy(*pri)  # ≤ P×limit rows by construction
+        if getattr(self, "_pending_est", 0) <= self.RANK_RANGE_THRESHOLD:
+            wg = Window.orderBy(*pri)  # ≤ P×limit rows by construction
+            return (
+                cut.withColumn("rank_in_round", F.row_number().over(wg))
+                .where(F.col("rank_in_round") <= limit)
+                .drop("_lrk")
+            )
+        # range path. BOTH intermediates persist: `cut` because the range
+        # sampler's pass would otherwise re-run the local sort, and
+        # `part` because the counts job and the returned plan MUST share
+        # one materialization — re-executing repartitionByRange could
+        # sample different boundaries, and offsets computed under one
+        # partitioning applied to another would corrupt ranks. Released
+        # after the round's fetch commits (run() unpersists _rank_cache).
+        cut = cut.persist()
+        nparts = self.spark.sparkContext.defaultParallelism
+        part = (
+            cut.repartitionByRange(nparts, *pri)
+            .sortWithinPartitions(*pri)
+            .withColumn("_pid", F.spark_partition_id())
+            .withColumn(
+                "_lrk2", F.monotonically_increasing_id().bitwiseAND(mask))
+        ).persist()
+        self._rank_cache = [cut, part]
+        counts = {
+            r["_pid"]: r["n"]
+            for r in part.groupBy("_pid").agg(
+                F.count(F.lit(1)).alias("n")).collect()
+        }
+        off_expr, acc = F.lit(0).cast("long"), 0
+        for p in sorted(counts):
+            off_expr = F.when(F.col("_pid") == p, F.lit(acc)).otherwise(off_expr)
+            acc += counts[p]
         return (
-            cut.withColumn("rank_in_round", F.row_number().over(wg))
+            part.withColumn(
+                "rank_in_round",
+                (off_expr + F.col("_lrk2") + 1).cast("int"))
             .where(F.col("rank_in_round") <= limit)
-            .drop("_lrk")
+            .drop("_lrk", "_lrk2", "_pid")
         )
 
     def _global_rank_full(self, cand: DataFrame, pri: list) -> DataFrame:
@@ -1198,6 +1250,12 @@ class CrawlEngine:
                                  .otherwise(0)), F.lit(0)).alias("n_rt"),
             )
             self.pages_tbl.append(pages_batch)
+            if getattr(self, "_rank_cache", None):
+                # the range-rank intermediates (selection is committed to
+                # the pages log now; later stages re-read the delta files)
+                for h in self._rank_cache:
+                    h.unpersist()
+                self._rank_cache = None
             self._prof_mark(round_no, "select+fetch+write_pages", t0)
             # row counts from the write's own observation — no extra job.
             # n_sel = FRESH dispatches (rank slots + pending consumption);

